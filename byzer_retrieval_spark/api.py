@@ -1,0 +1,129 @@
+"""RetrievalEngine: the user-facing facade.
+
+Mirrors the reference's Python client surface (python_api.md /
+LocalRetrievalMaster): create_table / build / upsert / commit-visible
+search / filter / delete_by_ids / delete_by_filter / truncate / drop /
+get_by_ids — re-expressed over Spark DataFrames. Search returns a
+DataFrame with ``_score`` injected (RetrievalMaster.java:359-364).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from byzer_retrieval_spark.operators import mutate
+from byzer_retrieval_spark.operators.context import IndexContext
+from byzer_retrieval_spark.operators.indexer import IndexConfig, build_index
+from byzer_retrieval_spark.operators.fusion import rrf_fuse, score_sum_fuse
+from byzer_retrieval_spark.operators.scorer_df import filter_query, search_df
+from byzer_retrieval_spark.operators.wand import search_fast
+from byzer_retrieval_spark.plans.query import SearchQuery
+from byzer_retrieval_spark.sources.storage import IndexStore
+
+
+class RetrievalEngine:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def store(self, database: str = "default", table: str = "default") -> IndexStore:
+        return IndexStore(self.root, database, table)
+
+    def ctx(self, database: str = "default", table: str = "default") -> IndexContext:
+        return IndexContext.open(self.spark, self.store(database, table))
+
+    # ---- write path ----------------------------------------------------
+    def build(
+        self,
+        source: DataFrame,
+        database: str = "default",
+        table: str = "default",
+        cfg: Optional[IndexConfig] = None,
+        resume: bool = True,
+        source_desc: str = "",
+    ) -> Dict[str, Any]:
+        return build_index(
+            self.spark, source, self.store(database, table), cfg, resume, source_desc
+        )
+
+    def upsert(
+        self, rows: DataFrame, database: str = "default", table: str = "default"
+    ) -> Dict[str, Any]:
+        return mutate.upsert(self.spark, self.store(database, table), rows)
+
+    def delete_by_ids(
+        self, ids: Iterable[Any], database: str = "default", table: str = "default"
+    ) -> int:
+        return mutate.delete_by_ids(self.spark, self.store(database, table), ids)
+
+    def delete_by_filter(
+        self, condition: Dict[str, Any], database: str = "default", table: str = "default"
+    ) -> int:
+        return mutate.delete_by_filter(self.spark, self.store(database, table), condition)
+
+    def compact(self, database: str = "default", table: str = "default") -> Dict[str, Any]:
+        return mutate.compact(self.spark, self.store(database, table))
+
+    def truncate(self, database: str = "default", table: str = "default") -> None:
+        self.store(database, table).truncate()
+
+    def drop(self, database: str = "default", table: str = "default") -> None:
+        self.store(database, table).drop()
+
+    # ---- read path -------------------------------------------------------
+    def search(
+        self,
+        query: SearchQuery,
+        database: str = "default",
+        table: str = "default",
+        use_fast_path: bool = True,
+    ) -> DataFrame:
+        """BM25 top-k (Q2): WAND fast path when applicable, else the
+        declarative DataFrame path — rank-identical by construction."""
+        ctx = self.ctx(database, table)
+        if use_fast_path:
+            fast = search_fast(ctx, query)
+            if fast is not None:
+                return fast
+        return search_df(ctx, query)
+
+    def search_slow(
+        self, query: SearchQuery, database: str = "default", table: str = "default"
+    ) -> DataFrame:
+        return search_df(self.ctx(database, table), query)
+
+    def filter(
+        self, query: SearchQuery, database: str = "default", table: str = "default"
+    ) -> DataFrame:
+        """Filter-mode query (L1-L4): no scoring, multi-sort, limit."""
+        return filter_query(self.ctx(database, table), query)
+
+    def multi_search(
+        self,
+        queries: List[SearchQuery],
+        database: str = "default",
+        table: str = "default",
+        rrf: bool = False,
+        limit: Optional[int] = None,
+    ) -> DataFrame:
+        """Multiple recalls fused (M2/M3): score-sum by default, RRF when
+        ``rrf`` (hybrid semantics, RetrievalMaster.java:162-192,326-342)."""
+        lim = limit or max(q.limit for q in queries)
+        recalls = [self.search(q, database, table) for q in queries]
+        fused = rrf_fuse(recalls, lim) if rrf else score_sum_fuse(recalls, lim)
+        return fused
+
+    def get_by_ids(
+        self, ids: Iterable[Any], database: str = "default", table: str = "default"
+    ) -> DataFrame:
+        """Point lookups (G1, python_api.md:163-169)."""
+        ctx = self.ctx(database, table)
+        docs = ctx.docs()
+        out = docs.filter(F.col("_id").isin([str(i) for i in ids]))
+        tomb = ctx.tombstone_ids()
+        if tomb:
+            out = out.filter(~F.col("doc_id").isin([int(t) for t in tomb]))
+        return out.select(*ctx.stored_columns()).orderBy("_id")

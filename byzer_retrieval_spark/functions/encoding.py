@@ -1,0 +1,95 @@
+"""Delta-gap + varbyte posting-list codec, vectorized with numpy.
+
+The reference relies on Lucene90PostingsFormat (delta + FOR/vint blocks)
+via its XLucene95Codec (reference: XLucene95Codec.java:34-110,
+RetrievalWorker.java:78). We implement the same *idea* — gap encoding of
+sorted doc ids plus a byte-aligned variable-length integer code — as pure
+numpy array transforms so encode/decode run vectorized inside Arrow
+batches (no per-row Python, per the input_hint).
+
+Wire format (per value): little-endian base-128; the MSB of each byte is
+a continuation flag (1 = more bytes follow). Values are unsigned; doc-id
+gaps and term frequencies are always >= 0.
+
+At 100 TB scale this codec is the dominant storage/scan cost of the
+postings table, so both directions are O(total_bytes) numpy, with no
+Python-level loop over values (only over byte positions, <= 10).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# thresholds[i] = smallest value needing more than i+1 bytes
+_THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
+
+BLOCK_SIZE = 128  # postings per block, mirrors Lucene's 128-doc blocks
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints to varbyte bytes."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + number of thresholds passed
+    # (looped over the <=9 thresholds, not materialized as an NxK matrix,
+    # to keep peak memory ~1 byte/value for multi-million-posting groups)
+    nb = np.ones(v.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        m = v >= t
+        if not m.any():
+            break
+        nb += m
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    maxb = int(nb.max())
+    for j in range(maxb):
+        mask = nb > j
+        byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
+        out[starts[mask] + j] = byte | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Decode varbyte bytes back to a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    terminal = (b & 0x80) == 0
+    n_vals = int(terminal.sum())
+    # value index for every byte (0-based)
+    value_id = np.cumsum(terminal) - terminal
+    first_byte = np.zeros(n_vals, dtype=np.int64)
+    if n_vals > 1:
+        first_byte[1:] = np.nonzero(terminal)[0][:-1] + 1
+    pos = np.arange(b.size, dtype=np.int64) - first_byte[value_id]
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, value_id, (b & np.uint8(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64))
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray, base: int) -> np.ndarray:
+    """Gaps of a strictly-increasing id array relative to ``base``.
+
+    First gap is ``sorted_ids[0] - base`` so blocks can chain off a
+    stored ``first_doc`` without re-encoding it.
+    """
+    ids = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0] - base
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray, base: int) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.int64)) + base
+
+
+def encode_posting_block(doc_ids: np.ndarray, base: int) -> bytes:
+    return varbyte_encode(delta_encode(doc_ids, base))
+
+
+def decode_posting_block(buf: bytes, base: int) -> np.ndarray:
+    return delta_decode(varbyte_decode(buf), base)

@@ -1,0 +1,72 @@
+"""IndexContext: an opened index (meta + current snapshot + table readers)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from byzer_retrieval_spark.sources.storage import IndexStore
+
+
+@dataclass
+class IndexContext:
+    spark: SparkSession
+    store: IndexStore
+    meta: Dict[str, Any]
+    snapshot: Dict[str, Any]
+
+    @classmethod
+    def open(cls, spark: SparkSession, store: IndexStore) -> "IndexContext":
+        snap = store.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"no committed snapshot at {store.base} — build the index first"
+            )
+        return cls(spark, store, store.read_meta(), snap)
+
+    # table readers ------------------------------------------------------
+    def docs(self) -> DataFrame:
+        return self.store.docs(self.spark)
+
+    def postings(self) -> DataFrame:
+        return self.store.postings(self.spark)
+
+    def stats(self) -> DataFrame:
+        return self.store.stats(self.spark)
+
+    def tombstone_ids(self) -> List[int]:
+        return self.store.tombstone_ids(self.spark)
+
+    # stats --------------------------------------------------------------
+    @property
+    def analyzer(self) -> str:
+        return self.meta["analyzer"]
+
+    @property
+    def analyzed_fields(self) -> List[str]:
+        return self.meta["analyzed_fields"]
+
+    @property
+    def k1(self) -> float:
+        return float(self.meta.get("k1", 1.2))
+
+    @property
+    def b(self) -> float:
+        return float(self.meta.get("b", 0.75))
+
+    def field_stat(self, field: str) -> Dict[str, Any]:
+        return self.snapshot["field_stats"][field]
+
+    def n_docs(self, field: Optional[str] = None) -> int:
+        if field is None:
+            return int(self.snapshot["n_docs"])
+        return int(self.field_stat(field)["n_docs"])
+
+    def avgdl(self, field: str) -> float:
+        return float(self.field_stat(field)["avgdl"])
+
+    def stored_columns(self) -> List[str]:
+        drop = {"doc_id", "shard_id"}
+        return [c for c in self.docs().columns if c not in drop]

@@ -1,0 +1,68 @@
+"""Rank fusion across recalls (SURVEY §2.1 M1-M5).
+
+The reference's master merges multiple recall results either by raw
+score-sum (hash-merge id→Σscore, RetrievalMaster.java:326-342) or, for
+hybrid queries, reciprocal-rank fusion where the doc at 0-based rank i
+of a recall contributes 1/(i+60) (RetrievalMaster.java:162-192, formula
+at :179), followed by a global sort desc + limit (:344-357) and
+``_score`` injection (:359-364).
+
+Spark-first: score-sum is union→groupBy(_id).sum; RRF is a window
+row_number per recall. Note the reference's ``containsKey`` quirk at
+:175 (last-occurrence-wins within one recall) is equivalent to standard
+RRF whenever ids are unique within a recall — always true post-upsert
+(SURVEY §2.1 M2).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RRF_K = 60  # 1/(rank + 60), rank 0-based (RetrievalMaster.java:179)
+
+
+def score_sum_fuse(recalls: List[DataFrame], limit: int) -> DataFrame:
+    """Each recall: (_id, _score[, ...]) → Σ score per _id, top-limit."""
+    u = recalls[0].select("_id", "_score")
+    for r in recalls[1:]:
+        u = u.unionByName(r.select("_id", "_score"))
+    return (
+        u.groupBy("_id")
+        .agg(F.sum("_score").alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col("_id").asc())
+        .limit(limit)
+    )
+
+
+def rrf_fuse(recalls: List[DataFrame], limit: int, k: int = RRF_K) -> DataFrame:
+    """RRF: doc at 0-based rank i in a recall contributes 1/(i+k)."""
+    parts = []
+    for r in recalls:
+        w = Window.orderBy(F.col("_score").desc(), F.col("_id").asc())
+        parts.append(
+            r.select("_id", "_score")
+            .withColumn("__rank", F.row_number().over(w) - F.lit(1))
+            .select("_id", (F.lit(1.0) / (F.col("__rank") + F.lit(float(k)))).alias("_score"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("_id")
+        .agg(F.sum("_score").alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col("_id").asc())
+        .limit(limit)
+    )
+
+
+def rrf_fuse_lists(ranked_lists: List[List], k: int = RRF_K) -> dict:
+    """Pure-function RRF over already-ranked id lists (unit-test surface,
+    FIXTURES §F4 query 14)."""
+    out: dict = {}
+    for lst in ranked_lists:
+        for i, key in enumerate(lst):
+            out[key] = out.get(key, 0.0) + 1.0 / (i + k)
+    return out

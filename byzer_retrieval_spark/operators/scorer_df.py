@@ -1,0 +1,186 @@
+"""BM25 scorer, declarative DataFrame path (the oracle-grade slow path).
+
+Everything after the block decode is Catalyst-optimizable: the term
+stats are a broadcast join, the per-doc sum is a partial+final hash
+aggregate, filters are Column predicates pushed at the docs scan, and
+the global top-k is TakeOrderedAndProject. This path defines the
+engine's exact semantics; the WAND fast path must stay rank-identical
+to it (and both to the brute-force pytest oracle).
+
+Semantics reproduced from the reference:
+- multi-term disjunction scored as sum over matching SHOULD/MUST
+  clauses (BooleanQuery built at RetrievalWorker.java:325-343);
+- ``+term`` MUST / ``-term`` MUST_NOT / ``*`` match-all
+  (RetrievalWorker.java:336-338);
+- filters are non-scoring (Occur.FILTER, Utils.java:303);
+- per-field uniform weight 1.0 over ``query.fields``
+  (RetrievalWorker.java:341);
+- deterministic tie-break: score desc, then ``_id`` asc.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from byzer_retrieval_spark.operators.context import IndexContext
+from byzer_retrieval_spark.operators.decode import flat_postings
+from byzer_retrieval_spark.plans.query import (
+    SearchQuery,
+    filters_to_column,
+    parse_keyword,
+)
+
+
+def _candidate_docs(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
+    """docs restricted by the (non-scoring) filter tree; None = no filter."""
+    cond = filters_to_column(query.filters)
+    if cond is None:
+        return None
+    return ctx.docs().filter(cond)
+
+
+def _exclude_tombstones(ctx: IndexContext, df: DataFrame) -> DataFrame:
+    tomb = ctx.tombstone_ids()
+    if not tomb:
+        return df
+    return df.filter(~F.col("doc_id").isin([int(t) for t in tomb]))
+
+
+def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
+    """Top-k search → DataFrame(_score, _id, stored fields...), ordered."""
+    parsed = parse_keyword(query.keyword, ctx.analyzer)
+    fields = [f for f in (query.fields or ctx.analyzed_fields) if f in ctx.analyzed_fields]
+    k = query.limit
+
+    docs = ctx.docs()
+    stored = ctx.stored_columns()
+
+    if parsed.match_all:
+        cand = _candidate_docs(ctx, query)
+        base = cand if cand is not None else docs
+        base = _exclude_tombstones(ctx, base)
+        out = base.withColumn("_score", F.lit(1.0))
+        return (
+            out.orderBy(F.col("_score").desc(), F.col("_id").asc())
+            .limit(k)
+            .select("_score", *stored)
+        )
+
+    if parsed.empty or (not parsed.scoring_terms and not parsed.must):
+        # no scoring clauses (incl. pure-negative queries): Lucene's
+        # BooleanQuery with only prohibited clauses matches nothing
+        return (
+            docs.select(F.lit(0.0).alias("_score"), *stored).limit(0)
+        )
+
+    all_terms = list(dict.fromkeys(parsed.scoring_terms + parsed.must_not))
+    scoring = set(parsed.scoring_terms)
+    must = set(parsed.must)
+    must_not = set(parsed.must_not)
+
+    blocks = ctx.postings().filter(
+        F.col("field").isin(fields) & F.col("term").isin(all_terms)
+    )
+    flat = flat_postings(blocks)
+
+    # tiny per-(field,term) stats → broadcast join
+    stats = ctx.stats().filter(
+        F.col("field").isin(fields) & F.col("term").isin(all_terms)
+    )
+    fs_rows = [
+        (f, ctx.n_docs(f), ctx.avgdl(f)) for f in fields
+    ]
+    fstats = ctx.spark.createDataFrame(fs_rows, "field string, n_docs long, avgdl double")
+    stats = stats.join(fstats, "field")
+
+    k1, b = ctx.k1, ctx.b
+    scored = flat.join(F.broadcast(stats), ["field", "term"]).withColumn(
+        "idf",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ),
+    )
+    scored = scored.withColumn(
+        "part_score",
+        F.col("idf")
+        * (
+            F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        ),
+    )
+
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("term").isin(list(scoring)), F.col("part_score")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("_score"),
+        F.count_distinct(
+            F.when(F.col("term").isin(list(must)), F.col("term"))
+        ).alias("__must_cnt"),
+        F.max(
+            F.when(F.col("term").isin(list(must_not)), F.lit(1)).otherwise(F.lit(0))
+        ).alias("__has_not"),
+        F.max(
+            F.when(F.col("term").isin(list(scoring)), F.lit(1)).otherwise(F.lit(0))
+        ).alias("__has_match"),
+    )
+    agg = agg.filter(
+        (F.col("__must_cnt") == F.lit(len(must)))
+        & (F.col("__has_not") == F.lit(0))
+        & (F.col("__has_match") == F.lit(1))
+    )
+    agg = _exclude_tombstones(ctx, agg)
+
+    cand = _candidate_docs(ctx, query)
+    if cand is not None:
+        agg = agg.join(cand.select("doc_id"), "doc_id", "left_semi")
+
+    # exact tie-break needs _id: join the 2-column (doc_id,_id) projection
+    # (columnar prune at the docs scan), take global top-k, THEN
+    # broadcast-join the k winners back for stored-field materialization
+    topk = (
+        agg.select("doc_id", "_score")
+        .join(docs.select("doc_id", "_id"), "doc_id")
+        .orderBy(F.col("_score").desc(), F.col("_id").asc())
+        .limit(k)
+        .select("doc_id", "_score")
+    )
+    out = docs.join(F.broadcast(topk), "doc_id")
+    return (
+        out.orderBy(F.col("_score").desc(), F.col("_id").asc())
+        .select("_score", *stored)
+    )
+
+
+def filter_query(
+    ctx: IndexContext, query: SearchQuery
+) -> DataFrame:
+    """Filter-mode query: no scoring, boolean tree + multi-sort + limit
+    (reference: LocalRetrievalMaster.filter / RetrievalWorker.java:273-307).
+
+    Deviation noted in SURVEY §2.1 L4: the reference applies ``limit``
+    per shard and concatenates (up to shards×limit rows); we apply one
+    global limit — the semantically-useful behavior — and keep the
+    reference behavior reachable by not passing a limit.
+    """
+    from byzer_retrieval_spark.plans.query import sorts_to_columns
+
+    docs = ctx.docs()
+    cond = filters_to_column(query.filters)
+    out = docs.filter(cond) if cond is not None else docs
+    out = _exclude_tombstones(ctx, out)
+    sort_cols = sorts_to_columns(query.sorts)
+    # always end with _id asc for determinism
+    out = out.orderBy(*(sort_cols + [F.col("_id").asc()]))
+    if query.limit:
+        out = out.limit(query.limit)
+    return out.select(*ctx.stored_columns())

@@ -1,0 +1,347 @@
+"""Block-max WAND top-k: the fast query path (north_star core).
+
+What Lucene does inside ``indexSearcher.search(query, limit)``
+(reference: RetrievalWorker.java:368, TOP_SCORES mode): score docs
+term-at-a-time/doc-at-a-time while SKIPPING whole posting blocks whose
+per-block maximum possible score cannot beat the current k-th best
+(impacts + block-max WAND). Spark has no such operator, so this module
+implements it as an ``applyInPandas`` per-shard scorer over our
+compressed posting blocks — numpy-vectorized, bounded memory, with a
+bounded top-k selection per shard.
+
+Algorithm: a *vectorized two-phase block-max pruning* variant of BMW
+(lossless — provably rank-identical to exhaustive scoring):
+
+  upper bounds:  ub(block)   = idf · tfnorm(max_tf, min_dl)  [stored stats]
+                 range_ub(b) = ub(b) + Σ_{other clauses} term_max_ub
+                 (the classic WAND term-level bound for other clauses)
+  phase 1:  exactly score the doc ranges of the few highest-range_ub
+            blocks → threshold θ0 = k-th best exact (gated) score found
+  phase 2:  every block with range_ub < θ0 is SKIPPED (its docs provably
+            score < θ0 ≤ true k-th best); survivors + overlapping blocks
+            are decoded and scored exactly; top-k per shard emitted.
+
+Proof of losslessness: a doc d skipped in phase 2 lies only in blocks
+with range_ub < θ0, so score(d) ≤ range_ub < θ0 ≤ θ_true — d cannot be
+in the true top-k even under tie-breaking (strict inequality). Gating
+(MUST / MUST_NOT) only removes docs, so pruning bounds remain valid.
+
+Scale: per-shard work is bounded by that shard's postings for the query
+terms; shards score in parallel (one Arrow group per shard — same
+scatter-gather as the reference's master→worker fan-out,
+RetrievalMaster.java:141-147, with Spark's scheduler as the master).
+Each shard emits ≤ k rows, so the driver-side merge is O(shards·k).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from byzer_retrieval_spark.functions.bm25 import math_idf
+from byzer_retrieval_spark.operators.context import IndexContext
+from byzer_retrieval_spark.operators.decode import decode_rows
+from byzer_retrieval_spark.plans.query import SearchQuery, parse_keyword
+
+# below this many blocks per shard, exhaustive scoring beats bookkeeping
+PRUNE_MIN_BLOCKS = 32
+
+_OUT_SCHEMA = "shard_id int, doc_id long, score double"
+
+
+def _merge_intervals(firsts: np.ndarray, lasts: np.ndarray):
+    order = np.argsort(firsts, kind="stable")
+    f, l = firsts[order], lasts[order]
+    keep_f, keep_l = [], []
+    for a, b in zip(f, l):
+        if keep_l and a <= keep_l[-1]:
+            keep_l[-1] = max(keep_l[-1], b)
+        else:
+            keep_f.append(a)
+            keep_l.append(b)
+    return np.asarray(keep_f, dtype=np.int64), np.asarray(keep_l, dtype=np.int64)
+
+
+def _in_intervals(docs: np.ndarray, f: np.ndarray, l: np.ndarray) -> np.ndarray:
+    if f.size == 0:
+        return np.zeros(docs.shape, dtype=bool)
+    idx = np.searchsorted(f, docs, side="right") - 1
+    ok = idx >= 0
+    out = np.zeros(docs.shape, dtype=bool)
+    out[ok] = docs[ok] <= l[idx[ok]]
+    return out
+
+
+def _overlap_mask(firsts: np.ndarray, lasts: np.ndarray,
+                  rf: np.ndarray, rl: np.ndarray) -> np.ndarray:
+    """blocks [firsts,lasts] overlapping any merged range [rf,rl]."""
+    if rf.size == 0:
+        return np.zeros(firsts.shape, dtype=bool)
+    # block overlaps some range iff the first range with rl >= first
+    # starts at or before last
+    j = np.searchsorted(rl, firsts, side="left")
+    ok = j < rf.size
+    out = np.zeros(firsts.shape, dtype=bool)
+    out[ok] = rf[j[ok]] <= lasts[ok]
+    return out
+
+
+def _make_shard_scorer(
+    clauses: List[Tuple[str, str, float, float]],  # (field, term, idf, avgdl)
+    must_terms: Tuple[str, ...],
+    not_terms: Tuple[str, ...],
+    k: int,
+    k1: float,
+    b: float,
+    tombstones: Tuple[int, ...],
+):
+    idf_map = {(f, t): i for f, t, i, _ in clauses}
+    avgdl_map = {(f, t): a for f, t, _, a in clauses}
+    scoring_keys = set(idf_map)
+    n_must = len(set(must_terms))
+    tomb = np.asarray(sorted(tombstones), dtype=np.int64)
+
+    def score_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_id = int(key[0])
+
+        # ---- split rows into scoring clauses and exclusion terms -------
+        is_not = pdf["term"].isin(not_terms).to_numpy()
+        excl = np.empty(0, dtype=np.int64)
+        if is_not.any():
+            nb = pdf[is_not]
+            docs, _, _, _ = decode_rows(
+                nb["doc_gaps"], nb["tfs"], nb["dls"], nb["first_doc"]
+            )
+            excl = np.unique(docs)
+
+        cl: List[dict] = []
+        sc_pdf = pdf[~is_not & pdf[["field", "term"]].apply(tuple, axis=1).isin(scoring_keys).to_numpy()] if len(pdf) else pdf
+        for (fld, term), g in sc_pdf.groupby(["field", "term"], sort=False):
+            g = g.sort_values("first_doc")
+            avgdl = avgdl_map[(fld, term)]
+            idf = idf_map[(fld, term)]
+            max_tf = g["max_tf"].to_numpy(np.float64)
+            min_dl = g["min_dl"].to_numpy(np.float64)
+            ub = idf * (max_tf / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl)))
+            cl.append(
+                dict(
+                    field=fld, term=term, idf=idf, avgdl=avgdl,
+                    firsts=g["first_doc"].to_numpy(np.int64),
+                    lasts=g["last_doc"].to_numpy(np.int64),
+                    ub=ub,
+                    gaps=g["doc_gaps"].tolist(),
+                    tfs=g["tfs"].tolist(),
+                    dls=g["dls"].tolist(),
+                )
+            )
+        if not cl:
+            return pd.DataFrame({"shard_id": [], "doc_id": [], "score": []}).astype(
+                {"shard_id": np.int32, "doc_id": np.int64, "score": np.float64}
+            )
+
+        def exact(selections: List[np.ndarray]):
+            """Exact scores over selected blocks; returns (docs, scores,
+            must_cnt, excluded) on the unique doc set."""
+            doc_parts, score_parts = [], []
+            term_docs: Dict[str, List[np.ndarray]] = {}
+            for c, sel in zip(cl, selections):
+                if sel.size == 0:
+                    continue
+                docs, tfs, dls, _ = decode_rows(
+                    [c["gaps"][i] for i in sel],
+                    [c["tfs"][i] for i in sel],
+                    [c["dls"][i] for i in sel],
+                    c["firsts"][sel],
+                )
+                part = c["idf"] * (
+                    tfs / (tfs + k1 * (1.0 - b + b * dls / c["avgdl"]))
+                )
+                doc_parts.append(docs)
+                score_parts.append(part)
+                if c["term"] in must_terms:
+                    term_docs.setdefault(c["term"], []).append(docs)
+            if not doc_parts:
+                z = np.empty(0, dtype=np.int64)
+                return z, np.empty(0), np.empty(0, dtype=np.int64)
+            all_docs = np.concatenate(doc_parts)
+            all_parts = np.concatenate(score_parts)
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            scores = np.bincount(inv, weights=all_parts, minlength=uniq.size)
+            must_cnt = np.zeros(uniq.size, dtype=np.int64)
+            for t, arrs in term_docs.items():
+                must_cnt += np.isin(uniq, np.unique(np.concatenate(arrs)))
+            return uniq, scores, must_cnt
+
+        def gate(uniq, scores, must_cnt):
+            mask = must_cnt == n_must
+            if excl.size:
+                mask &= ~np.isin(uniq, excl)
+            if tomb.size:
+                mask &= ~np.isin(uniq, tomb)
+            return mask
+
+        total_blocks = sum(c["firsts"].size for c in cl)
+        all_sel = [np.arange(c["firsts"].size) for c in cl]
+
+        if total_blocks > PRUNE_MIN_BLOCKS:
+            # ---- phase 0: bounds --------------------------------------
+            term_max = np.array([float(c["ub"].max()) for c in cl])
+            others = term_max.sum() - term_max  # Σ other clauses' max ub
+            range_ubs = [c["ub"] + others[i] for i, c in enumerate(cl)]
+
+            # ---- phase 1: seed threshold from the best few blocks -----
+            flat_ub = np.concatenate(range_ubs)
+            flat_ci = np.concatenate(
+                [np.full(c["firsts"].size, i) for i, c in enumerate(cl)]
+            )
+            flat_bi = np.concatenate([np.arange(c["firsts"].size) for c in cl])
+            m = min(flat_ub.size, max(4, -(-4 * k // 128)))
+            top_idx = np.argpartition(-flat_ub, m - 1)[:m]
+            sf = np.concatenate(
+                [cl[ci]["firsts"][bi : bi + 1] for ci, bi in zip(flat_ci[top_idx], flat_bi[top_idx])]
+            )
+            sl = np.concatenate(
+                [cl[ci]["lasts"][bi : bi + 1] for ci, bi in zip(flat_ci[top_idx], flat_bi[top_idx])]
+            )
+            rf, rl = _merge_intervals(sf, sl)
+            sel1 = [
+                np.nonzero(_overlap_mask(c["firsts"], c["lasts"], rf, rl))[0]
+                for c in cl
+            ]
+            u1, s1, mc1 = exact(sel1)
+            if u1.size:
+                m1 = gate(u1, s1, mc1) & _in_intervals(u1, rf, rl)
+                vals = s1[m1]
+            else:
+                vals = np.empty(0)
+            if vals.size >= k:
+                theta0 = np.partition(vals, vals.size - k)[vals.size - k]
+            else:
+                theta0 = -math.inf
+
+            # ---- phase 2: skip blocks that provably can't reach θ0 ----
+            if theta0 > -math.inf:
+                surv_f, surv_l = [], []
+                for i, c in enumerate(cl):
+                    keep = range_ubs[i] >= theta0
+                    if keep.any():
+                        surv_f.append(c["firsts"][keep])
+                        surv_l.append(c["lasts"][keep])
+                if surv_f:
+                    rf2, rl2 = _merge_intervals(
+                        np.concatenate(surv_f), np.concatenate(surv_l)
+                    )
+                else:
+                    rf2 = rl2 = np.empty(0, dtype=np.int64)
+                all_sel = [
+                    np.nonzero(_overlap_mask(c["firsts"], c["lasts"], rf2, rl2))[0]
+                    for c in cl
+                ]
+                uniq, scores, must_cnt = exact(all_sel)
+                if uniq.size:
+                    mask = gate(uniq, scores, must_cnt) & _in_intervals(uniq, rf2, rl2)
+                else:
+                    mask = np.zeros(0, dtype=bool)
+            else:
+                uniq, scores, must_cnt = exact(all_sel)
+                mask = gate(uniq, scores, must_cnt) if uniq.size else np.zeros(0, dtype=bool)
+        else:
+            uniq, scores, must_cnt = exact(all_sel)
+            mask = gate(uniq, scores, must_cnt) if uniq.size else np.zeros(0, dtype=bool)
+
+        docs_f, scores_f = uniq[mask], scores[mask]
+        if docs_f.size > k:
+            # bounded top-k: argpartition then exact order (score desc,
+            # doc_id asc — within a shard doc_id order == _id order)
+            part = np.argpartition(-scores_f, k - 1)[: max(k * 2, k)]
+            # keep ties at the boundary: include all docs with score >=
+            # the k-th partitioned score
+            kth = scores_f[part[:k]].min()
+            keep = scores_f >= kth
+            docs_f, scores_f = docs_f[keep], scores_f[keep]
+        order = np.lexsort((docs_f, -scores_f))[:k]
+        docs_f, scores_f = docs_f[order], scores_f[order]
+        return pd.DataFrame(
+            {
+                "shard_id": np.full(docs_f.size, shard_id, dtype=np.int32),
+                "doc_id": docs_f,
+                "score": scores_f,
+            }
+        )
+
+    return score_shard
+
+
+def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
+    """Fast keyword-only top-k. Returns None when this path doesn't apply
+    (match-all, filtered, or empty queries → DataFrame path)."""
+    parsed = parse_keyword(query.keyword, ctx.analyzer)
+    if parsed.match_all or parsed.empty or query.filters:
+        return None
+    if not parsed.scoring_terms:
+        return None
+    fields = [f for f in (query.fields or ctx.analyzed_fields) if f in ctx.analyzed_fields]
+    k = query.limit
+    all_terms = list(dict.fromkeys(parsed.scoring_terms + parsed.must_not))
+
+    # term stats lookup: tiny, pruned scan of the sorted stats table
+    stats_rows = (
+        ctx.stats()
+        .filter(F.col("field").isin(fields) & F.col("term").isin(all_terms))
+        .collect()
+    )
+    df_map = {(r.field, r.term): int(r.df) for r in stats_rows}
+    clauses = []
+    for f_name in fields:
+        n, avgdl = ctx.n_docs(f_name), ctx.avgdl(f_name)
+        for t in parsed.scoring_terms:
+            df = df_map.get((f_name, t), 0)
+            if df > 0:
+                clauses.append((f_name, t, math_idf(df, n), avgdl))
+    must_present = [
+        t for t in parsed.must if any(df_map.get((f, t), 0) > 0 for f in fields)
+    ]
+    if len(must_present) < len(set(parsed.must)):
+        # a MUST term absent from the whole corpus → no hits
+        return ctx.spark.createDataFrame([], "shard_id int, doc_id long, score double")
+    if not clauses:
+        return ctx.spark.createDataFrame([], "shard_id int, doc_id long, score double")
+
+    blocks = ctx.postings().filter(
+        F.col("field").isin(fields) & F.col("term").isin(all_terms)
+    ).select(
+        "shard_id", "field", "term", "first_doc", "last_doc",
+        "max_tf", "min_dl", "doc_gaps", "tfs", "dls",
+    )
+    scorer = _make_shard_scorer(
+        clauses,
+        tuple(parsed.must),
+        tuple(parsed.must_not),
+        k,
+        ctx.k1,
+        ctx.b,
+        tuple(ctx.tombstone_ids()),
+    )
+    return blocks.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
+
+
+def search_fast(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
+    """WAND per shard → global (score desc, _id asc) top-k with stored
+    fields. None when the fast path doesn't apply."""
+    per_shard = search_wand(ctx, query)
+    if per_shard is None:
+        return None
+    stored = ctx.stored_columns()
+    docs = ctx.docs()
+    out = docs.join(F.broadcast(per_shard.withColumnRenamed("score", "_score")
+                                .select("doc_id", "_score")), "doc_id")
+    return (
+        out.orderBy(F.col("_score").desc(), F.col("_id").asc())
+        .limit(query.limit)
+        .select("_score", *stored)
+    )

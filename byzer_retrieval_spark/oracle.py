@@ -1,0 +1,120 @@
+"""Brute-force BM25 oracle: pure Python/numpy, no Spark.
+
+This is the correctness anchor (SURVEY §5.2): it re-implements the exact
+Lucene 9.8 BM25 formula (k1=1.2, b=0.75 — the reference configures no
+Similarity) over in-memory documents, with the same keyword semantics
+(implicit OR, +MUST, -MUST_NOT, * match-all — SimpleQueryParser subset,
+reference RetrievalWorker.java:321-343), non-scoring filters
+(Utils.java:258-304), and deterministic tie-breaking (score desc, then
+doc key asc). Both the DataFrame scorer and the block-max WAND scorer
+must be rank-identical to this.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from byzer_retrieval_spark.functions.analyzer import WHITESPACE, tokenize_py
+from byzer_retrieval_spark.functions.bm25 import B, K1, quantize_dl
+from byzer_retrieval_spark.plans.query import (
+    ParsedKeyword,
+    filters_to_predicate,
+    parse_keyword,
+)
+
+import numpy as np
+
+
+class BM25Oracle:
+    def __init__(
+        self,
+        rows: Sequence[Dict[str, Any]],
+        text_field: str = "content",
+        key_field: str = "_id",
+        mode: str = WHITESPACE,
+        lucene_dl_quantization: bool = False,
+    ):
+        self.rows = list(rows)
+        self.key_field = key_field
+        self.mode = mode
+        self.toks: List[List[str]] = [
+            tokenize_py(r.get(text_field) or "", mode) for r in self.rows
+        ]
+        self.tf: List[Counter] = [Counter(t) for t in self.toks]
+        dls = np.array([len(t) for t in self.toks], dtype=np.int64)
+        if lucene_dl_quantization:
+            dls = quantize_dl(dls)
+        self.dl = dls
+        self.n_docs = len(self.rows)
+        # avgdl = sumTotalTermFreq / docCount with EXACT totals (§1.3)
+        self.avgdl = float(np.sum([len(t) for t in self.toks])) / max(1, self.n_docs)
+        self.df: Counter = Counter()
+        for t in self.toks:
+            self.df.update(set(t))
+
+    def idf(self, term: str) -> float:
+        df = self.df.get(term, 0)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def score_doc(self, i: int, terms: Sequence[str]) -> Optional[float]:
+        """Sum of idf*tfnorm over matching scoring terms; None if no match."""
+        total, matched = 0.0, False
+        for t in dict.fromkeys(terms):
+            tf = self.tf[i].get(t, 0)
+            if tf == 0:
+                continue
+            matched = True
+            dl = float(self.dl[i])
+            total += self.idf(t) * (tf / (tf + K1 * (1.0 - B + B * dl / self.avgdl)))
+        return total if matched else None
+
+    def search(
+        self,
+        keyword: Optional[str],
+        filters: Optional[Dict[str, Any]] = None,
+        limit: int = 10,
+    ) -> List[Tuple[Any, float]]:
+        """Top-k (key, score), rank-identical semantics to the engine."""
+        parsed: ParsedKeyword = parse_keyword(keyword, self.mode)
+        pred = filters_to_predicate(filters or {})
+        out: List[Tuple[Any, float]] = []
+        for i, row in enumerate(self.rows):
+            if not pred(row):
+                continue
+            if parsed.match_all:
+                out.append((row[self.key_field], 1.0))
+                continue
+            if parsed.empty:
+                continue
+            # boolean gates (non-scoring semantics of MUST_NOT; MUST both
+            # gates and scores)
+            if any(self.tf[i].get(t, 0) > 0 for t in parsed.must_not):
+                continue
+            if parsed.must and not all(self.tf[i].get(t, 0) > 0 for t in parsed.must):
+                continue
+            if not parsed.must and not parsed.should:
+                continue  # pure-negative query matches nothing (Lucene)
+            s = self.score_doc(i, parsed.scoring_terms)
+            if parsed.must and s is None:
+                s = 0.0  # unreachable: musts matched implies a match
+            if s is None:
+                continue
+            out.append((row[self.key_field], s))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:limit]
+
+    def filter_rows(
+        self,
+        filters: Dict[str, Any],
+        sorts: Optional[List[Dict[str, str]]] = None,
+        limit: Optional[int] = None,
+    ) -> List[Dict[str, Any]]:
+        """Filter-mode query (no scoring), multi-sort, limit."""
+        pred = filters_to_predicate(filters or {})
+        rows = [r for r in self.rows if pred(r)]
+        for s in reversed(sorts or []):
+            for fname, direction in s.items():
+                rows.sort(key=lambda r: r.get(fname), reverse=str(direction).lower() == "desc")
+        return rows[:limit] if limit is not None else rows

@@ -1,0 +1,213 @@
+"""SearchQuery: the engine's (only) query IR, mirroring the reference.
+
+The reference's whole query language is a JSON ``SearchQuery`` record
+(reference: records/SearchQuery.java:18-89):
+
+    {database, table, filters, sorts, keyword?, fields, vector?,
+     vectorField?, limit}
+
+- ``filters`` is a nested boolean tree ``{"and":[...]} / {"or":[...]}``
+  whose leaves are exact ``{"field": f, "value": v}`` or range
+  ``{"field": f, "min": a, "max": b}`` predicates, attached as
+  NON-SCORING clauses (reference: Utils.java:258-304, Occur.FILTER at
+  Utils.java:303) — filters never affect BM25 scores.
+- ``keyword`` is parsed by Lucene's SimpleQueryParser with every field
+  weighted 1.0 (reference: RetrievalWorker.java:321-343). We implement
+  the subset: implicit OR of terms, ``+term`` (MUST), ``-term``
+  (MUST_NOT), and ``*`` match-all (RetrievalWorker.java:336-338).
+  Phrases/fuzzy/grouping are documented out of v1 scope.
+- ``sorts`` ``[{"field": "desc"|"asc"}, ...]`` (reference:
+  Utils.java:306-329).
+
+Compilation targets: a Spark ``Column`` for the DataFrame paths and a
+plain-Python predicate for the brute-force oracle used in tests.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from byzer_retrieval_spark.functions.analyzer import WHITESPACE, tokenize_py
+
+MATCH_ALL = "*"
+
+
+@dataclass
+class SearchQuery:
+    database: str = "default"
+    table: str = "default"
+    keyword: Optional[str] = None
+    fields: List[str] = dc_field(default_factory=list)
+    filters: Dict[str, Any] = dc_field(default_factory=dict)
+    sorts: List[Dict[str, str]] = dc_field(default_factory=list)
+    vector: List[float] = dc_field(default_factory=list)
+    vector_field: Optional[str] = None
+    limit: int = 10
+
+    @classmethod
+    def from_json(cls, s: str) -> "List[SearchQuery]":
+        raw = json.loads(s)
+        if isinstance(raw, dict):
+            raw = [raw]
+        return [
+            cls(
+                database=q.get("database", "default"),
+                table=q.get("table", "default"),
+                keyword=q.get("keyword"),
+                fields=list(q.get("fields", [])),
+                filters=q.get("filters", {}) or {},
+                sorts=list(q.get("sorts", [])),
+                vector=list(q.get("vector", [])),
+                vector_field=q.get("vectorField"),
+                limit=int(q.get("limit", 10)),
+            )
+            for q in raw
+        ]
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "database": self.database,
+                "table": self.table,
+                "keyword": self.keyword,
+                "fields": self.fields,
+                "filters": self.filters,
+                "sorts": self.sorts,
+                "vector": self.vector,
+                "vectorField": self.vector_field,
+                "limit": self.limit,
+            }
+        )
+
+
+@dataclass(frozen=True)
+class ParsedKeyword:
+    """SimpleQueryParser subset: OR of should + MUST / MUST_NOT terms."""
+
+    should: Tuple[str, ...]
+    must: Tuple[str, ...]
+    must_not: Tuple[str, ...]
+    match_all: bool = False
+
+    @property
+    def scoring_terms(self) -> Tuple[str, ...]:
+        # Lucene sums scores of all matching scoring clauses: MUST and
+        # SHOULD both score; MUST_NOT never does.
+        return tuple(dict.fromkeys(self.must + self.should))
+
+    @property
+    def empty(self) -> bool:
+        return not (self.should or self.must or self.must_not or self.match_all)
+
+
+def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeyword:
+    """Parse the keyword string; terms are run through the same analyzer
+    as the index (the reference parses with the same WhitespaceAnalyzer
+    it indexes with, RetrievalWorker.java:339)."""
+    if keyword is None or keyword.strip() == "":
+        return ParsedKeyword((), (), ())
+    if keyword.strip() == MATCH_ALL:
+        return ParsedKeyword((), (), (), match_all=True)
+    should: List[str] = []
+    must: List[str] = []
+    must_not: List[str] = []
+    for raw in keyword.split():
+        bucket = should
+        if raw.startswith("+") and len(raw) > 1:
+            bucket, raw = must, raw[1:]
+        elif raw.startswith("-") and len(raw) > 1:
+            bucket, raw = must_not, raw[1:]
+        for tok in tokenize_py(raw, mode):
+            bucket.append(tok)
+    return ParsedKeyword(tuple(should), tuple(must), tuple(must_not))
+
+
+# ---------------------------------------------------------------------
+# Filter tree compilation
+# ---------------------------------------------------------------------
+
+def _leaf_to_column(leaf: Dict[str, Any]) -> Column:
+    f = leaf["field"]
+    if "value" in leaf:
+        return F.col(f) == F.lit(leaf["value"])
+    has_min, has_max = "min" in leaf, "max" in leaf
+    if has_min and has_max:
+        # inclusive both ends (Lucene newRangeQuery semantics)
+        return F.col(f).between(F.lit(leaf["min"]), F.lit(leaf["max"]))
+    # reference quirk: a one-sided range collapses to EXACT match on the
+    # present bound (SchemaUtils.java:177-181 + Utils.java:286-291)
+    if has_min:
+        return F.col(f) == F.lit(leaf["min"])
+    if has_max:
+        return F.col(f) == F.lit(leaf["max"])
+    raise ValueError(f"filter leaf needs value or min/max: {leaf!r}")
+
+
+def filters_to_column(tree: Dict[str, Any]) -> Optional[Column]:
+    """Nested {"and":[...]} / {"or":[...]} → one Column (non-scoring)."""
+    if not tree:
+        return None
+    if "and" in tree:
+        cols = [filters_to_column(t) if ("and" in t or "or" in t)
+                else _leaf_to_column(t) for t in tree["and"]]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out & c
+        return out
+    if "or" in tree:
+        cols = [filters_to_column(t) if ("and" in t or "or" in t)
+                else _leaf_to_column(t) for t in tree["or"]]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out | c
+        return out
+    return _leaf_to_column(tree)
+
+
+def _leaf_to_predicate(leaf: Dict[str, Any]) -> Callable[[Dict[str, Any]], bool]:
+    f = leaf["field"]
+    if "value" in leaf:
+        v = leaf["value"]
+        return lambda row: row.get(f) == v
+    has_min, has_max = "min" in leaf, "max" in leaf
+    if has_min and has_max:
+        lo, hi = leaf["min"], leaf["max"]
+        return lambda row: row.get(f) is not None and lo <= row[f] <= hi
+    if has_min:
+        v = leaf["min"]
+        return lambda row: row.get(f) == v
+    if has_max:
+        v = leaf["max"]
+        return lambda row: row.get(f) == v
+    raise ValueError(f"filter leaf needs value or min/max: {leaf!r}")
+
+
+def filters_to_predicate(tree: Dict[str, Any]) -> Callable[[Dict[str, Any]], bool]:
+    """Same tree → pure-Python predicate (brute-force oracle path)."""
+    if not tree:
+        return lambda row: True
+    if "and" in tree:
+        preds = [filters_to_predicate(t) if ("and" in t or "or" in t)
+                 else _leaf_to_predicate(t) for t in tree["and"]]
+        return lambda row: all(p(row) for p in preds)
+    if "or" in tree:
+        preds = [filters_to_predicate(t) if ("and" in t or "or" in t)
+                 else _leaf_to_predicate(t) for t in tree["or"]]
+        return lambda row: any(p(row) for p in preds)
+    return _leaf_to_predicate(tree)
+
+
+def sorts_to_columns(sorts: List[Dict[str, str]]) -> List[Column]:
+    """[{"mtime":"desc"},{"_id":"asc"}] → orderBy columns (asc default,
+    matching the reference comparator, RetrievalMaster.java:225-247)."""
+    cols: List[Column] = []
+    for s in sorts:
+        for fname, direction in s.items():
+            c = F.col(fname)
+            cols.append(c.desc() if str(direction).lower() == "desc" else c.asc())
+    return cols
