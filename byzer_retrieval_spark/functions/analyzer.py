@@ -39,7 +39,7 @@ CODE = "code"  # StandardAnalyzer-like, code-aware default
 _WS_RE = re.compile(r"\s+")
 # \w in Python (unicode) ~= [\p{L}\p{N}_]; Java needs the explicit class
 _CODE_RE_PY = re.compile(r"\w+", re.UNICODE)
-_CODE_RE_JAVA = r"[\\p{L}\\p{N}_]+"  # for Spark regexp_extract_all
+_CODE_RE_JAVA = r"[\p{L}\p{N}_]+"  # for Spark regexp_extract_all
 _CODE_RE_DUCK = r"[\p{L}\p{N}_]+"  # RE2 syntax for the DuckDB oracle
 
 MODES = (WHITESPACE, CODE)

@@ -171,6 +171,7 @@ def parse_schema(dsl: str) -> TableSchema:
         bad = [o for o in opts if o not in _OPTIONS]
         if bad:
             raise SchemaParseError(f"unknown field option(s) {bad} in {part!r}")
+        _parse_type(type_name)  # validate eagerly
         # reference honors at most one option (SimpleSchemaParser.java:79-83)
         fields.append(FieldDef(name, type_name, opts[:1]))
     return TableSchema(fields)

@@ -1,0 +1,110 @@
+"""Reference test scenarios re-expressed (FIXTURES §F2/F3, queries 7-10)."""
+
+import pytest
+
+from byzer_retrieval_spark.plans.query import SearchQuery
+from tests.conftest import F2_ROWS, f3_rows
+
+
+# ---- F2: the reference's own end-to-end cases ---------------------------
+def test_f4_q9_test_document_ranking(f2_engine):
+    """test_retrieval.py:262-289 re-expressed: keyword='test document'."""
+    got = f2_engine.search(
+        SearchQuery(keyword="test document", fields=["content"], limit=10)
+    ).collect()
+    # docs 2,3,4 contain both terms; doc 1 contains neither
+    ids = [r["_id"] for r in got]
+    assert set(ids) == {"2", "3", "4"}
+    # doc 2 is longer (5 tokens vs 3) → lower tfnorm → ranks last
+    assert ids[-1] == "2"
+    assert got[0]["_score"] >= got[-1]["_score"]
+
+
+def test_f4_q10_lucene_knn_test_filter_case(f2_engine):
+    """LuceneKNNTest.java:22-110, BM25 variant: keyword + name filter →
+    exactly 1 hit."""
+    got = f2_engine.search(
+        SearchQuery(
+            keyword="hello",
+            fields=["content"],
+            filters={"and": [{"field": "name", "value": "a"}]},
+            limit=10,
+        )
+    ).collect()
+    assert len(got) == 1 and got[0]["_id"] == "1"
+    # filter that excludes the only matching doc → 0 hits
+    got = f2_engine.search(
+        SearchQuery(
+            keyword="hello",
+            fields=["content"],
+            filters={"and": [{"field": "name", "value": "b"}]},
+            limit=10,
+        )
+    ).collect()
+    assert got == []
+
+
+def test_analyzed_field_not_stored(f2_engine):
+    """Store.NO parity (SchemaUtils.java:35): analyzed field is absent
+    from results; raw_content (stored) is returned."""
+    got = f2_engine.search(
+        SearchQuery(keyword="hello", fields=["content"], limit=1)
+    ).collect()[0]
+    assert "content" not in got.asDict()
+    assert got["raw_content"] == "hello world"
+
+
+# ---- F3: rag_files filters/sorts (queries 7-8) ---------------------------
+def test_f4_q7_range_filter_inclusive(f3_engine):
+    filt = {"and": [{"field": "mtime", "min": 1_600_000_005.0, "max": 1_600_000_015.0}]}
+    got = f3_engine.filter(SearchQuery(filters=filt, limit=100)).collect()
+    ids = sorted(r["_id"] for r in got)
+    assert ids == [f"file{i:02d}" for i in range(5, 16)]  # inclusive ends
+
+
+def test_f4_q7_one_sided_range_quirk(f3_engine):
+    # reference quirk (SchemaUtils.java:177-181): {"min": x} ⇒ exact == x
+    filt = {"and": [{"field": "mtime", "min": 1_600_000_007.0}]}
+    got = f3_engine.filter(SearchQuery(filters=filt, limit=100)).collect()
+    assert [r["_id"] for r in got] == ["file07"]
+    filt = {"and": [{"field": "mtime", "max": 1_600_000_003.0}]}
+    got = f3_engine.filter(SearchQuery(filters=filt, limit=100)).collect()
+    assert [r["_id"] for r in got] == ["file03"]
+
+
+def test_f4_q8_filter_mode_multi_sort_limit(f3_engine):
+    """byzer_storage_direct_query_example.py:229-295 shape: filter on
+    is_active, sorts [{mtime desc},{_id asc}], limit 5."""
+    got = f3_engine.filter(
+        SearchQuery(
+            filters={"and": [{"field": "is_active", "value": 1}]},
+            sorts=[{"mtime": "desc"}, {"_id": "asc"}],
+            limit=5,
+        )
+    ).collect()
+    exp = [r for r in f3_rows() if r["is_active"] == 1]
+    exp.sort(key=lambda r: (-r["mtime"], r["_id"]))
+    assert [r["_id"] for r in got] == [e["_id"] for e in exp[:5]]
+
+
+def test_multi_field_search(f3_engine):
+    """fields=[content,title] sums per-field scores (uniform weight 1.0,
+    RetrievalWorker.java:341)."""
+    both = f3_engine.search(
+        SearchQuery(keyword="file", fields=["content", "title"], limit=20)
+    ).collect()
+    title_only = f3_engine.search(
+        SearchQuery(keyword="file", fields=["title"], limit=20)
+    ).collect()
+    # 'file' appears in every title, in no content → same hits, same scores
+    assert len(both) == len(title_only) == 20
+    sb = {r["_id"]: r["_score"] for r in both}
+    st = {r["_id"]: r["_score"] for r in title_only}
+    for k in sb:
+        assert sb[k] == pytest.approx(st[k], rel=1e-12)
+
+
+def test_get_by_ids(f3_engine):
+    got = f3_engine.get_by_ids(["file03", "file04"]).collect()
+    assert [r["_id"] for r in got] == ["file03", "file04"]
+    assert got[0]["raw_content"] == "raw 3"
