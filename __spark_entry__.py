@@ -1,38 +1,731 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: build the inverted index over the sf0.001
+``documents`` table and run a BM25 top-10 query through the block-max
+WAND fast path.
+
+`queries()` / `oracle_sql()` — one entry per implemented operator from
+SURVEY.md §2 (+ the training-data pipeline ops), each verified against
+an equivalent DuckDB SQL oracle at sf0.01. BM25 scores are rounded to 5
+decimals on BOTH sides; most scored queries return ALL matching rows
+(no top-k boundary) so order-insensitive value-hash comparison is
+immune to float tie-breaking at the k-th score.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from byzer_retrieval_spark.api import RetrievalEngine
+from byzer_retrieval_spark.functions.bm25 import B, K1
+from byzer_retrieval_spark.operators.indexer import IndexConfig
+from byzer_retrieval_spark.plans.query import SearchQuery
+
+IDX_ROOT = "/tmp/byzer_retrieval_spark_entry_idx"
+
+
+# ---------------------------------------------------------------------
+# index bootstrap (once per sf_dir per process lifetime; the parquet
+# test tables are immutable, so an existing committed snapshot is valid)
+# ---------------------------------------------------------------------
+
+def _engine_for(spark: SparkSession, sf_dir: str) -> RetrievalEngine:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    eng = RetrievalEngine(spark, os.path.join(IDX_ROOT, tag))
+    store = eng.store("db", "documents")
+    if store.current_snapshot() is None:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        src = docs.withColumn("_id", F.col("doc_id").cast("string"))
+        eng.build(
+            src,
+            database="db",
+            table="documents",
+            cfg=IndexConfig(
+                num_shards=4,
+                analyzed_fields=("text",),
+                id_columns=(),
+            ),
+            resume=True,
+            source_desc=f"{sf_dir}/documents.parquet",
+        )
+    return eng
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------
+# BM25 scored-set helper: ALL matching docs with rounded scores
+# ---------------------------------------------------------------------
+
+def _bm25_all(spark: SparkSession, sf_dir: str, keyword: str) -> DataFrame:
+    eng = _engine_for(spark, sf_dir)
+    n = _documents(spark, sf_dir).count()
+    q = SearchQuery(keyword=keyword, fields=["text"], limit=n)
+    out = eng.search(q, "db", "documents")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("_score", 5).alias("score"),
+    )
+
+
+# DuckDB-side BM25 over the same whitespace tokenization
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+def _bm25_sql(
+    terms: list[str],
+    must: list[str] | None = None,
+    must_not: list[str] | None = None,
+    limit: int | None = None,
+) -> str:
+    must = must or []
+    must_not = must_not or []
+    scoring = list(dict.fromkeys(must + terms))
+    in_list = ", ".join(f"'{t}'" for t in scoring + must_not) or "''"
+    sc_list = ", ".join(f"'{t}'" for t in scoring) or "''"
+    gates = []
+    for t in must:
+        gates.append(
+            f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) > 0"
+        )
+    gates.append(
+        "sum(CASE WHEN term IN ("
+        + (", ".join(f"'{t}'" for t in must_not) or "''")
+        + ") THEN 1 ELSE 0 END) = 0"
+    )
+    gates.append(
+        f"sum(CASE WHEN term IN ({sc_list}) THEN 1 ELSE 0 END) > 0"
+    )
+    having = " AND ".join(gates)
+    order = "ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC"
+    lim = f"LIMIT {limit}" if limit else ""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(CASE WHEN tf.term IN ({sc_list}) THEN
+             ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+             ELSE 0.0 END) AS raw_score
+  FROM tf
+  JOIN dfreq d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.term IN ({in_list})
+  GROUP BY tf.doc_id
+  HAVING {having}
+)
+SELECT doc_id, round(raw_score, 5) AS score FROM scored {order} {lim}
+"""
+
+
+# ---------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index sf0.001 documents, BM25 top-10 via WAND."""
+    sf_dir = "/root/testdata/sf0.001"
+    eng = _engine_for(spark, sf_dir)
+    q = SearchQuery(keyword="data spark merge", fields=["text"], limit=10)
+    out = eng.search(q, "db", "documents")
+    return out.select("doc_id", "lang", "source", F.round("_score", 5).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- full-text scoring (SURVEY §2.1 Q1/Q2/A1/M4) ---------------
+        "bm25_single_term": lambda spark, sf: _bm25_all(spark, sf, "merge"),
+        "bm25_multi_or": lambda spark, sf: _bm25_all(spark, sf, "spark window"),
+        "bm25_must_not": lambda spark, sf: _bm25_all(spark, sf, "+data -spark batch"),
+        "bm25_topk": _q_bm25_topk,
+        "term_stats": _q_term_stats,
+        # --- filters / match-all / sorts (F1-F5, L1-L4, M5) -------------
+        "match_all_filter": _q_match_all_filter,
+        "nested_bool_filter": _q_nested_bool_filter,
+        "range_filter": _q_range_filter,
+        "one_sided_range_quirk": _q_one_sided_quirk,
+        "multi_sort_limit": _q_multi_sort_limit,
+        # --- point lookup (G1) ------------------------------------------
+        "get_by_ids": _q_get_by_ids,
+        # --- fusion (M2/M3) ----------------------------------------------
+        "fusion_score_sum": _q_fusion_score_sum,
+        "fusion_rrf": _q_fusion_rrf,
+        # --- mutations (W2/W3) -------------------------------------------
+        "delete_by_ids_requery": _q_delete_requery,
+        "upsert_wins": _q_upsert_wins,
+        # --- training-data pipeline ops -----------------------------------
+        "text_fingerprint": _q_fingerprint,
+        "text_lang_id": _q_lang_id,
+        "text_quality": _q_quality,
+        "text_token_counts": _q_token_counts,
+        "dedup_exact_groups": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_lsh": _q_minhash_lsh,       # rows-only (no SQL oracle)
+        "dedup_simhash": _q_simhash,               # rows-only (no SQL oracle)
+        "embedding_cosine_topk": _q_cosine_topk,
+        "embedding_near_dup_pairs": _q_embedding_pairs,
+        "embedding_lsh_topk": _q_lsh_topk,         # rows-only (approximate)
+        # --- relational breadth (Spark-side bonus; not in the reference,
+        #     see SURVEY §2.2) ------------------------------------------
+        "rel_agg_lineitem": _q_rel_agg,
+        "rel_join_topk": _q_rel_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sqls = {
+        "bm25_single_term": _bm25_sql(["merge"]),
+        "bm25_multi_or": _bm25_sql(["spark", "window"]),
+        "bm25_must_not": _bm25_sql(["batch"], must=["data"], must_not=["spark"]),
+        "bm25_topk": _bm25_sql(["vector", "hash"], limit=10),
+        "term_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            )
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM toks WHERE term IN ('spark', 'merge', 'vector', 'the')
+            GROUP BY term ORDER BY term
+        """,
+        "match_all_filter": """
+            SELECT doc_id, lang, 1.0 AS score FROM documents
+            WHERE lang = 'en' ORDER BY CAST(doc_id AS VARCHAR)
+        """,
+        "nested_bool_filter": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE lang = 'en' AND (source = 'src1' OR source = 'src2')
+            ORDER BY CAST(doc_id AS VARCHAR)
+        """,
+        "range_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars BETWEEN 100 AND 300
+            ORDER BY CAST(doc_id AS VARCHAR)
+        """,
+        "one_sided_range_quirk": """
+            SELECT doc_id, n_chars FROM documents WHERE n_chars = 128
+            ORDER BY CAST(doc_id AS VARCHAR)
+        """,
+        "multi_sort_limit": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE source = 'src3'
+            ORDER BY lang ASC, n_chars DESC, CAST(doc_id AS VARCHAR) ASC
+            LIMIT 10
+        """,
+        "get_by_ids": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (1, 5, 7) ORDER BY CAST(doc_id AS VARCHAR)
+        """,
+        "fusion_score_sum": f"""
+            WITH a AS ({_bm25_sql(['merge'])}), b AS ({_bm25_sql(['vector'])}),
+            u AS (
+              SELECT doc_id, score FROM a UNION ALL SELECT doc_id, score FROM b
+            )
+            SELECT doc_id, round(sum(score), 5) AS score FROM u GROUP BY doc_id
+        """,
+        "fusion_rrf": f"""
+            WITH a AS ({_bm25_sql(['merge'])}), b AS ({_bm25_sql(['vector'])}),
+            ra AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1 AS rnk
+              FROM a
+            ),
+            rb AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1 AS rnk
+              FROM b
+            ),
+            u AS (
+              SELECT doc_id, 1.0 / (rnk + 60) AS c FROM ra
+              UNION ALL SELECT doc_id, 1.0 / (rnk + 60) AS c FROM rb
+            )
+            SELECT doc_id, round(sum(c), 6) AS score FROM u GROUP BY doc_id
+        """,
+        "delete_by_ids_requery": f"""
+            WITH base AS ({_bm25_sql(['merge'])})
+            SELECT doc_id, score FROM base WHERE doc_id NOT IN (0, 1, 2, 3, 4)
+        """,
+        "upsert_wins": """
+            SELECT count(*)::BIGINT AS n_hits FROM documents
+            WHERE doc_id = 3  -- the upserted doc is the only match
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string({_TOKS_LOWER}, ' ')) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id,
+                   len({_TOKS_LOWER})::INT AS n_tokens,
+                   len(regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::INT AS n_bpe_ish
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact_groups": f"""
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(array_to_string({_TOKS_LOWER}, ' ')) AS fingerprint
+              FROM documents
+            )
+            SELECT fingerprint, count(*)::BIGINT AS n_dups,
+                   min(doc_id)::BIGINT AS keep_id
+            FROM fp GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+              )) AS s
+              FROM t WHERE len(toks) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(ni / (sa.sz + sb.sz - ni), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ni / (sa.sz + sb.sz - ni) >= 0.5
+        """,
+        "rel_agg_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "rel_join_topk": """
+            SELECT c.c_custkey AS custkey, c.c_name AS name,
+                   round(sum(o.o_totalprice), 2) AS total_spent,
+                   count(*)::BIGINT AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name
+            ORDER BY total_spent DESC, custkey ASC LIMIT 20
+        """,
+    }
+    # text_lang_id / text_quality / embedding ops get their SQL from the
+    # function library so Spark expr and oracle can never drift
+    from byzer_retrieval_spark.functions.text import (
+        lang_id_sql,
+        quality_features_sql,
+    )
+
+    sqls["text_lang_id"] = (
+        f"SELECT doc_id, {lang_id_sql('text')} AS pred_lang "
+        "FROM documents ORDER BY doc_id"
+    )
+    qf = quality_features_sql("text")
+    sqls["text_quality"] = (
+        "SELECT doc_id, "
+        f"{qf['n_chars']}::BIGINT AS n_chars, "
+        f"{qf['n_tokens']}::INT AS n_tokens, "
+        f"{qf['punct_ratio']} AS punct_ratio, "
+        f"{qf['stopword_ratio']} AS stopword_ratio, "
+        f"{qf['mean_token_len']} AS mean_token_len "
+        "FROM documents ORDER BY doc_id"
+    )
+    # cosine oracles mirror the Spark expressions operation-for-operation
+    # (sequential dot products; the query's norm is a shared literal) so
+    # both engines agree to <=1 ulp — see similarity.cosine_sql_expr.
+    from byzer_retrieval_spark.functions.similarity import cosine_sql_expr
+
+    c = cosine_sql_expr("embedding", _query_vec())
+    sqls["embedding_cosine_topk"] = (
+        f"SELECT vec_id AS id, round({c}, 6) AS cosine FROM embeddings "
+        f"ORDER BY {c} DESC, vec_id ASC LIMIT 10"
+    )
+    sqls["embedding_near_dup_pairs"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e) /
+                     (sqrt(list_dot_product(a.e, a.e)) *
+                      sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) *
+               sqrt(list_dot_product(b.e, b.e))) >= 0.5
     """
-    return {}
+    return sqls
+
+
+_TOKS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------
+
+def _q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    eng = _engine_for(spark, sf)
+    q = SearchQuery(keyword="vector hash", fields=["text"], limit=10)
+    out = eng.search(q, "db", "documents")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("_score", 5).alias("score"),
+    )
+
+
+def _q_term_stats(spark: SparkSession, sf: str) -> DataFrame:
+    eng = _engine_for(spark, sf)
+    ctx = eng.ctx("db", "documents")
+    return (
+        ctx.stats()
+        .filter(
+            (F.col("field") == "text")
+            & F.col("term").isin(["spark", "merge", "vector", "the"])
+        )
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy("term")
+    )
+
+
+def _q_match_all_filter(spark: SparkSession, sf: str) -> DataFrame:
+    eng = _engine_for(spark, sf)
+    n = _documents(spark, sf).count()
+    q = SearchQuery(
+        keyword="*",
+        filters={"and": [{"field": "lang", "value": "en"}]},
+        limit=n,
+    )
+    out = eng.search(q, "db", "documents")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("_score").alias("score"),
+    )
+
+
+def _q_nested_bool_filter(spark: SparkSession, sf: str) -> DataFrame:
+    eng = _engine_for(spark, sf)
+    q = SearchQuery(
+        filters={
+            "and": [
+                {"field": "lang", "value": "en"},
+                {
+                    "or": [
+                        {"field": "source", "value": "src1"},
+                        {"field": "source", "value": "src2"},
+                    ]
+                },
+            ]
+        },
+        limit=0,  # no limit: full filtered set
+    )
+    out = eng.filter(q, "db", "documents")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source", "n_chars"
+    )
+
+
+def _q_range_filter(spark: SparkSession, sf: str) -> DataFrame:
+    eng = _engine_for(spark, sf)
+    q = SearchQuery(
+        filters={"and": [{"field": "n_chars", "min": 100, "max": 300}]}, limit=0
+    )
+    return eng.filter(q, "db", "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_chars"
+    )
+
+
+def _q_one_sided_quirk(spark: SparkSession, sf: str) -> DataFrame:
+    # reference quirk: {"min": x} ⇒ exact == x (SchemaUtils.java:177-181)
+    eng = _engine_for(spark, sf)
+    q = SearchQuery(filters={"and": [{"field": "n_chars", "min": 128}]}, limit=0)
+    return eng.filter(q, "db", "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_chars"
+    )
+
+
+def _q_multi_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+    eng = _engine_for(spark, sf)
+    q = SearchQuery(
+        filters={"and": [{"field": "source", "value": "src3"}]},
+        sorts=[{"lang": "asc"}, {"n_chars": "desc"}],
+        limit=10,
+    )
+    return eng.filter(q, "db", "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
+    )
+
+
+def _q_get_by_ids(spark: SparkSession, sf: str) -> DataFrame:
+    eng = _engine_for(spark, sf)
+    return eng.get_by_ids(["1", "5", "7"], "db", "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source", "n_chars"
+    )
+
+
+def _rounded_recall(spark, sf, keyword) -> DataFrame:
+    return _bm25_all(spark, sf, keyword).withColumnRenamed("doc_id", "_id")
+
+
+def _q_fusion_score_sum(spark: SparkSession, sf: str) -> DataFrame:
+    a = _rounded_recall(spark, sf, "merge").withColumnRenamed("score", "_score")
+    b = _rounded_recall(spark, sf, "vector").withColumnRenamed("score", "_score")
+    u = a.unionByName(b)
+    return (
+        u.groupBy("_id")
+        .agg(F.round(F.sum("_score"), 5).alias("score"))
+        .select(F.col("_id").cast("long").alias("doc_id"), "score")
+    )
+
+
+def _q_fusion_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    parts = []
+    for kw in ("merge", "vector"):
+        r = _bm25_all(spark, sf, kw)
+        w = Window.orderBy(
+            F.col("score").desc(), F.col("doc_id").cast("string").asc()
+        )
+        parts.append(
+            r.withColumn("rnk", F.row_number().over(w) - 1).select(
+                "doc_id", (F.lit(1.0) / (F.col("rnk") + F.lit(60.0))).alias("c")
+            )
+        )
+    u = parts[0].unionByName(parts[1])
+    return u.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+
+
+def _q_delete_requery(spark: SparkSession, sf: str) -> DataFrame:
+    """Tombstone semantics without mutating the shared cached index: a
+    copy-on-write index in a scratch root, delete ids 0-4, re-query.
+
+    NOTE stats stay Lucene-faithful (deleted docs keep counting toward
+    df/avgdl until compaction), so scores equal the pre-delete scores —
+    exactly what the SQL oracle expresses (filter on the base scores)."""
+    import shutil
+
+    eng = _engine_for(spark, sf)
+    scratch_root = os.path.join(IDX_ROOT, "scratch_delete")
+    shutil.rmtree(scratch_root, ignore_errors=True)
+    shutil.copytree(
+        os.path.join(eng.root, "db", "documents"),
+        os.path.join(scratch_root, "db", "documents"),
+    )
+    eng2 = RetrievalEngine(spark, scratch_root)
+    from byzer_retrieval_spark.operators import mutate
+
+    mutate.delete_by_ids(spark, eng2.store("db", "documents"), ["0", "1", "2", "3", "4"])
+    n = _documents(spark, sf).count()
+    out = eng2.search(
+        SearchQuery(keyword="merge", fields=["text"], limit=n), "db", "documents"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("_score", 5).alias("score"),
+    )
+
+
+def _q_upsert_wins(spark: SparkSession, sf: str) -> DataFrame:
+    """Upsert doc 3 with sentinel content in a scratch copy; the sentinel
+    query returns exactly that one doc (delete-then-insert semantics)."""
+    import shutil
+
+    eng = _engine_for(spark, sf)
+    scratch_root = os.path.join(IDX_ROOT, "scratch_upsert")
+    shutil.rmtree(scratch_root, ignore_errors=True)
+    shutil.copytree(
+        os.path.join(eng.root, "db", "documents"),
+        os.path.join(scratch_root, "db", "documents"),
+    )
+    eng2 = RetrievalEngine(spark, scratch_root)
+    new = spark.createDataFrame(
+        [{"_id": "3", "doc_id": 3, "text": "upserted sentinel tokenxyz",
+          "lang": "en", "source": "src0", "n_chars": 26}]
+    )
+    eng2.upsert(new, "db", "documents")
+    out = eng2.search(
+        SearchQuery(keyword="tokenxyz", fields=["text"], limit=10), "db", "documents"
+    )
+    return out.agg(F.count("*").cast("long").alias("n_hits"))
+
+
+def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.functions.text import fingerprint_expr
+
+    return (
+        _documents(spark, sf)
+        .select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.functions.text import lang_id_expr
+
+    return (
+        _documents(spark, sf)
+        .select("doc_id", lang_id_expr(F.col("text")).alias("pred_lang"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.functions.text import quality_features_exprs
+
+    feats = quality_features_exprs(F.col("text"))
+    return (
+        _documents(spark, sf)
+        .select(
+            "doc_id",
+            feats["n_chars"].cast("long").alias("n_chars"),
+            feats["n_tokens"].cast("int").alias("n_tokens"),
+            feats["punct_ratio"].alias("punct_ratio"),
+            feats["stopword_ratio"].alias("stopword_ratio"),
+            feats["mean_token_len"].alias("mean_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.functions.text import (
+        bpe_ish_token_count_expr,
+        token_count_expr,
+    )
+
+    return (
+        _documents(spark, sf)
+        .select(
+            "doc_id",
+            token_count_expr(F.lower(F.col("text"))).cast("int").alias("n_tokens"),
+            bpe_ish_token_count_expr(F.col("text")).cast("int").alias("n_bpe_ish"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.functions.text import fingerprint_expr
+
+    return (
+        _documents(spark, sf)
+        .select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _documents(spark, sf), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+def _q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.functions.dedup import minhash_lsh_dup_pairs
+
+    return minhash_lsh_dup_pairs(
+        _documents(spark, sf), "doc_id", "text", threshold=0.5
+    )
+
+
+def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.functions.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_documents(spark, sf), "doc_id", "text", max_hamming=3)
+
+
+def _query_vec() -> list[float]:
+    """Fixed seeded 64-dim query vector — a shared literal on both the
+    Spark and DuckDB side (embeddings differ between SF dirs, so the
+    query must not be derived from the table)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(64)
+    return [float(x) for x in (v / np.linalg.norm(v))]
+
+
+def _q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.functions.similarity import brute_force_cosine_topk
+
+    emb = _embeddings(spark, sf)
+    out = brute_force_cosine_topk(emb, "vec_id", "embedding", _query_vec(), k=10)
+    # the op already rounds once to 6dp; never re-round (double rounding)
+    return out.select(F.col("id").cast("long"), "cosine")
+
+
+def _q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.functions.dedup import embedding_dup_pairs
+
+    out = embedding_dup_pairs(_embeddings(spark, sf), "vec_id", "embedding", 0.5)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
+    )
+
+
+def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.functions.similarity import lsh_cosine_topk
+
+    emb = _embeddings(spark, sf)
+    out = lsh_cosine_topk(emb, "vec_id", "embedding", _query_vec(), k=10)
+    return out.select(F.col("id").cast("long"), F.round("cosine", 5).alias("cosine"))
+
+
+def _q_rel_agg(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_rel_join(spark: SparkSession, sf: str) -> DataFrame:
+    o = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf, "customer.parquet"))
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("custkey").asc())
+        .limit(20)
+    )

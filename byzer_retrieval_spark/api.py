@@ -125,5 +125,5 @@ class RetrievalEngine:
         out = docs.filter(F.col("_id").isin([str(i) for i in ids]))
         tomb = ctx.tombstone_ids()
         if tomb:
-            out = out.filter(~F.col("doc_id").isin([int(t) for t in tomb]))
+            out = out.filter(~F.col("__docid").isin([int(t) for t in tomb]))
         return out.select(*ctx.stored_columns()).orderBy("_id")

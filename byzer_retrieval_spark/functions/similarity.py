@@ -26,8 +26,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _qnorm(q: Sequence[float]) -> float:
+    # sequential left-to-right accumulation — the SQL oracle embeds this
+    # exact literal so both engines share it bit-for-bit
+    acc = 0.0
+    for x in q:
+        acc += float(x) * float(x)
+    import math
+
+    return math.sqrt(acc)
+
+
 def _cosine_expr(vec_col: str, q: Sequence[float]):
-    qn = float(np.linalg.norm(np.asarray(q, dtype=np.float64)))
+    qn = _qnorm(q)
     qarr = F.array(*[F.lit(float(x)) for x in q])
     dot = F.aggregate(
         F.zip_with(F.col(vec_col).cast("array<double>"), qarr, lambda x, y: x * y),
@@ -123,13 +134,24 @@ def lsh_cosine_topk(
     )
 
 
+def cosine_sql_expr(vec_col: str, query: Sequence[float]) -> str:
+    """DuckDB cosine expression mirroring _cosine_expr OPERATION-FOR-
+    OPERATION (sequential dot products, shared literal query norm) so
+    both engines agree to ≤1 ulp."""
+    qlist = "[" + ", ".join(f"{float(x)!r}" for x in query) + "]::DOUBLE[]"
+    qn = f"{_qnorm(query)!r}"
+    v = f"{vec_col}::DOUBLE[]"
+    return (
+        f"(list_dot_product({v}, {qlist}) / (sqrt(list_dot_product({v}, {v})) * {qn}))"
+    )
+
+
 def cosine_topk_sql(
     table: str, id_col: str, vec_col: str, query: Sequence[float], k: int = 10
 ) -> str:
-    """DuckDB oracle for brute_force_cosine_topk (list_cosine_similarity)."""
-    qlist = "[" + ", ".join(f"{float(x)!r}" for x in query) + "]"
+    """DuckDB oracle for brute_force_cosine_topk."""
+    c = cosine_sql_expr(vec_col, query)
     return (
-        f"SELECT {id_col} AS id, "
-        f"round(list_cosine_similarity({vec_col}::DOUBLE[], {qlist}), 6) AS cosine "
-        f"FROM {table} ORDER BY cosine DESC, id ASC LIMIT {k}"
+        f"SELECT {id_col} AS id, round({c}, 6) AS cosine "
+        f"FROM {table} ORDER BY {c} DESC, {id_col} ASC LIMIT {k}"
     )

@@ -68,5 +68,5 @@ class IndexContext:
         return float(self.field_stat(field)["avgdl"])
 
     def stored_columns(self) -> List[str]:
-        drop = {"doc_id", "shard_id"}
+        drop = {"__docid", "shard_id"}
         return [c for c in self.docs().columns if c not in drop]

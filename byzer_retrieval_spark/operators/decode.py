@@ -28,7 +28,7 @@ FLAT_SCHEMA = StructType(
         StructField("shard_id", IntegerType(), False),
         StructField("field", StringType(), False),
         StructField("term", StringType(), False),
-        StructField("doc_id", LongType(), False),
+        StructField("__docid", LongType(), False),
         StructField("tf", IntegerType(), False),
         StructField("dl", IntegerType(), False),
     ]
@@ -73,7 +73,7 @@ def flat_postings(blocks_df: DataFrame) -> DataFrame:
                     "shard_id": np.repeat(pdf["shard_id"].to_numpy(np.int32), lens),
                     "field": np.repeat(pdf["field"].to_numpy(object), lens),
                     "term": np.repeat(pdf["term"].to_numpy(object), lens),
-                    "doc_id": docs,
+                    "__docid": docs,
                     "tf": tfs.astype(np.int32),
                     "dl": dls.astype(np.int32),
                 }

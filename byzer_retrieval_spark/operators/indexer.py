@@ -123,7 +123,7 @@ def _derive_ids(df: DataFrame, cfg: IndexConfig) -> DataFrame:
 def _assign_doc_ids(df: DataFrame) -> DataFrame:
     w = Window.partitionBy("shard_id").orderBy("_id")
     return df.withColumn(
-        "doc_id",
+        "__docid",
         (F.col("shard_id").cast("long") * F.lit(1 << DOC_BITS).cast("long"))
         + F.row_number().over(w).cast("long"),
     )
@@ -144,8 +144,8 @@ def _tokenize(df: DataFrame, cfg: IndexConfig) -> DataFrame:
 def _make_blocks_fn(block_size: int):
     def make_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id, fld, term = int(key[0]), key[1], key[2]
-        pdf = pdf.sort_values("doc_id")
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        pdf = pdf.sort_values("__docid")
+        doc_ids = pdf["__docid"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
         rows = []
@@ -260,7 +260,7 @@ def build_index(
             ]
         )
         doc_cols = (
-            ["doc_id", "_id", "shard_id"]
+            ["__docid", "_id", "shard_id"]
             + stored
             + [f"dl_{f}" for f in cfg.analyzed_fields]
             + [f"{f}_sha256" for f in cfg.analyzed_fields]
@@ -268,7 +268,7 @@ def build_index(
         (
             analyzed.select(*doc_cols)
             .repartition("shard_id")
-            .sortWithinPartitions("doc_id")
+            .sortWithinPartitions("__docid")
             .write.partitionBy("shard_id")
             .mode("overwrite")
             .parquet(store.docs_path)
@@ -278,7 +278,7 @@ def build_index(
         tok_frames = [
             analyzed.select(
                 "shard_id",
-                "doc_id",
+                "__docid",
                 F.lit(f_name).alias("field"),
                 F.col(f"dl_{f_name}").alias("dl"),
                 F.explode(F.col(f"__toks_{f_name}")).alias("term"),
@@ -288,7 +288,7 @@ def build_index(
         toks = tok_frames[0]
         for t in tok_frames[1:]:
             toks = toks.unionByName(t)
-        tf_df = toks.groupBy("shard_id", "field", "term", "doc_id", "dl").agg(
+        tf_df = toks.groupBy("shard_id", "field", "term", "__docid", "dl").agg(
             F.count("*").cast("int").alias("tf")
         )
 
@@ -302,7 +302,7 @@ def build_index(
         )
         hot_terms = [r.term for r in hot]
         metrics["hot_terms_split"] = len(hot_terms)
-        local_doc = F.col("doc_id") % F.lit(1 << DOC_BITS).cast("long")
+        local_doc = F.col("__docid") % F.lit(1 << DOC_BITS).cast("long")
         tf_df = tf_df.withColumn(
             "split_id",
             F.when(

@@ -95,7 +95,7 @@ def _refresh_stats_and_commit(
 def _append_tombstones(
     spark: SparkSession, store: IndexStore, doc_ids_df: DataFrame
 ) -> int:
-    rows = doc_ids_df.select("doc_id").distinct()
+    rows = doc_ids_df.select("__docid").distinct()
     n = rows.count()
     if n:
         rows.write.mode("append").parquet(store.tombstones_path)
@@ -108,7 +108,7 @@ def delete_by_ids(
     """Tombstone docs whose ``_id`` is in ids (W3). Returns count."""
     ids = [str(i) for i in ids]
     docs = store.docs(spark)
-    hit = docs.filter(F.col("_id").isin(ids)).select("doc_id")
+    hit = docs.filter(F.col("_id").isin(ids)).select("__docid")
     n = _append_tombstones(spark, store, hit)
     _refresh_stats_and_commit(spark, store, f"delete_by_ids({len(ids)} ids)")
     return n
@@ -138,9 +138,9 @@ def delete_by_filter(
             toks = tokenize_py(str(v), meta["analyzer"])
             match = flat_postings(
                 postings.filter((F.col("field") == fld) & F.col("term").isin(toks))
-            ).select("doc_id").distinct()
-            hit = hit.join(match, "doc_id", "left_semi")
-    n = _append_tombstones(spark, store, hit.select("doc_id"))
+            ).select("__docid").distinct()
+            hit = hit.join(match, "__docid", "left_semi")
+    n = _append_tombstones(spark, store, hit.select("__docid"))
     _refresh_stats_and_commit(spark, store, f"delete_by_filter({condition})")
     return n
 
@@ -167,13 +167,13 @@ def upsert(
     ).drop("__rn")
 
     docs = store.docs(spark)
-    old = docs.join(base.select("_id"), "_id", "left_semi").select("doc_id")
+    old = docs.join(base.select("_id"), "_id", "left_semi").select("__docid")
     n_tomb = _append_tombstones(spark, store, old)
 
     # delta doc_ids start above each shard's high-water mark
     hwm = {
         int(r.shard_id): int(r.mx)
-        for r in docs.groupBy("shard_id").agg(F.max("doc_id").alias("mx")).collect()
+        for r in docs.groupBy("shard_id").agg(F.max("__docid").alias("mx")).collect()
     }
     hwm_df = spark.createDataFrame(
         [(s, m) for s, m in hwm.items()] or [(-1, 0)], "shard_id int, hwm long"
@@ -182,7 +182,7 @@ def upsert(
     base = (
         base.join(F.broadcast(hwm_df), "shard_id", "left")
         .withColumn(
-            "doc_id",
+            "__docid",
             F.coalesce(
                 F.col("hwm"),
                 F.col("shard_id").cast("long") * F.lit(1 << DOC_BITS).cast("long"),
@@ -199,7 +199,7 @@ def upsert(
         if c not in cfg.analyzed_fields and c != "_id"
     ]
     doc_cols = (
-        ["doc_id", "_id", "shard_id"]
+        ["__docid", "_id", "shard_id"]
         + stored
         + [f"dl_{f}" for f in cfg.analyzed_fields]
         + [f"{f}_sha256" for f in cfg.analyzed_fields]
@@ -211,7 +211,7 @@ def upsert(
     tok_frames = [
         analyzed.select(
             "shard_id",
-            "doc_id",
+            "__docid",
             F.lit(f_name).alias("field"),
             F.col(f"dl_{f_name}").alias("dl"),
             F.explode(F.col(f"__toks_{f_name}")).alias("term"),
@@ -221,7 +221,7 @@ def upsert(
     toks = tok_frames[0]
     for t in tok_frames[1:]:
         toks = toks.unionByName(t)
-    tf_df = toks.groupBy("shard_id", "field", "term", "doc_id", "dl").agg(
+    tf_df = toks.groupBy("shard_id", "field", "term", "__docid", "dl").agg(
         F.count("*").cast("int").alias("tf")
     ).withColumn("split_id", F.lit(0))
     blocks = tf_df.groupBy("shard_id", "field", "term", "split_id").applyInPandas(
@@ -310,8 +310,8 @@ def compact(spark: SparkSession, store: IndexStore) -> Dict[str, Any]:
     swap_partitions(new_blocks, store.postings_path, ["field", "term", "first_doc"])
 
     docs = store.docs(spark).filter(F.col("shard_id").isin(shards))
-    live = docs.filter(~F.col("doc_id").isin([int(t) for t in tomb_arr]))
-    swap_partitions(live, store.docs_path, ["doc_id"])
+    live = docs.filter(~F.col("__docid").isin([int(t) for t in tomb_arr]))
+    swap_partitions(live, store.docs_path, ["__docid"])
 
     shutil.rmtree(store.tombstones_path, ignore_errors=True)
     sid = _refresh_stats_and_commit(spark, store, "compact")

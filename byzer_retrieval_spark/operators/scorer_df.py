@@ -46,7 +46,7 @@ def _exclude_tombstones(ctx: IndexContext, df: DataFrame) -> DataFrame:
     tomb = ctx.tombstone_ids()
     if not tomb:
         return df
-    return df.filter(~F.col("doc_id").isin([int(t) for t in tomb]))
+    return df.filter(~F.col("__docid").isin([int(t) for t in tomb]))
 
 
 def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
@@ -117,7 +117,7 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         ),
     )
 
-    agg = scored.groupBy("doc_id").agg(
+    agg = scored.groupBy("__docid").agg(
         F.sum(
             F.when(F.col("term").isin(list(scoring)), F.col("part_score")).otherwise(
                 F.lit(0.0)
@@ -142,19 +142,19 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
 
     cand = _candidate_docs(ctx, query)
     if cand is not None:
-        agg = agg.join(cand.select("doc_id"), "doc_id", "left_semi")
+        agg = agg.join(cand.select("__docid"), "__docid", "left_semi")
 
     # exact tie-break needs _id: join the 2-column (doc_id,_id) projection
     # (columnar prune at the docs scan), take global top-k, THEN
     # broadcast-join the k winners back for stored-field materialization
     topk = (
-        agg.select("doc_id", "_score")
-        .join(docs.select("doc_id", "_id"), "doc_id")
+        agg.select("__docid", "_score")
+        .join(docs.select("__docid", "_id"), "__docid")
         .orderBy(F.col("_score").desc(), F.col("_id").asc())
         .limit(k)
-        .select("doc_id", "_score")
+        .select("__docid", "_score")
     )
-    out = docs.join(F.broadcast(topk), "doc_id")
+    out = docs.join(F.broadcast(topk), "__docid")
     return (
         out.orderBy(F.col("_score").desc(), F.col("_id").asc())
         .select("_score", *stored)

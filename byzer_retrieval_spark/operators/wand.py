@@ -51,7 +51,7 @@ from byzer_retrieval_spark.plans.query import SearchQuery, parse_keyword
 # below this many blocks per shard, exhaustive scoring beats bookkeeping
 PRUNE_MIN_BLOCKS = 32
 
-_OUT_SCHEMA = "shard_id int, doc_id long, score double"
+_OUT_SCHEMA = "shard_id int, __docid long, score double"
 
 
 def _merge_intervals(firsts: np.ndarray, lasts: np.ndarray):
@@ -140,8 +140,8 @@ def _make_shard_scorer(
                 )
             )
         if not cl:
-            return pd.DataFrame({"shard_id": [], "doc_id": [], "score": []}).astype(
-                {"shard_id": np.int32, "doc_id": np.int64, "score": np.float64}
+            return pd.DataFrame({"shard_id": [], "__docid": [], "score": []}).astype(
+                {"shard_id": np.int32, "__docid": np.int64, "score": np.float64}
             )
 
         def exact(selections: List[np.ndarray]):
@@ -269,7 +269,7 @@ def _make_shard_scorer(
         return pd.DataFrame(
             {
                 "shard_id": np.full(docs_f.size, shard_id, dtype=np.int32),
-                "doc_id": docs_f,
+                "__docid": docs_f,
                 "score": scores_f,
             }
         )
@@ -308,9 +308,9 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     ]
     if len(must_present) < len(set(parsed.must)):
         # a MUST term absent from the whole corpus → no hits
-        return ctx.spark.createDataFrame([], "shard_id int, doc_id long, score double")
+        return ctx.spark.createDataFrame([], "shard_id int, __docid long, score double")
     if not clauses:
-        return ctx.spark.createDataFrame([], "shard_id int, doc_id long, score double")
+        return ctx.spark.createDataFrame([], "shard_id int, __docid long, score double")
 
     blocks = ctx.postings().filter(
         F.col("field").isin(fields) & F.col("term").isin(all_terms)
@@ -339,7 +339,7 @@ def search_fast(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     stored = ctx.stored_columns()
     docs = ctx.docs()
     out = docs.join(F.broadcast(per_shard.withColumnRenamed("score", "_score")
-                                .select("doc_id", "_score")), "doc_id")
+                                .select("__docid", "_score")), "__docid")
     return (
         out.orderBy(F.col("_score").desc(), F.col("_id").asc())
         .limit(query.limit)

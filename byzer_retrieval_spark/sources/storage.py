@@ -159,7 +159,7 @@ class IndexStore:
         df = self.tombstones(spark)
         if df is None:
             return []
-        return [r.doc_id for r in df.select("doc_id").distinct().collect()]
+        return [r["__docid"] for r in df.select("__docid").distinct().collect()]
 
     # -- lifecycle -------------------------------------------------------
     def truncate(self) -> None:

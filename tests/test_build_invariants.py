@@ -23,10 +23,10 @@ def test_content_sha256_end_to_end(corpus_engine, corpus_rows):
 
 def test_posting_lists_strictly_increasing(corpus_engine):
     ctx = corpus_engine.ctx()
-    flat = flat_postings(ctx.postings()).select("field", "term", "doc_id")
+    flat = flat_postings(ctx.postings()).select("field", "term", "__docid")
     pdf = flat.toPandas()
     for (_, _), g in pdf.groupby(["field", "term"]):
-        ids = g["doc_id"].to_numpy()
+        ids = g["__docid"].to_numpy()
         ids.sort()
         assert (np.diff(ids) > 0).all(), "duplicate doc in a posting list"
 
@@ -37,7 +37,7 @@ def test_df_consistency(corpus_engine):
     stats_sum = ctx.stats().agg(F.sum("df")).collect()[0][0]
     distinct = (
         flat_postings(ctx.postings())
-        .select("field", "term", "doc_id")
+        .select("field", "term", "__docid")
         .distinct()
         .count()
     )
