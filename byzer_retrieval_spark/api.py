@@ -35,6 +35,72 @@ class RetrievalEngine:
     def ctx(self, database: str = "default", table: str = "default") -> IndexContext:
         return IndexContext.open(self.spark, self.store(database, table))
 
+    # ---- table lifecycle (reference createTable, TableSettings) ---------
+    def create_table(
+        self,
+        database: str,
+        table: str,
+        schema: str,
+        num_shards: int = 8,
+        analyzer: str = "whitespace",
+        location: Optional[str] = None,
+    ) -> IndexConfig:
+        """Declare a table from the reference's ``st(field(...))`` schema
+        DSL (records/TableSettings.java:16-35; parser SURVEY §1.2).
+
+        ``analyze`` fields become postings; ``no_index``/plain fields are
+        stored columns; a later ``build``/``upsert`` on this table picks
+        the declared config up from meta.
+        """
+        from byzer_retrieval_spark.schema import parse_schema
+
+        ts = parse_schema(schema)
+        analyzed = tuple(ts.analyzed_fields)
+        stored = tuple(f.name for f in ts.fields if f.stored and f.name != "_id")
+        cfg = IndexConfig(
+            num_shards=num_shards,
+            analyzer=analyzer,
+            analyzed_fields=analyzed,
+            id_columns=(),  # schema tables carry an explicit _id field
+            stored_fields=stored,
+        )
+        store = self.store(database, table)
+        store.write_meta(
+            {
+                "num_shards": cfg.num_shards,
+                "analyzer": cfg.analyzer,
+                "analyzed_fields": list(cfg.analyzed_fields),
+                "id_columns": [],
+                "stored_fields": list(stored),
+                "schema_dsl": schema,
+                "block_size": cfg.block_size,
+                "k1": cfg.k1,
+                "b": cfg.b,
+                "doc_bits": 40,
+            }
+        )
+        return cfg
+
+    def config_from_meta(
+        self, database: str = "default", table: str = "default"
+    ) -> Optional[IndexConfig]:
+        store = self.store(database, table)
+        if not store.exists():
+            return None
+        m = store.read_meta()
+        return IndexConfig(
+            num_shards=int(m["num_shards"]),
+            analyzer=m["analyzer"],
+            analyzed_fields=tuple(m["analyzed_fields"]),
+            id_columns=tuple(m.get("id_columns", ())),
+            stored_fields=(
+                tuple(m["stored_fields"]) if m.get("stored_fields") else None
+            ),
+            block_size=int(m.get("block_size", 128)),
+            k1=float(m.get("k1", 1.2)),
+            b=float(m.get("b", 0.75)),
+        )
+
     # ---- write path ----------------------------------------------------
     def build(
         self,
@@ -45,6 +111,8 @@ class RetrievalEngine:
         resume: bool = True,
         source_desc: str = "",
     ) -> Dict[str, Any]:
+        if cfg is None:
+            cfg = self.config_from_meta(database, table)  # create_table'd?
         return build_index(
             self.spark, source, self.store(database, table), cfg, resume, source_desc
         )
@@ -115,6 +183,46 @@ class RetrievalEngine:
         recalls = [self.search(q, database, table) for q in queries]
         fused = rrf_fuse(recalls, lim) if rrf else score_sum_fuse(recalls, lim)
         return fused
+
+    # ---- JSON client surface (reference Flight API shape) ---------------
+    def build_from_local(
+        self,
+        json_rows: Iterable[Any],
+        database: str = "default",
+        table: str = "default",
+    ) -> Dict[str, Any]:
+        """Reference ``BuildFromLocal``: list of JSON strings (or dicts),
+        upserted by ``_id`` (RetrievalFlightServer.java:186-228,
+        LocalRetrievalMaster.java:65-100 — updateDocument semantics)."""
+        import json as _json
+
+        rows = [
+            _json.loads(r) if isinstance(r, str) else dict(r) for r in json_rows
+        ]
+        for r in rows:
+            if "_id" not in r:
+                raise ValueError("_id is required")  # RetrievalMaster.java:116-122
+        df = self.spark.createDataFrame(rows)
+        store = self.store(database, table)
+        if store.current_snapshot() is not None:
+            return self.upsert(df, database, table)
+        return self.build(df, database, table)
+
+    def search_json(
+        self, query_json: str, database: str = "default", table: str = "default"
+    ) -> str:
+        """Reference ``search(queryJson)``: a JSON list of SearchQuery →
+        JSON list of docs with ``_score`` injected. Multiple queries are
+        score-sum fused (RetrievalMaster.java:326-357)."""
+        import json as _json
+
+        qs = SearchQuery.from_json(query_json)
+        if len(qs) == 1:
+            rows = self.search(qs[0], database, table).collect()
+            return _json.dumps([r.asDict(recursive=True) for r in rows])
+        fused = self.multi_search(qs, database, table)
+        out = fused.collect()
+        return _json.dumps([r.asDict(recursive=True) for r in out])
 
     def get_by_ids(
         self, ids: Iterable[Any], database: str = "default", table: str = "default"

@@ -703,16 +703,19 @@ def build_index(
 
     phase_t["shard_metrics"] = round(time.time() - _pt, 2)
     metrics["phase_timings"] = phase_t
-    meta = {
-        "num_shards": cfg.num_shards,
-        "analyzer": cfg.analyzer,
-        "analyzed_fields": list(cfg.analyzed_fields),
-        "id_columns": list(cfg.id_columns),
-        "block_size": cfg.block_size,
-        "k1": cfg.k1,
-        "b": cfg.b,
-        "doc_bits": DOC_BITS,
-    }
+    meta = store.read_meta() if store.exists() else {}
+    meta.update(
+        {
+            "num_shards": cfg.num_shards,
+            "analyzer": cfg.analyzer,
+            "analyzed_fields": list(cfg.analyzed_fields),
+            "id_columns": list(cfg.id_columns),
+            "block_size": cfg.block_size,
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "doc_bits": DOC_BITS,
+        }
+    )
     store.write_meta(meta)
     snapshot = {
         "n_docs": int(n_total),
