@@ -90,7 +90,6 @@ def main() -> None:
             tq = time.time()
             rows = eng.search(q).collect()
             reps.append(time.time() - tq)
-        assert rows or name == "q_rare_term" or True
         timings[name] = round(statistics.median(reps), 3)
         q_times.append(statistics.median(reps))
 

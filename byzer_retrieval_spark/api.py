@@ -149,9 +149,37 @@ class RetrievalEngine:
         table: str = "default",
         use_fast_path: bool = True,
     ) -> DataFrame:
-        """BM25 top-k (Q2): WAND fast path when applicable, else the
-        declarative DataFrame path — rank-identical by construction."""
+        """Search dispatch mirroring the reference master
+        (LocalRetrievalMaster.search, :174-259):
+
+        - keyword only       → BM25 top-k (Q2): WAND fast path when
+          applicable, else the declarative DataFrame path
+        - vector only        → filtered exact KNN (Q3)
+        - keyword AND vector → two recalls fused with RRF
+          (isRRF = keyword && vectorField, LocalRetrievalMaster.java:185)
+        """
         ctx = self.ctx(database, table)
+        has_vec = bool(query.vector) and query.vector_field
+        has_kw = query.keyword is not None and query.keyword.strip() != ""
+        if has_vec:
+            from byzer_retrieval_spark.operators.knn import vector_topk
+
+            vec_recall = vector_topk(ctx, query)
+            if not has_kw:
+                return vec_recall
+            kw_recall = self._keyword_search(ctx, query, use_fast_path)
+            fused = rrf_fuse([kw_recall, vec_recall], query.limit)
+            docs = ctx.docs()
+            out = docs.join(F.broadcast(fused), "_id")
+            return (
+                out.orderBy(F.col("_score").desc(), F.col("_id").asc())
+                .select("_score", *ctx.stored_columns())
+            )
+        return self._keyword_search(ctx, query, use_fast_path)
+
+    def _keyword_search(
+        self, ctx: IndexContext, query: SearchQuery, use_fast_path: bool = True
+    ) -> DataFrame:
         if use_fast_path:
             fast = search_fast(ctx, query)
             if fast is not None:

@@ -43,7 +43,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from byzer_retrieval_spark.functions.bm25 import math_idf
 from byzer_retrieval_spark.operators.context import IndexContext
 from byzer_retrieval_spark.operators.decode import decode_rows
 from byzer_retrieval_spark.plans.query import SearchQuery, parse_keyword
@@ -92,7 +91,7 @@ def _overlap_mask(firsts: np.ndarray, lasts: np.ndarray,
 
 
 def _make_shard_scorer(
-    clauses: List[Tuple[str, str, float, float]],  # (field, term, idf, avgdl)
+    field_stats: Dict[str, Tuple[float, float]],  # field → (n_docs, avgdl)
     must_terms: Tuple[str, ...],
     not_terms: Tuple[str, ...],
     k: int,
@@ -100,17 +99,17 @@ def _make_shard_scorer(
     b: float,
     tombstones: Tuple[int, ...],
 ):
-    idf_map = {(f, t): i for f, t, i, _ in clauses}
-    avgdl_map = {(f, t): a for f, t, _, a in clauses}
-    scoring_keys = set(idf_map)
+    """idf is derived in-task from the broadcast-joined ``df`` column —
+    no eager stats collect on the driver, so a whole search is ONE job."""
     n_must = len(set(must_terms))
+    not_set = set(not_terms)
     tomb = np.asarray(sorted(tombstones), dtype=np.int64)
 
     def score_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(key[0])
 
         # ---- split rows into scoring clauses and exclusion terms -------
-        is_not = pdf["term"].isin(not_terms).to_numpy()
+        is_not = pdf["term"].isin(not_set).to_numpy() if len(pdf) else np.zeros(0, bool)
         excl = np.empty(0, dtype=np.int64)
         if is_not.any():
             nb = pdf[is_not]
@@ -120,11 +119,14 @@ def _make_shard_scorer(
             excl = np.unique(docs)
 
         cl: List[dict] = []
-        sc_pdf = pdf[~is_not & pdf[["field", "term"]].apply(tuple, axis=1).isin(scoring_keys).to_numpy()] if len(pdf) else pdf
+        # everything that isn't a pure-NOT term is a scoring clause (the
+        # postings scan was already filtered to the query's terms)
+        sc_pdf = pdf[~is_not]
         for (fld, term), g in sc_pdf.groupby(["field", "term"], sort=False):
             g = g.sort_values("first_doc")
-            avgdl = avgdl_map[(fld, term)]
-            idf = idf_map[(fld, term)]
+            n_docs, avgdl = field_stats[fld]
+            df = float(g["df"].iloc[0])
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             max_tf = g["max_tf"].to_numpy(np.float64)
             min_dl = g["min_dl"].to_numpy(np.float64)
             ub = idf * (max_tf / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl)))
@@ -289,37 +291,24 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     k = query.limit
     all_terms = list(dict.fromkeys(parsed.scoring_terms + parsed.must_not))
 
-    # term stats lookup: tiny, pruned scan of the sorted stats table
-    stats_rows = (
-        ctx.stats()
-        .filter(F.col("field").isin(fields) & F.col("term").isin(all_terms))
-        .collect()
-    )
-    df_map = {(r.field, r.term): int(r.df) for r in stats_rows}
-    clauses = []
-    for f_name in fields:
-        n, avgdl = ctx.n_docs(f_name), ctx.avgdl(f_name)
-        for t in parsed.scoring_terms:
-            df = df_map.get((f_name, t), 0)
-            if df > 0:
-                clauses.append((f_name, t, math_idf(df, n), avgdl))
-    must_present = [
-        t for t in parsed.must if any(df_map.get((f, t), 0) > 0 for f in fields)
-    ]
-    if len(must_present) < len(set(parsed.must)):
-        # a MUST term absent from the whole corpus → no hits
-        return ctx.spark.createDataFrame([], "shard_id int, __docid long, score double")
-    if not clauses:
-        return ctx.spark.createDataFrame([], "shard_id int, __docid long, score double")
-
+    # term stats ride along via a broadcast join of the (pruned) stats
+    # scan — no eager driver collect, so the whole search stays ONE job.
+    # A MUST term absent from the corpus simply never satisfies the
+    # must-count gate (no postings → no rows), matching Lucene.
+    stats = ctx.stats().filter(
+        F.col("field").isin(fields) & F.col("term").isin(all_terms)
+    ).select("field", "term", "df")
     blocks = ctx.postings().filter(
         F.col("field").isin(fields) & F.col("term").isin(all_terms)
     ).select(
         "shard_id", "field", "term", "first_doc", "last_doc",
         "max_tf", "min_dl", "doc_gaps", "tfs", "dls",
-    )
+    ).join(F.broadcast(stats), ["field", "term"])
+    field_stats = {
+        f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
+    }
     scorer = _make_shard_scorer(
-        clauses,
+        field_stats,
         tuple(parsed.must),
         tuple(parsed.must_not),
         k,
