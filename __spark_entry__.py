@@ -25,7 +25,10 @@ from byzer_retrieval_spark.functions.bm25 import B, K1
 from byzer_retrieval_spark.operators.indexer import IndexConfig
 from byzer_retrieval_spark.plans.query import SearchQuery
 
-IDX_ROOT = "/tmp/byzer_retrieval_spark_entry_idx"
+# versioned cache root: bump FORMAT_VERSION whenever the on-disk index
+# layout changes so stale caches from earlier rounds never get reused
+FORMAT_VERSION = 2
+IDX_ROOT = f"/tmp/byzer_retrieval_spark_entry_idx_v{FORMAT_VERSION}"
 
 
 # ---------------------------------------------------------------------
