@@ -81,8 +81,11 @@ def _bm25_all(spark: SparkSession, sf_dir: str, keyword: str) -> DataFrame:
     )
 
 
-# DuckDB-side BM25 over the same whitespace tokenization
-_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+# DuckDB-side BM25 over the same whitespace tokenization (the explicit
+# ASCII class shared with the engine's analyzers — see analyzer._WS_CLASS)
+from byzer_retrieval_spark.functions.analyzer import _WS_CLASS
+
+_TOKS = f"list_filter(regexp_split_to_array(text, '{_WS_CLASS}+'), x -> x <> '')"
 
 
 def _bm25_sql(
@@ -385,7 +388,9 @@ def oracle_sql() -> dict[str, str]:
     return sqls
 
 
-_TOKS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_TOKS_LOWER = (
+    f"list_filter(regexp_split_to_array(lower(text), '{_WS_CLASS}+'), x -> x <> '')"
+)
 
 
 # ---------------------------------------------------------------------

@@ -36,7 +36,16 @@ from pyspark.sql.types import ArrayType, StringType
 WHITESPACE = "whitespace"  # reference-exact (WhitespaceAnalyzer)
 CODE = "code"  # StandardAnalyzer-like, code-aware default
 
-_WS_RE = re.compile(r"\s+")
+# One EXPLICIT whitespace class shared by all three implementations and
+# the DuckDB oracle. Java's \s is ASCII-only while Python's \s is
+# Unicode and RE2's \s omits \x0b — relying on \s would make the JVM
+# index, the Python query parser, and the oracle disagree on documents
+# containing Unicode whitespace ( , 　, ...). We standardize on
+# Java's ASCII set [ \t\n\x0b\f\r] everywhere; deviation from Lucene's
+# Character.isWhitespace (which also splits Unicode spaces) is
+# documented in SURVEY §1.2.
+_WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
+_WS_RE = re.compile(_WS_CLASS + "+")
 # \w in Python (unicode) ~= [\p{L}\p{N}_]; Java needs the explicit class
 _CODE_RE_PY = re.compile(r"\w+", re.UNICODE)
 _CODE_RE_JAVA = r"[\p{L}\p{N}_]+"  # for Spark regexp_extract_all
@@ -56,7 +65,7 @@ def tokenize_py(text: str, mode: str = WHITESPACE) -> List[str]:
 def tokenize_expr(col: Column, mode: str = WHITESPACE) -> Column:
     """Catalyst expression producing array<string> of tokens (hot path)."""
     if mode == WHITESPACE:
-        return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+        return F.filter(F.split(col, _WS_CLASS + "+"), lambda t: t != "")
     if mode == CODE:
         return F.regexp_extract_all(F.lower(col), F.lit(_CODE_RE_JAVA), 0)
     raise ValueError(f"unknown analyzer mode {mode!r}")
@@ -87,7 +96,8 @@ def duckdb_tokens_sql(text_expr: str, mode: str = WHITESPACE) -> str:
     """DuckDB SQL fragment: array of tokens equal to tokenize_py(mode)."""
     if mode == WHITESPACE:
         return (
-            f"list_filter(regexp_split_to_array({text_expr}, '\\s+'), x -> x <> '')"
+            f"list_filter(regexp_split_to_array({text_expr}, "
+            f"'{_WS_CLASS}+'), x -> x <> '')"
         )
     if mode == CODE:
         return f"regexp_extract_all(lower({text_expr}), '{_CODE_RE_DUCK}')"

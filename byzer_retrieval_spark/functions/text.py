@@ -32,12 +32,21 @@ LANG_ORDER: List[str] = ["en", "de", "fr", "es"]  # deterministic tie-break
 
 
 def tokens_expr(col: Column) -> Column:
-    """Lowercased whitespace tokens (shared by all text ops)."""
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    """Lowercased whitespace tokens (shared by all text ops).
+    Uses the analyzer module's explicit ASCII whitespace class so the
+    JVM expression and the DuckDB oracle agree character-for-character."""
+    from byzer_retrieval_spark.functions.analyzer import _WS_CLASS
+
+    return F.filter(F.split(F.lower(col), _WS_CLASS + "+"), lambda t: t != "")
 
 
 def tokens_sql(expr: str) -> str:
-    return f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), x -> x <> '')"
+    from byzer_retrieval_spark.functions.analyzer import _WS_CLASS
+
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '{_WS_CLASS}+'), "
+        "x -> x <> '')"
+    )
 
 
 # ---- token counting -------------------------------------------------------

@@ -451,15 +451,17 @@ def build_index(
     base = _derive_ids(source, cfg)
 
     # ---- per-shard input fingerprints (tiny: num_shards rows) ----------
-    sha_cols = [F.col(f"{f}_sha256") for f in cfg.analyzed_fields]
+    # Hash EVERY source column (not just analyzed ones): a rebuild that
+    # changes only stored fields (lang, mtime, ...) must invalidate the
+    # shard's resume manifest, or resume=True would silently serve stale
+    # stored values. xxhash64 hashes nulls deterministically.
+    fp_cols = ["_id"] + [f"`{c}`" for c in source.columns if c != "_id"]
     fp_df = (
         base.groupBy("shard_id")
         .agg(
             F.count("*").alias("cnt"),
             F.expr(
-                "bit_xor(xxhash64(_id, "
-                + ", ".join(f"coalesce({f}, '')" for f in cfg.analyzed_fields)
-                + "))"
+                "bit_xor(xxhash64(" + ", ".join(fp_cols) + "))"
             ).alias("xor_hash"),
         )
     )

@@ -157,14 +157,19 @@ def upsert(
     cfg = _cfg_from_meta(meta)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    base = _derive_ids(new_rows, cfg)
-    # latest-wins within the incoming batch itself
+    # latest-wins within the incoming batch itself. The sequence column
+    # is assigned on the INPUT DataFrame (before _derive_ids shuffles by
+    # _id) so which duplicate wins reflects input row order — matching
+    # the reference's sequential updateDocument (last row wins) — rather
+    # than a nondeterministic post-shuffle evaluation order.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_id").orderBy(F.monotonically_increasing_id().desc())
+    seq_rows = new_rows.withColumn("__seq", F.monotonically_increasing_id())
+    base = _derive_ids(seq_rows, cfg)
+    w = Window.partitionBy("_id").orderBy(F.col("__seq").desc())
     base = base.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
-    ).drop("__rn")
+    ).drop("__rn", "__seq")
 
     docs = store.docs(spark)
     old = docs.join(base.select("_id"), "_id", "left_semi").select("__docid")

@@ -258,15 +258,17 @@ def _make_shard_scorer(
 
         docs_f, scores_f = uniq[mask], scores[mask]
         if docs_f.size > k:
-            # bounded top-k: argpartition then exact order (score desc,
-            # doc_id asc — within a shard doc_id order == _id order)
-            part = np.argpartition(-scores_f, k - 1)[: max(k * 2, k)]
-            # keep ties at the boundary: include all docs with score >=
-            # the k-th partitioned score
-            kth = scores_f[part[:k]].min()
+            # bounded top-k: keep EVERY doc whose score ties or beats the
+            # k-th best. Never truncate ties per shard by doc_id: upsert
+            # assigns delta doc_ids above the shard high-water mark, so
+            # doc_id order != _id order after an upsert — equal-score
+            # ties at the k boundary must be settled by search_fast's
+            # global (score desc, _id asc) orderBy, not here.
+            part = np.argpartition(-scores_f, k - 1)[:k]
+            kth = scores_f[part].min()
             keep = scores_f >= kth
             docs_f, scores_f = docs_f[keep], scores_f[keep]
-        order = np.lexsort((docs_f, -scores_f))[:k]
+        order = np.lexsort((docs_f, -scores_f))
         docs_f, scores_f = docs_f[order], scores_f[order]
         return pd.DataFrame(
             {

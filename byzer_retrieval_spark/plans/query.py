@@ -32,7 +32,11 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from byzer_retrieval_spark.functions.analyzer import WHITESPACE, tokenize_py
+from byzer_retrieval_spark.functions.analyzer import (
+    WHITESPACE,
+    _WS_RE,
+    tokenize_py,
+)
 
 MATCH_ALL = "*"
 
@@ -116,7 +120,10 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
     should: List[str] = []
     must: List[str] = []
     must_not: List[str] = []
-    for raw in keyword.split():
+    # split with the SAME whitespace class the analyzers use (not
+    # Python's Unicode str.split), so query-side segmentation can never
+    # disagree with index-side tokenization
+    for raw in (t for t in _WS_RE.split(keyword) if t):
         bucket = should
         if raw.startswith("+") and len(raw) > 1:
             bucket, raw = must, raw[1:]
