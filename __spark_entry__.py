@@ -93,6 +93,7 @@ def _bm25_sql(
     must: list[str] | None = None,
     must_not: list[str] | None = None,
     limit: int | None = None,
+    doc_filter: str | None = None,
 ) -> str:
     must = must or []
     must_not = must_not or []
@@ -115,6 +116,11 @@ def _bm25_sql(
     having = " AND ".join(gates)
     order = "ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC"
     lim = f"LIMIT {limit}" if limit else ""
+    # filters are NON-SCORING (Occur.FILTER) and stats stay corpus-global,
+    # so a filtered query restricts the result set without changing scores
+    filt = (
+        f"JOIN documents d USING (doc_id) WHERE {doc_filter}" if doc_filter else ""
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
@@ -145,7 +151,7 @@ scored AS (
   GROUP BY tf.doc_id
   HAVING {having}
 )
-SELECT doc_id, round(raw_score, 5) AS score FROM scored {order} {lim}
+SELECT doc_id, round(raw_score, 5) AS score FROM scored {filt} {order} {lim}
 """
 
 
@@ -169,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multi_or": lambda spark, sf: _bm25_all(spark, sf, "spark window"),
         "bm25_must_not": lambda spark, sf: _bm25_all(spark, sf, "+data -spark batch"),
         "bm25_topk": _q_bm25_topk,
+        "bm25_filtered_topk": _q_bm25_filtered,
         "term_stats": _q_term_stats,
         # --- filters / match-all / sorts (F1-F5, L1-L4, M5) -------------
         "match_all_filter": _q_match_all_filter,
@@ -209,6 +216,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multi_or": _bm25_sql(["spark", "window"]),
         "bm25_must_not": _bm25_sql(["batch"], must=["data"], must_not=["spark"]),
         "bm25_topk": _bm25_sql(["vector", "hash"], limit=10),
+        "bm25_filtered_topk": _bm25_sql(
+            ["merge", "vector"], doc_filter="d.lang = 'en'"
+        ),
         "term_stats": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents
@@ -400,6 +410,26 @@ _TOKS_LOWER = (
 def _q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     eng = _engine_for(spark, sf)
     q = SearchQuery(keyword="vector hash", fields=["text"], limit=10)
+    out = eng.search(q, "db", "documents")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("_score", 5).alias("score"),
+    )
+
+
+def _q_bm25_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered keyword search — runs the WAND fast path WITH the filter
+    executed inside the shard scorer (operators/filtering.gate_frame),
+    certifying SURVEY §2.1 F1+Q2 combined (Occur.FILTER semantics:
+    non-scoring, stats corpus-global)."""
+    eng = _engine_for(spark, sf)
+    n = _documents(spark, sf).count()
+    q = SearchQuery(
+        keyword="merge vector",
+        fields=["text"],
+        filters={"and": [{"field": "lang", "value": "en"}]},
+        limit=n,
+    )
     out = eng.search(q, "db", "documents")
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),

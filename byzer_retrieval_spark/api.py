@@ -259,7 +259,5 @@ class RetrievalEngine:
         ctx = self.ctx(database, table)
         docs = ctx.docs()
         out = docs.filter(F.col("_id").isin([str(i) for i in ids]))
-        tomb = ctx.tombstone_ids()
-        if tomb:
-            out = out.filter(~F.col("__docid").isin([int(t) for t in tomb]))
+        out = ctx.exclude_tombstones(out)
         return out.select(*ctx.stored_columns()).orderBy("_id")

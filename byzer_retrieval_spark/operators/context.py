@@ -39,6 +39,24 @@ class IndexContext:
     def tombstone_ids(self) -> List[int]:
         return self.store.tombstone_ids(self.spark)
 
+    def tombstones_df(self) -> Optional[DataFrame]:
+        """Tombstoned doc ids as a DataFrame(__docid) — None when none
+        exist. Query paths must use this (anti-join), never
+        ``tombstone_ids`` (a driver collect that inlines every deleted
+        id as a plan literal — a driver bottleneck at millions of
+        deletes)."""
+        return self.store.tombstones(self.spark)
+
+    def exclude_tombstones(self, df: DataFrame) -> DataFrame:
+        """Anti-join ``df`` (must carry __docid) against tombstones.
+        No broadcast hint: the tombstone parquet has size stats, so AQE
+        picks broadcast while the set is small and degrades gracefully
+        to a shuffle join when it isn't."""
+        tomb = self.tombstones_df()
+        if tomb is None:
+            return df
+        return df.join(tomb.select("__docid").distinct(), "__docid", "left_anti")
+
     # stats --------------------------------------------------------------
     @property
     def analyzer(self) -> str:
@@ -55,6 +73,10 @@ class IndexContext:
     @property
     def b(self) -> float:
         return float(self.meta.get("b", 0.75))
+
+    @property
+    def doc_bits(self) -> int:
+        return int(self.meta.get("doc_bits", 40))
 
     def field_stat(self, field: str) -> Dict[str, Any]:
         return self.snapshot["field_stats"][field]

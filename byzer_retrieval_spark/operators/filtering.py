@@ -1,0 +1,121 @@
+"""Filter resolution shared by every query path (SURVEY §2.1 F1-F5).
+
+Two jobs:
+
+1. ``filtered_docs`` — compile a SearchQuery filter tree against the
+   docs table, including **analyzed-field leaves**. Analyzed fields are
+   Store.NO (absent from the docs table), and the reference parses a
+   filter value on such a field with SimpleQueryParser as a full-text
+   predicate (reference: SchemaUtils.java:170-173). We resolve each
+   analyzed leaf to a postings-membership boolean: tokenize the value
+   with the index analyzer, collect matching doc ids from the postings
+   scan (term-pruned, PushedFilters), and left-join a flag column onto
+   docs. Flag columns compose under arbitrary and/or nesting — unlike a
+   semi-join, which only expresses conjunction.
+
+2. ``gate_frame`` — reduce (filters, tombstones) to ONE side-table for
+   the WAND shard scorer: a (shard_id, __docid) DataFrame plus a mode.
+
+   - filters present  → mode 'allow': doc ids passing the filter tree,
+     tombstones already excluded. The scorer gates candidates by
+     membership — this is Lucene's Occur.FILTER inside the same
+     collector (Utils.java:303): non-scoring, pre-top-k.
+   - only tombstones  → mode 'deny': the (small) deleted-id set.
+   - neither          → (None, 'none'): scorer runs ungated.
+
+   The gate rides into the scorer via ``cogroup`` on shard_id — no
+   driver collect, no plan literals; each task sees only ITS shard's
+   gate rows (at 10^12 docs the allow set shuffles once, partitioned
+   exactly like the postings).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from byzer_retrieval_spark.operators.context import IndexContext
+from byzer_retrieval_spark.operators.decode import flat_postings
+from byzer_retrieval_spark.plans.query import (
+    _leaf_to_column,
+    filter_leaves,
+    filters_to_column,
+)
+
+
+def filtered_docs(
+    ctx: IndexContext, filters: Dict[str, Any]
+) -> Optional[DataFrame]:
+    """docs rows satisfying the filter tree; None when no filters.
+
+    Plain stored-field leaves compile to pushed-down Column predicates;
+    analyzed-field leaves become postings-membership flags.
+    """
+    if not filters:
+        return None
+    docs = ctx.docs()
+    analyzed = set(ctx.analyzed_fields)
+
+    flag_of: Dict[int, Column] = {}
+    for leaf in filter_leaves(filters):
+        fld = leaf.get("field")
+        if fld not in analyzed:
+            continue
+        if "value" not in leaf:
+            raise ValueError(
+                f"range filter on analyzed field {fld!r} is not supported "
+                "(the reference parses analyzed filter values as full-text "
+                "queries — SchemaUtils.java:170-173)"
+            )
+        from byzer_retrieval_spark.functions.analyzer import tokenize_py
+
+        toks = tokenize_py(str(leaf["value"]), ctx.analyzer)
+        flag = f"__af_{len(flag_of)}"
+        match = (
+            flat_postings(
+                ctx.postings().filter(
+                    (F.col("field") == fld) & F.col("term").isin(toks)
+                )
+            )
+            .select("__docid")
+            .distinct()
+            .withColumn(flag, F.lit(True))
+        )
+        docs = docs.join(match, "__docid", "left")
+        flag_of[id(leaf)] = F.coalesce(F.col(flag), F.lit(False))
+
+    def leaf_fn(leaf: Dict[str, Any]) -> Column:
+        return flag_of.get(id(leaf)) if id(leaf) in flag_of else _leaf_to_column(leaf)
+
+    cond = filters_to_column(filters, leaf_fn)
+    return docs.filter(cond)
+
+
+def gate_frame(
+    ctx: IndexContext, filters: Dict[str, Any], doc_bits: int
+) -> Tuple[Optional[DataFrame], str]:
+    """(gate_df with (shard_id, __docid), mode) for the WAND scorer."""
+    if filters:
+        allowed = filtered_docs(ctx, filters)
+        allowed = ctx.exclude_tombstones(allowed)
+        return (
+            allowed.select(
+                F.col("shard_id").cast("int").alias("shard_id"), "__docid"
+            ),
+            "allow",
+        )
+    tomb = ctx.tombstones_df()
+    if tomb is not None:
+        return (
+            tomb.select("__docid")
+            .distinct()
+            .withColumn(
+                "shard_id",
+                F.shiftright(F.col("__docid"), doc_bits).cast("int"),
+            )
+            .select("shard_id", "__docid"),
+            "deny",
+        )
+    return None, "none"

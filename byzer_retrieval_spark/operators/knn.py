@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from byzer_retrieval_spark.functions.similarity import _cosine_expr
 from byzer_retrieval_spark.operators.context import IndexContext
-from byzer_retrieval_spark.plans.query import SearchQuery, filters_to_column
+from byzer_retrieval_spark.plans.query import SearchQuery
 
 
 def vector_topk(ctx: IndexContext, query: SearchQuery) -> DataFrame:
@@ -32,13 +32,11 @@ def vector_topk(ctx: IndexContext, query: SearchQuery) -> DataFrame:
 
     Returns (_score=cosine, stored fields...), ordered (score desc, _id).
     """
-    docs = ctx.docs()
-    cond = filters_to_column(query.filters)
-    if cond is not None:
-        docs = docs.filter(cond)
-    tomb = ctx.tombstone_ids()
-    if tomb:
-        docs = docs.filter(~F.col("__docid").isin([int(t) for t in tomb]))
+    from byzer_retrieval_spark.operators.filtering import filtered_docs
+
+    cand = filtered_docs(ctx, query.filters)
+    docs = cand if cand is not None else ctx.docs()
+    docs = ctx.exclude_tombstones(docs)
     stored = ctx.stored_columns()
     scored = docs.withColumn(
         "_score", _cosine_expr(query.vector_field, [float(x) for x in query.vector])

@@ -315,7 +315,8 @@ def compact(spark: SparkSession, store: IndexStore) -> Dict[str, Any]:
     swap_partitions(new_blocks, store.postings_path, ["field", "term", "first_doc"])
 
     docs = store.docs(spark).filter(F.col("shard_id").isin(shards))
-    live = docs.filter(~F.col("__docid").isin([int(t) for t in tomb_arr]))
+    tomb_df = store.tombstones(spark)
+    live = docs.join(tomb_df.select("__docid").distinct(), "__docid", "left_anti")
     swap_partitions(live, store.docs_path, ["__docid"])
 
     shutil.rmtree(store.tombstones_path, ignore_errors=True)

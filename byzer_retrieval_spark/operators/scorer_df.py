@@ -27,26 +27,16 @@ from pyspark.sql import functions as F
 
 from byzer_retrieval_spark.operators.context import IndexContext
 from byzer_retrieval_spark.operators.decode import flat_postings
-from byzer_retrieval_spark.plans.query import (
-    SearchQuery,
-    filters_to_column,
-    parse_keyword,
-)
+from byzer_retrieval_spark.plans.query import SearchQuery, parse_keyword
 
 
 def _candidate_docs(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
-    """docs restricted by the (non-scoring) filter tree; None = no filter."""
-    cond = filters_to_column(query.filters)
-    if cond is None:
-        return None
-    return ctx.docs().filter(cond)
+    """docs restricted by the (non-scoring) filter tree; None = no filter.
+    Analyzed-field leaves resolve through postings membership
+    (operators/filtering.filtered_docs)."""
+    from byzer_retrieval_spark.operators.filtering import filtered_docs
 
-
-def _exclude_tombstones(ctx: IndexContext, df: DataFrame) -> DataFrame:
-    tomb = ctx.tombstone_ids()
-    if not tomb:
-        return df
-    return df.filter(~F.col("__docid").isin([int(t) for t in tomb]))
+    return filtered_docs(ctx, query.filters)
 
 
 def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
@@ -61,7 +51,7 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
     if parsed.match_all:
         cand = _candidate_docs(ctx, query)
         base = cand if cand is not None else docs
-        base = _exclude_tombstones(ctx, base)
+        base = ctx.exclude_tombstones(base)
         out = base.withColumn("_score", F.lit(1.0))
         return (
             out.orderBy(F.col("_score").desc(), F.col("_id").asc())
@@ -138,7 +128,7 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         & (F.col("__has_not") == F.lit(0))
         & (F.col("__has_match") == F.lit(1))
     )
-    agg = _exclude_tombstones(ctx, agg)
+    agg = ctx.exclude_tombstones(agg)
 
     cand = _candidate_docs(ctx, query)
     if cand is not None:
@@ -146,15 +136,21 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
 
     # exact tie-break needs _id: join the 2-column (doc_id,_id) projection
     # (columnar prune at the docs scan), take global top-k, THEN
-    # broadcast-join the k winners back for stored-field materialization
+    # broadcast-join the k winners back for stored-field materialization.
+    # The join carries shard_id (= docid high bits, the docs PARTITION
+    # column) so dynamic partition pruning scans only winner shards.
     topk = (
         agg.select("__docid", "_score")
         .join(docs.select("__docid", "_id"), "__docid")
         .orderBy(F.col("_score").desc(), F.col("_id").asc())
         .limit(k)
-        .select("__docid", "_score")
+        .select(
+            F.shiftright(F.col("__docid"), ctx.doc_bits).cast("int").alias("shard_id"),
+            "__docid",
+            "_score",
+        )
     )
-    out = docs.join(F.broadcast(topk), "__docid")
+    out = docs.join(F.broadcast(topk), ["shard_id", "__docid"])
     return (
         out.orderBy(F.col("_score").desc(), F.col("_id").asc())
         .select("_score", *stored)
@@ -174,10 +170,12 @@ def filter_query(
     """
     from byzer_retrieval_spark.plans.query import sorts_to_columns
 
+    from byzer_retrieval_spark.operators.filtering import filtered_docs
+
     docs = ctx.docs()
-    cond = filters_to_column(query.filters)
-    out = docs.filter(cond) if cond is not None else docs
-    out = _exclude_tombstones(ctx, out)
+    cand = filtered_docs(ctx, query.filters)
+    out = cand if cand is not None else docs
+    out = ctx.exclude_tombstones(out)
     sort_cols = sorts_to_columns(query.sorts)
     # always end with _id asc for determinism
     out = out.orderBy(*(sort_cols + [F.col("_id").asc()]))

@@ -97,16 +97,27 @@ def _make_shard_scorer(
     k: int,
     k1: float,
     b: float,
-    tombstones: Tuple[int, ...],
+    gate_mode: str = "none",
 ):
     """idf is derived in-task from the broadcast-joined ``df`` column —
-    no eager stats collect on the driver, so a whole search is ONE job."""
+    no eager stats collect on the driver, so a whole search is ONE job.
+
+    ``gate_mode`` selects how the cogrouped gate docids apply:
+    'allow' — only gate members may score (filtered search: Lucene's
+    Occur.FILTER in the collector); 'deny' — gate members are excluded
+    (tombstones); 'none' — ungated (plain groupBy, no cogroup).
+    Gating only removes docs, so block-max pruning stays lossless.
+    """
     n_must = len(set(must_terms))
     not_set = set(not_terms)
-    tomb = np.asarray(sorted(tombstones), dtype=np.int64)
+    _EMPTY = np.empty(0, dtype=np.int64)
 
-    def score_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_shard(key, pdf: pd.DataFrame, gate_docs: np.ndarray) -> pd.DataFrame:
         shard_id = int(key[0])
+        if gate_mode == "allow" and gate_docs.size == 0:
+            return pd.DataFrame({"shard_id": [], "__docid": [], "score": []}).astype(
+                {"shard_id": np.int32, "__docid": np.int64, "score": np.float64}
+            )
 
         # ---- split rows into scoring clauses and exclusion terms -------
         is_not = pdf["term"].isin(not_set).to_numpy() if len(pdf) else np.zeros(0, bool)
@@ -183,8 +194,10 @@ def _make_shard_scorer(
             mask = must_cnt == n_must
             if excl.size:
                 mask &= ~np.isin(uniq, excl)
-            if tomb.size:
-                mask &= ~np.isin(uniq, tomb)
+            if gate_mode == "allow":
+                mask &= np.isin(uniq, gate_docs)
+            elif gate_mode == "deny" and gate_docs.size:
+                mask &= ~np.isin(uniq, gate_docs)
             return mask
 
         total_blocks = sum(c["firsts"].size for c in cl)
@@ -278,14 +291,41 @@ def _make_shard_scorer(
             }
         )
 
-    return score_shard
+    if gate_mode == "none":
+
+        def grouped(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard(key, pdf, _EMPTY)
+
+        return grouped
+
+    def cogrouped(key, blocks_pdf: pd.DataFrame, gate_pdf: pd.DataFrame) -> pd.DataFrame:
+        gate_docs = (
+            gate_pdf["__docid"].to_numpy(np.int64) if len(gate_pdf) else _EMPTY
+        )
+        if not len(blocks_pdf):
+            return pd.DataFrame({"shard_id": [], "__docid": [], "score": []}).astype(
+                {"shard_id": np.int32, "__docid": np.int64, "score": np.float64}
+            )
+        return score_shard(key, blocks_pdf, gate_docs)
+
+    return cogrouped
 
 
 def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
-    """Fast keyword-only top-k. Returns None when this path doesn't apply
-    (match-all, filtered, or empty queries → DataFrame path)."""
+    """Fast keyword top-k, filtered or not. Returns None when this path
+    doesn't apply (match-all or empty queries → DataFrame path).
+
+    Filters are executed INSIDE the scorer (reference: filtered keyword
+    queries run Occur.FILTER inside the same Lucene collector,
+    Utils.java:303): the filter tree resolves to per-shard allowed doc
+    ids (operators/filtering.gate_frame) that cogroup with the posting
+    blocks — non-scoring, applied before the per-shard top-k, no driver
+    round-trip. Tombstones ride the same mechanism as a deny gate.
+    """
+    from byzer_retrieval_spark.operators.filtering import gate_frame
+
     parsed = parse_keyword(query.keyword, ctx.analyzer)
-    if parsed.match_all or parsed.empty or query.filters:
+    if parsed.match_all or parsed.empty:
         return None
     if not parsed.scoring_terms:
         return None
@@ -309,6 +349,7 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     field_stats = {
         f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
     }
+    gate_df, gate_mode = gate_frame(ctx, query.filters, ctx.doc_bits)
     scorer = _make_shard_scorer(
         field_stats,
         tuple(parsed.must),
@@ -316,9 +357,15 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         k,
         ctx.k1,
         ctx.b,
-        tuple(ctx.tombstone_ids()),
+        gate_mode,
     )
-    return blocks.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
+    if gate_mode == "none":
+        return blocks.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
+    return (
+        blocks.groupby("shard_id")
+        .cogroup(gate_df.groupby("shard_id"))
+        .applyInPandas(scorer, schema=_OUT_SCHEMA)
+    )
 
 
 def search_fast(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
@@ -329,8 +376,15 @@ def search_fast(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         return None
     stored = ctx.stored_columns()
     docs = ctx.docs()
-    out = docs.join(F.broadcast(per_shard.withColumnRenamed("score", "_score")
-                                .select("__docid", "_score")), "__docid")
+    # stored-field materialization: join the ≤ shards·k winners back on
+    # (shard_id, __docid) — shard_id is the docs table's PARTITION
+    # column, so the broadcast join triggers dynamic partition pruning
+    # (only winner shards are scanned), and the __docid equi-join prunes
+    # row groups within them (docs are sorted by __docid per partition).
+    winners = per_shard.select(
+        "shard_id", "__docid", F.col("score").alias("_score")
+    )
+    out = docs.join(F.broadcast(winners), ["shard_id", "__docid"])
     return (
         out.orderBy(F.col("_score").desc(), F.col("_id").asc())
         .limit(query.limit)

@@ -155,25 +155,45 @@ def _leaf_to_column(leaf: Dict[str, Any]) -> Column:
     raise ValueError(f"filter leaf needs value or min/max: {leaf!r}")
 
 
-def filters_to_column(tree: Dict[str, Any]) -> Optional[Column]:
-    """Nested {"and":[...]} / {"or":[...]} → one Column (non-scoring)."""
+def filters_to_column(
+    tree: Dict[str, Any],
+    leaf_fn: Callable[[Dict[str, Any]], Column] = _leaf_to_column,
+) -> Optional[Column]:
+    """Nested {"and":[...]} / {"or":[...]} → one Column (non-scoring).
+
+    ``leaf_fn`` lets callers substitute leaf compilation — used by
+    operators/filtering.py to route analyzed-field leaves through a
+    postings-membership flag column instead of direct equality.
+    """
     if not tree:
         return None
     if "and" in tree:
-        cols = [filters_to_column(t) if ("and" in t or "or" in t)
-                else _leaf_to_column(t) for t in tree["and"]]
+        cols = [filters_to_column(t, leaf_fn) if ("and" in t or "or" in t)
+                else leaf_fn(t) for t in tree["and"]]
         out = cols[0]
         for c in cols[1:]:
             out = out & c
         return out
     if "or" in tree:
-        cols = [filters_to_column(t) if ("and" in t or "or" in t)
-                else _leaf_to_column(t) for t in tree["or"]]
+        cols = [filters_to_column(t, leaf_fn) if ("and" in t or "or" in t)
+                else leaf_fn(t) for t in tree["or"]]
         out = cols[0]
         for c in cols[1:]:
             out = out | c
         return out
-    return _leaf_to_column(tree)
+    return leaf_fn(tree)
+
+
+def filter_leaves(tree: Dict[str, Any]) -> List[Dict[str, Any]]:
+    """All leaf dicts of a filter tree, in-order."""
+    if not tree:
+        return []
+    if "and" in tree or "or" in tree:
+        out: List[Dict[str, Any]] = []
+        for t in tree.get("and", []) + tree.get("or", []):
+            out.extend(filter_leaves(t))
+        return out
+    return [tree]
 
 
 def _leaf_to_predicate(leaf: Dict[str, Any]) -> Callable[[Dict[str, Any]], bool]:
