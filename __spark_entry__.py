@@ -27,7 +27,7 @@ from byzer_retrieval_spark.plans.query import SearchQuery
 
 # versioned cache root: bump FORMAT_VERSION whenever the on-disk index
 # layout changes so stale caches from earlier rounds never get reused
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3  # v3: posting blocks carry a positions column
 IDX_ROOT = f"/tmp/byzer_retrieval_spark_entry_idx_v{FORMAT_VERSION}"
 
 
@@ -155,6 +155,58 @@ SELECT doc_id, round(raw_score, 5) AS score FROM scored {filt} {order} {lim}
 """
 
 
+def _bm25_phrase_sql(phrase: list[str], terms: list[str]) -> str:
+    """BM25 over (should terms) + (should phrase): phrase tf from a
+    position self-join, idf = Σ member idfs — mirrors the engine's
+    PhraseQuery semantics (operators/wand._phrase_match)."""
+    from collections import Counter
+
+    sc_list = ", ".join(f"'{t}'" for t in terms) or "''"
+    pos_ctes = ",\n".join(
+        f"p{j} AS (SELECT doc_id, i FROM tp WHERE toks[i+1] = '{t}')"
+        for j, t in enumerate(phrase)
+    )
+    joins = " ".join(
+        f"JOIN p{j} ON p{j}.doc_id = p0.doc_id AND p{j}.i = p0.i + {j}"
+        for j in range(1, len(phrase))
+    )
+    mult_vals = ", ".join(
+        f"('{t}', {c})" for t, c in Counter(phrase).items()
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+tscore AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS sc
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ({sc_list}) GROUP BY tf.doc_id
+),
+tp AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM base),
+{pos_ctes},
+ptf AS (
+  SELECT p0.doc_id, count(*)::DOUBLE AS ptf FROM p0 {joins} GROUP BY p0.doc_id
+),
+idfsum AS (
+  SELECT sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * m.mult) AS idf_sum
+  FROM (VALUES {mult_vals}) AS m(term, mult)
+  JOIN dfreq d USING (term) CROSS JOIN stats s
+),
+pscore AS (
+  SELECT ptf.doc_id,
+         i.idf_sum * ptf.ptf / (ptf.ptf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS sc
+  FROM ptf JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN idfsum i
+),
+u AS (SELECT doc_id, sc FROM tscore UNION ALL SELECT doc_id, sc FROM pscore)
+SELECT doc_id, round(sum(sc), 5) AS score FROM u GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------
@@ -176,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_must_not": lambda spark, sf: _bm25_all(spark, sf, "+data -spark batch"),
         "bm25_topk": _q_bm25_topk,
         "bm25_filtered_topk": _q_bm25_filtered,
+        "bm25_phrase": lambda spark, sf: _bm25_all(
+            spark, sf, 'merge "part filter"'
+        ),
         "term_stats": _q_term_stats,
         # --- filters / match-all / sorts (F1-F5, L1-L4, M5) -------------
         "match_all_filter": _q_match_all_filter,
@@ -219,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_filtered_topk": _bm25_sql(
             ["merge", "vector"], doc_filter="d.lang = 'en'"
         ),
+        "bm25_phrase": _bm25_phrase_sql(["part", "filter"], ["merge"]),
         "term_stats": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents

@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -58,8 +59,33 @@ def decode_rows(
     )
 
 
-def flat_postings(blocks_df: DataFrame) -> DataFrame:
-    """Blocks → one row per posting, via Arrow-batched mapInPandas."""
+def decode_position_deltas(pos_blobs) -> np.ndarray:
+    """Concatenate position-DELTA streams of N blocks (token-level;
+    per-posting segments are self-contained: absolute first value)."""
+    parts = [varbyte_decode(b).astype(np.int64) for b in pos_blobs]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts)
+
+
+def absolute_positions(deltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Flat per-token ABSOLUTE positions from delta streams with run
+    lengths ``tfs`` (one run per posting; first delta of a run is the
+    absolute position). Vectorized run-reset cumsum."""
+    if deltas.size == 0:
+        return deltas
+    starts = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    c = np.cumsum(deltas)
+    base = c[starts] - deltas[starts]  # cumulative sum of all prior runs
+    return c - np.repeat(base, tfs)
+
+
+def flat_postings(blocks_df: DataFrame, with_positions: bool = False) -> DataFrame:
+    """Blocks → one row per posting, via Arrow-batched mapInPandas.
+    ``with_positions`` adds a per-posting array<int> of term positions
+    (phrase verification); off by default so non-phrase queries never
+    read the positions column (parquet column pruning)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -68,17 +94,28 @@ def flat_postings(blocks_df: DataFrame) -> DataFrame:
             docs, tfs, dls, lens = decode_rows(
                 pdf["doc_gaps"], pdf["tfs"], pdf["dls"], pdf["first_doc"]
             )
-            yield pd.DataFrame(
-                {
-                    "shard_id": np.repeat(pdf["shard_id"].to_numpy(np.int32), lens),
-                    "field": np.repeat(pdf["field"].to_numpy(object), lens),
-                    "term": np.repeat(pdf["term"].to_numpy(object), lens),
-                    "__docid": docs,
-                    "tf": tfs.astype(np.int32),
-                    "dl": dls.astype(np.int32),
-                }
-            )
+            out = {
+                "shard_id": np.repeat(pdf["shard_id"].to_numpy(np.int32), lens),
+                "field": np.repeat(pdf["field"].to_numpy(object), lens),
+                "term": np.repeat(pdf["term"].to_numpy(object), lens),
+                "__docid": docs,
+                "tf": tfs.astype(np.int32),
+                "dl": dls.astype(np.int32),
+            }
+            if with_positions:
+                abs_pos = absolute_positions(
+                    decode_position_deltas(pdf["positions"]), tfs
+                ).astype(np.int32)
+                # split the flat token stream back into per-posting lists
+                out["positions"] = np.split(abs_pos, np.cumsum(tfs)[:-1])
+            yield pd.DataFrame(out)
 
-    return blocks_df.select(
-        "shard_id", "field", "term", "first_doc", "doc_gaps", "tfs", "dls"
-    ).mapInPandas(gen, schema=FLAT_SCHEMA)
+    cols = ["shard_id", "field", "term", "first_doc", "doc_gaps", "tfs", "dls"]
+    schema = FLAT_SCHEMA
+    if with_positions:
+        cols.append("positions")
+        schema = StructType(
+            FLAT_SCHEMA.fields
+            + [StructField("positions", ArrayType(IntegerType()), False)]
+        )
+    return blocks_df.select(*cols).mapInPandas(gen, schema=schema)

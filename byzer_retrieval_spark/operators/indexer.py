@@ -65,6 +65,14 @@ from byzer_retrieval_spark.sources.storage import IndexStore
 # doc-id range therefore stay sorted, and 2^40 docs/shard is plenty.
 DOC_BITS = 40
 
+# ``positions`` holds term positions for every posting in the block:
+# per posting, tf varbyte values — the first is the absolute position of
+# the term's first occurrence in the doc, the rest are deltas (>= 1).
+# Segments reset at POSTING boundaries (not block boundaries), so blocks
+# can be re-cut (compaction) by concatenating per-posting byte runs.
+# Lucene's TextField always indexes positions
+# (DOCS_AND_FREQS_AND_POSITIONS) — this matches the reference's storage
+# and enables PhraseQuery parity (RetrievalWorker.java:339-341).
 POSTING_BLOCK_SCHEMA = StructType(
     [
         StructField("shard_id", IntegerType(), False),
@@ -79,6 +87,7 @@ POSTING_BLOCK_SCHEMA = StructType(
         StructField("doc_gaps", BinaryType(), False),
         StructField("tfs", BinaryType(), False),
         StructField("dls", BinaryType(), False),
+        StructField("positions", BinaryType(), False),
     ]
 )
 
@@ -142,92 +151,6 @@ def _tokenize(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     return df
 
 
-def _blocks_from_sorted_batch(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Vectorized block building over TOKEN-OCCURRENCE rows sorted by
-    (shard_id, field, term, split_id, __docid) containing complete groups.
-
-    Input rows are one-per-token (duplicates of the same (term, doc) are
-    adjacent after the sort) — tf is computed here by run-length, which
-    is what lets the whole postings path run with a SINGLE shuffle (the
-    cluster-by), no separate groupBy-tf exchange.
-
-    No per-group or per-block Python loop anywhere: posting/group/block
-    boundaries are boolean arrays, per-block stats are ufunc.reduceat,
-    and the varbyte streams are encoded once per batch then sliced at
-    block byte-offsets (varbyte_encode_segments). This is what keeps the
-    build fast when the vocabulary is huge (every doc contributes unique
-    ``sym_*`` terms → hundreds of thousands of single-posting groups).
-    """
-    from byzer_retrieval_spark.functions.encoding import varbyte_encode_segments
-
-    n = len(pdf)
-    docs_tok = pdf["__docid"].to_numpy(np.int64)
-
-    # integer-factorized key comparisons (object-dtype .ne(.shift()) does
-    # a PyObject rich-compare per row — measurably slower at 10^7 rows)
-    term_codes = pd.factorize(pdf["term"], sort=False)[0]
-    field_codes = pd.factorize(pdf["field"], sort=False)[0]
-    shards_arr = pdf["shard_id"].to_numpy(np.int64)
-    splits_arr = pdf["split_id"].to_numpy(np.int64)
-    key_change_tok = np.empty(n, dtype=bool)
-    key_change_tok[0] = True
-    key_change_tok[1:] = (
-        (term_codes[1:] != term_codes[:-1])
-        | (field_codes[1:] != field_codes[:-1])
-        | (shards_arr[1:] != shards_arr[:-1])
-        | (splits_arr[1:] != splits_arr[:-1])
-    )
-
-    # ---- collapse token occurrences → postings (run-length tf) --------
-    doc_change = np.empty(n, dtype=bool)
-    doc_change[0] = True
-    np.not_equal(docs_tok[1:], docs_tok[:-1], out=doc_change[1:])
-    posting_change = key_change_tok | doc_change
-    posting_start = np.nonzero(posting_change)[0]
-    np_post = posting_start.size
-    posting_end = np.empty(np_post, dtype=np.int64)
-    posting_end[:-1] = posting_start[1:]
-    posting_end[-1] = n
-    tfs = posting_end - posting_start
-    docs = docs_tok[posting_start]
-    dls = pdf["dl"].to_numpy(np.int64)[posting_start]
-    key_change = key_change_tok[posting_start]
-
-    # ---- group/block boundaries over postings --------------------------
-    group_id = np.cumsum(key_change) - 1
-    group_start = np.nonzero(key_change)[0]
-    offset_in_group = np.arange(np_post, dtype=np.int64) - group_start[group_id]
-    new_block = (offset_in_group % block_size) == 0
-    block_start = np.nonzero(new_block)[0]
-    nb = block_start.size
-    block_end_excl = np.empty(nb, dtype=np.int64)
-    block_end_excl[:-1] = block_start[1:]
-    block_end_excl[-1] = np_post
-
-    gaps = np.empty(np_post, dtype=np.int64)
-    gaps[0] = 0
-    np.subtract(docs[1:], docs[:-1], out=gaps[1:])
-    gaps[block_start] = 0
-
-    tok_at_block = posting_start[block_start]
-    return pd.DataFrame(
-        {
-            "shard_id": pdf["shard_id"].to_numpy(np.int32)[tok_at_block],
-            "field": pdf["field"].to_numpy(object)[tok_at_block],
-            "term": pdf["term"].to_numpy(object)[tok_at_block],
-            "first_doc": docs[block_start],
-            "last_doc": docs[block_end_excl - 1],
-            "df_block": (block_end_excl - block_start).astype(np.int32),
-            "max_tf": np.maximum.reduceat(tfs, block_start).astype(np.int32),
-            "min_dl": np.minimum.reduceat(dls, block_start).astype(np.int32),
-            "sum_tf": np.add.reduceat(tfs, block_start),
-            "doc_gaps": varbyte_encode_segments(gaps, block_start),
-            "tfs": varbyte_encode_segments(tfs, block_start),
-            "dls": varbyte_encode_segments(dls, block_start),
-        }
-    )
-
-
 def _arrow_blocks_from_arrays(
     shard: np.ndarray,
     field_codes: np.ndarray,
@@ -235,6 +158,7 @@ def _arrow_blocks_from_arrays(
     split: np.ndarray,
     docs_tok: np.ndarray,
     dl_tok: np.ndarray,
+    pos_tok: np.ndarray,
     field_arr,  # pa.Array (string)
     term_arr,  # pa.Array (string)
     block_size: int,
@@ -287,6 +211,14 @@ def _arrow_blocks_from_arrays(
     np.subtract(docs[1:], docs[:-1], out=gaps[1:])
     gaps[block_start] = 0
 
+    # per-token position deltas, reset to ABSOLUTE at each posting start
+    # (input is sorted by (..., __docid, pos), so deltas are >= 1 within
+    # a posting)
+    pos_deltas = np.empty(n, dtype=np.int64)
+    pos_deltas[0] = pos_tok[0]
+    np.subtract(pos_tok[1:], pos_tok[:-1], out=pos_deltas[1:])
+    pos_deltas[posting_start] = pos_tok[posting_start]
+
     tok_at_block = posting_start[block_start]
     take_idx = pa.array(tok_at_block, type=pa.int64())
     return pa.RecordBatch.from_arrays(
@@ -303,6 +235,9 @@ def _arrow_blocks_from_arrays(
             pa.array(varbyte_encode_segments(gaps, block_start), type=pa.binary()),
             pa.array(varbyte_encode_segments(tfs, block_start), type=pa.binary()),
             pa.array(varbyte_encode_segments(dls, block_start), type=pa.binary()),
+            pa.array(
+                varbyte_encode_segments(pos_deltas, tok_at_block), type=pa.binary()
+            ),
         ],
         names=[f.name for f in POSTING_BLOCK_SCHEMA.fields],
     )
@@ -364,6 +299,7 @@ def _sorted_block_builder(block_size: int):
                 split[:tail_start],
                 tbl.column("__docid").to_numpy()[:tail_start].astype(np.int64),
                 tbl.column("dl").to_numpy()[:tail_start].astype(np.int64),
+                tbl.column("pos").to_numpy()[:tail_start].astype(np.int64),
                 field_arr.slice(0, tail_start),
                 term_arr.slice(0, tail_start),
                 block_size,
@@ -381,44 +317,13 @@ def _sorted_block_builder(block_size: int):
                 tbl.column("split_id").to_numpy().astype(np.int64),
                 tbl.column("__docid").to_numpy().astype(np.int64),
                 tbl.column("dl").to_numpy().astype(np.int64),
+                tbl.column("pos").to_numpy().astype(np.int64),
                 field_arr,
                 term_arr,
                 block_size,
             )
 
     return gen
-
-
-def _make_blocks_fn(block_size: int):
-    def make_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        shard_id, fld, term = int(key[0]), key[1], key[2]
-        pdf = pdf.sort_values("__docid")
-        doc_ids = pdf["__docid"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["dl"].to_numpy(np.int64)
-        rows = []
-        for s in range(0, len(doc_ids), block_size):
-            e = min(s + block_size, len(doc_ids))
-            ids = doc_ids[s:e]
-            first = int(ids[0])
-            gaps = np.empty(e - s, dtype=np.int64)
-            gaps[0] = 0
-            np.subtract(ids[1:], ids[:-1], out=gaps[1:])
-            rows.append(
-                (
-                    shard_id, fld, term, first, int(ids[-1]), int(e - s),
-                    int(tfs[s:e].max()), int(dls[s:e].min()), int(tfs[s:e].sum()),
-                    varbyte_encode(gaps),
-                    varbyte_encode(tfs[s:e].astype(np.uint64)),
-                    varbyte_encode(dls[s:e].astype(np.uint64)),
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[f.name for f in POSTING_BLOCK_SCHEMA.fields],
-        )
-
-    return make_blocks
 
 
 def build_index(
@@ -570,8 +475,10 @@ def build_index(
                 if with_dl:
                     d = d.withColumn("dl", F.size("__toks"))
                 frames.append(
+                    # posexplode: the ordinal IS the term position, free
+                    # at explode time — no extra pass for positions
                     d.select(
-                        "*", F.explode("__toks").alias("term")
+                        "*", F.posexplode("__toks").alias("pos", "term")
                     ).drop("__toks")
                 )
             out = frames[0]
@@ -628,7 +535,9 @@ def build_index(
         )
         blocks = (
             tok_rows.repartition("shard_id", "field", "term", "split_id")
-            .sortWithinPartitions("shard_id", "field", "term", "split_id", "__docid")
+            .sortWithinPartitions(
+                "shard_id", "field", "term", "split_id", "__docid", "pos"
+            )
             .mapInArrow(
                 _sorted_block_builder(cfg.block_size), schema=POSTING_BLOCK_SCHEMA
             )

@@ -39,7 +39,7 @@ from byzer_retrieval_spark.operators.indexer import (
     IndexConfig,
     POSTING_BLOCK_SCHEMA,
     _derive_ids,
-    _make_blocks_fn,
+    _sorted_block_builder,
     _tokenize,
 )
 from byzer_retrieval_spark.functions.encoding import varbyte_encode
@@ -213,24 +213,28 @@ def upsert(
         store.docs_path
     )
 
+    # delta postings go through the SAME token-level mapInArrow builder
+    # as a full build (single shuffle, run-length tf, positions encoded)
     tok_frames = [
         analyzed.select(
             "shard_id",
             "__docid",
             F.lit(f_name).alias("field"),
             F.col(f"dl_{f_name}").alias("dl"),
-            F.explode(F.col(f"__toks_{f_name}")).alias("term"),
+            F.posexplode(F.col(f"__toks_{f_name}")).alias("pos", "term"),
         )
         for f_name in cfg.analyzed_fields
     ]
     toks = tok_frames[0]
     for t in tok_frames[1:]:
         toks = toks.unionByName(t)
-    tf_df = toks.groupBy("shard_id", "field", "term", "__docid", "dl").agg(
-        F.count("*").cast("int").alias("tf")
-    ).withColumn("split_id", F.lit(0))
-    blocks = tf_df.groupBy("shard_id", "field", "term", "split_id").applyInPandas(
-        _make_blocks_fn(cfg.block_size), schema=POSTING_BLOCK_SCHEMA
+    tok_rows = toks.withColumn("split_id", F.lit(0))
+    blocks = (
+        tok_rows.repartition("shard_id", "field", "term", "split_id")
+        .sortWithinPartitions(
+            "shard_id", "field", "term", "split_id", "__docid", "pos"
+        )
+        .mapInArrow(_sorted_block_builder(cfg.block_size), schema=POSTING_BLOCK_SCHEMA)
     )
     blocks.write.partitionBy("shard_id").mode("append").parquet(store.postings_path)
 
@@ -258,15 +262,28 @@ def compact(spark: SparkSession, store: IndexStore) -> Dict[str, Any]:
     block_size = int(store.read_meta().get("block_size", 128))
 
     def rewrite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from byzer_retrieval_spark.functions.encoding import (
+            varbyte_decode,
+            varbyte_encode_segments,
+        )
+
         shard_id, fld, term = int(key[0]), key[1], key[2]
+        pdf = pdf.sort_values("first_doc")
         docs, tfs, dls, _ = decode_rows(
             pdf["doc_gaps"], pdf["tfs"], pdf["dls"], pdf["first_doc"]
         )
-        order = np.argsort(docs, kind="stable")
-        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        # position-delta segments are self-contained per POSTING (absolute
+        # first value), so re-cutting blocks = re-slicing the token stream
+        pos_deltas = np.concatenate(
+            [varbyte_decode(b).astype(np.int64) for b in pdf["positions"]]
+        ) if len(pdf) else np.empty(0, dtype=np.int64)
         keep = ~np.isin(docs, tomb_arr)
+        tok_keep = np.repeat(keep, tfs)
         docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        pos_deltas = pos_deltas[tok_keep]
         rows = []
+        tok_off = np.zeros(docs.size + 1, dtype=np.int64)
+        np.cumsum(tfs, out=tok_off[1:])
         for s in range(0, docs.size, block_size):
             e = min(s + block_size, docs.size)
             ids = docs[s:e]
@@ -280,6 +297,9 @@ def compact(spark: SparkSession, store: IndexStore) -> Dict[str, Any]:
                     varbyte_encode(gaps),
                     varbyte_encode(tfs[s:e].astype(np.uint64)),
                     varbyte_encode(dls[s:e].astype(np.uint64)),
+                    varbyte_encode(
+                        pos_deltas[tok_off[s]:tok_off[e]].astype(np.uint64)
+                    ),
                 )
             )
         return pd.DataFrame(

@@ -59,17 +59,31 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
             .select("_score", *stored)
         )
 
-    if parsed.empty or (not parsed.scoring_terms and not parsed.must):
+    if parsed.empty or (not parsed.scoring_terms and not parsed.scoring_phrases):
         # no scoring clauses (incl. pure-negative queries): Lucene's
         # BooleanQuery with only prohibited clauses matches nothing
         return (
             docs.select(F.lit(0.0).alias("_score"), *stored).limit(0)
         )
 
-    all_terms = list(dict.fromkeys(parsed.scoring_terms + parsed.must_not))
+    all_terms = list(
+        dict.fromkeys(parsed.scoring_terms + parsed.must_not + parsed.phrase_terms)
+    )
     scoring = set(parsed.scoring_terms)
     must = set(parsed.must)
     must_not = set(parsed.must_not)
+    phrase_specs = (
+        [(f"__pm{i}", p, "must") for i, p in enumerate(parsed.must_phrases)]
+        + [(f"__ps{i}", p, "should") for i, p in enumerate(parsed.phrases)]
+        + [(f"__pn{i}", p, "not") for i, p in enumerate(parsed.not_phrases)]
+    )
+    for pkey, _, kind in phrase_specs:
+        if kind in ("should", "must"):
+            scoring.add(pkey)
+        if kind == "must":
+            must.add(pkey)
+        if kind == "not":
+            must_not.add(pkey)
 
     blocks = ctx.postings().filter(
         F.col("field").isin(fields) & F.col("term").isin(all_terms)
@@ -107,7 +121,77 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         ),
     )
 
-    agg = scored.groupBy("__docid").agg(
+    contrib = scored.select("__docid", "term", "part_score")
+
+    # ---- phrase clauses: position-join verification ----------------------
+    # Lucene PhraseQuery parity: phrase_tf = count of exact slop-0
+    # occurrences (positions of member j shifted by -j, equi-joined);
+    # idf = Σ idf(member) with multiplicity (BM25Similarity.idfExplain
+    # over the phrase's TermStatistics array); tfnorm as for terms.
+    if phrase_specs:
+        from collections import Counter
+
+        pos_flat = flat_postings(
+            ctx.postings().filter(
+                F.col("field").isin(fields)
+                & F.col("term").isin(list(parsed.phrase_terms))
+            ),
+            with_positions=True,
+        )
+        for pkey, terms, kind in phrase_specs:
+            joined = None
+            for j, t in enumerate(terms):
+                pj = pos_flat.filter(F.col("term") == t).select(
+                    "field",
+                    "__docid",
+                    *(["dl"] if j == 0 else []),
+                    F.explode("positions").alias("__p"),
+                )
+                pj = pj.withColumn("__p0", F.col("__p") - F.lit(j)).drop("__p")
+                joined = (
+                    pj if j == 0 else joined.join(pj, ["field", "__docid", "__p0"])
+                )
+            ptf = joined.groupBy("field", "__docid", "dl").agg(
+                F.count("*").alias("__ptf")
+            )
+            mult = ctx.spark.createDataFrame(
+                [(t, c) for t, c in Counter(terms).items()],
+                "term string, __mult int",
+            )
+            idf_p = (
+                stats.join(F.broadcast(mult), "term")
+                .withColumn(
+                    "__idf",
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                    ),
+                )
+                .groupBy("field", "avgdl")
+                .agg(F.sum(F.col("__idf") * F.col("__mult")).alias("__idf_sum"))
+            )
+            pc = ptf.join(F.broadcast(idf_p), "field").select(
+                "__docid",
+                F.lit(pkey).alias("term"),
+                (
+                    F.col("__idf_sum")
+                    * (
+                        F.col("__ptf")
+                        / (
+                            F.col("__ptf")
+                            + F.lit(k1)
+                            * (
+                                F.lit(1.0 - b)
+                                + F.lit(b) * F.col("dl") / F.col("avgdl")
+                            )
+                        )
+                    )
+                ).alias("part_score"),
+            )
+            contrib = contrib.unionByName(pc)
+
+    agg = contrib.groupBy("__docid").agg(
         F.sum(
             F.when(F.col("term").isin(list(scoring)), F.col("part_score")).otherwise(
                 F.lit(0.0)

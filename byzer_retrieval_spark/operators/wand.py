@@ -90,14 +90,51 @@ def _overlap_mask(firsts: np.ndarray, lasts: np.ndarray,
     return out
 
 
+def _phrase_match(
+    datas: Dict[str, tuple], terms: Tuple[str, ...]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact slop-0 phrase occurrences from per-term decoded postings.
+
+    ``datas[t] = (docs, tfs, dls, abs_pos)``. Returns (docs, phrase_tf)
+    for docs with >= 1 occurrence. All-vectorized: occurrence candidates
+    are (doc_rank << 32 | start_pos) keys intersected across the
+    phrase's term sequence — Lucene's exact PhraseQuery semantics
+    (matches counted by distinct start position).
+    """
+    cand = None
+    for t in dict.fromkeys(terms):
+        d = datas[t][0]
+        cand = d if cand is None else cand[np.isin(cand, d)]
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    keys = None
+    for j, t in enumerate(terms):
+        docs, tfs, dls, pos = datas[t]
+        pmask = np.isin(docs, cand)
+        tok_mask = np.repeat(pmask, tfs)
+        doc_tok = np.repeat(docs, tfs)[tok_mask]
+        p0 = pos[tok_mask] - j
+        ok = p0 >= 0
+        kj = (np.searchsorted(cand, doc_tok[ok]) << np.int64(32)) | p0[ok]
+        keys = kj if keys is None else np.intersect1d(keys, kj)
+        if keys.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    didx = (keys >> np.int64(32)).astype(np.int64)
+    ptf = np.bincount(didx, minlength=cand.size)
+    hit = ptf > 0
+    return cand[hit], ptf[hit]
+
+
 def _make_shard_scorer(
     field_stats: Dict[str, Tuple[float, float]],  # field → (n_docs, avgdl)
+    scoring_terms: Tuple[str, ...],
     must_terms: Tuple[str, ...],
     not_terms: Tuple[str, ...],
     k: int,
     k1: float,
     b: float,
     gate_mode: str = "none",
+    phrase_specs: Tuple[Tuple[str, Tuple[str, ...], str], ...] = (),
 ):
     """idf is derived in-task from the broadcast-joined ``df`` column —
     no eager stats collect on the driver, so a whole search is ONE job.
@@ -107,8 +144,18 @@ def _make_shard_scorer(
     Occur.FILTER in the collector); 'deny' — gate members are excluded
     (tombstones); 'none' — ungated (plain groupBy, no cogroup).
     Gating only removes docs, so block-max pruning stays lossless.
+
+    ``phrase_specs``: (key, terms, kind in should|must|not) per phrase
+    clause. Phrases are scored exactly (positions decoded in-task,
+    occurrence-key intersection); block pruning is disabled when phrases
+    are present (a phrase's score isn't bounded by per-block term stats
+    we track per clause — exhaustive per-shard scoring stays vectorized
+    and bounded by the query terms' postings).
     """
-    n_must = len(set(must_terms))
+    scoring_set = set(scoring_terms)
+    n_must = len(set(must_terms)) + len(
+        {key for key, _, kind in phrase_specs if kind == "must"}
+    )
     not_set = set(not_terms)
     _EMPTY = np.empty(0, dtype=np.int64)
 
@@ -130,9 +177,9 @@ def _make_shard_scorer(
             excl = np.unique(docs)
 
         cl: List[dict] = []
-        # everything that isn't a pure-NOT term is a scoring clause (the
-        # postings scan was already filtered to the query's terms)
-        sc_pdf = pdf[~is_not]
+        # only the query's scoring terms become clauses (phrase-member
+        # terms ride along in pdf solely for position verification)
+        sc_pdf = pdf[pdf["term"].isin(scoring_set)]
         for (fld, term), g in sc_pdf.groupby(["field", "term"], sort=False):
             g = g.sort_values("first_doc")
             n_docs, avgdl = field_stats[fld]
@@ -152,10 +199,88 @@ def _make_shard_scorer(
                     dls=g["dls"].tolist(),
                 )
             )
-        if not cl:
+        if not cl and not phrase_specs:
             return pd.DataFrame({"shard_id": [], "__docid": [], "score": []}).astype(
                 {"shard_id": np.int32, "__docid": np.int64, "score": np.float64}
             )
+
+        def merge_phrases(uniq, scores, must_cnt):
+            """Fold phrase-clause matches into the term-level result:
+            scores add Σidf·tfnorm(phrase_tf) per field (Lucene
+            PhraseWeight: idf summed over member term stats), must
+            phrases raise must_cnt once per clause, not-phrases extend
+            the exclusion set. Returns updated (uniq, scores, must_cnt,
+            excl)."""
+            from byzer_retrieval_spark.operators.decode import (
+                absolute_positions,
+                decode_position_deltas,
+            )
+
+            nonlocal excl
+            needed = {t for _, terms, _ in phrase_specs for t in terms}
+            per_key_docs: Dict[Tuple[str, str], List[np.ndarray]] = {}
+            add_docs: List[np.ndarray] = []
+            add_parts: List[np.ndarray] = []
+            for fld in sorted(set(pdf["field"]) & set(field_stats)):
+                fp = pdf[pdf["field"] == fld]
+                datas: Dict[str, tuple] = {}
+                dfs: Dict[str, float] = {}
+                for t in needed & set(fp["term"]):
+                    g = fp[fp["term"] == t].sort_values("first_doc")
+                    docs, tfs, dls, _ = decode_rows(
+                        g["doc_gaps"], g["tfs"], g["dls"], g["first_doc"]
+                    )
+                    pos = absolute_positions(
+                        decode_position_deltas(g["positions"]), tfs
+                    )
+                    datas[t] = (docs, tfs, dls, pos)
+                    dfs[t] = float(g["df"].iloc[0])
+                n_docs, avgdl = field_stats[fld]
+                for pkey, terms, kind in phrase_specs:
+                    if any(t not in datas for t in terms):
+                        continue
+                    pdocs, ptf = _phrase_match(datas, terms)
+                    if pdocs.size == 0:
+                        continue
+                    per_key_docs.setdefault((pkey, kind), []).append(pdocs)
+                    if kind in ("should", "must"):
+                        idf_sum = sum(
+                            math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                            for t in terms
+                        )
+                        d0 = datas[terms[0]]
+                        dl = d0[2][np.searchsorted(d0[0], pdocs)].astype(np.float64)
+                        ptff = ptf.astype(np.float64)
+                        add_docs.append(pdocs)
+                        add_parts.append(
+                            idf_sum
+                            * (ptff / (ptff + k1 * (1.0 - b + b * dl / avgdl)))
+                        )
+            not_docs = [
+                d
+                for (pkey, kind), ds in per_key_docs.items()
+                if kind == "not"
+                for d in ds
+            ]
+            if not_docs:
+                excl = np.union1d(excl, np.concatenate(not_docs))
+            uniq2 = (
+                np.union1d(uniq, np.concatenate(add_docs)) if add_docs else uniq
+            )
+            scores2 = np.zeros(uniq2.size)
+            must2 = np.zeros(uniq2.size, dtype=np.int64)
+            if uniq.size:
+                idx = np.searchsorted(uniq2, uniq)
+                scores2[idx] = scores
+                must2[idx] = must_cnt
+            for d, p in zip(add_docs, add_parts):
+                scores2[np.searchsorted(uniq2, d)] += p
+            for (pkey, kind), ds in per_key_docs.items():
+                if kind != "must":
+                    continue
+                u = np.unique(np.concatenate(ds))
+                must2[np.searchsorted(uniq2, u)] += 1
+            return uniq2, scores2, must2
 
         def exact(selections: List[np.ndarray]):
             """Exact scores over selected blocks; returns (docs, scores,
@@ -203,7 +328,7 @@ def _make_shard_scorer(
         total_blocks = sum(c["firsts"].size for c in cl)
         all_sel = [np.arange(c["firsts"].size) for c in cl]
 
-        if total_blocks > PRUNE_MIN_BLOCKS:
+        if total_blocks > PRUNE_MIN_BLOCKS and not phrase_specs:
             # ---- phase 0: bounds --------------------------------------
             term_max = np.array([float(c["ub"].max()) for c in cl])
             others = term_max.sum() - term_max  # Σ other clauses' max ub
@@ -267,6 +392,8 @@ def _make_shard_scorer(
                 mask = gate(uniq, scores, must_cnt) if uniq.size else np.zeros(0, dtype=bool)
         else:
             uniq, scores, must_cnt = exact(all_sel)
+            if phrase_specs:
+                uniq, scores, must_cnt = merge_phrases(uniq, scores, must_cnt)
             mask = gate(uniq, scores, must_cnt) if uniq.size else np.zeros(0, dtype=bool)
 
         docs_f, scores_f = uniq[mask], scores[mask]
@@ -327,11 +454,18 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     parsed = parse_keyword(query.keyword, ctx.analyzer)
     if parsed.match_all or parsed.empty:
         return None
-    if not parsed.scoring_terms:
+    if not parsed.scoring_terms and not parsed.scoring_phrases:
         return None
     fields = [f for f in (query.fields or ctx.analyzed_fields) if f in ctx.analyzed_fields]
     k = query.limit
-    all_terms = list(dict.fromkeys(parsed.scoring_terms + parsed.must_not))
+    all_terms = list(
+        dict.fromkeys(parsed.scoring_terms + parsed.must_not + parsed.phrase_terms)
+    )
+    phrase_specs = tuple(
+        [(f"__pm{i}", p, "must") for i, p in enumerate(parsed.must_phrases)]
+        + [(f"__ps{i}", p, "should") for i, p in enumerate(parsed.phrases)]
+        + [(f"__pn{i}", p, "not") for i, p in enumerate(parsed.not_phrases)]
+    )
 
     # term stats ride along via a broadcast join of the (pruned) stats
     # scan — no eager driver collect, so the whole search stays ONE job.
@@ -340,24 +474,31 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     stats = ctx.stats().filter(
         F.col("field").isin(fields) & F.col("term").isin(all_terms)
     ).select("field", "term", "df")
-    blocks = ctx.postings().filter(
-        F.col("field").isin(fields) & F.col("term").isin(all_terms)
-    ).select(
+    block_cols = [
         "shard_id", "field", "term", "first_doc", "last_doc",
         "max_tf", "min_dl", "doc_gaps", "tfs", "dls",
-    ).join(F.broadcast(stats), ["field", "term"])
+    ]
+    if phrase_specs:
+        # positions read ONLY for phrase queries (column pruning keeps
+        # the extra varbyte column off every non-phrase scan)
+        block_cols.append("positions")
+    blocks = ctx.postings().filter(
+        F.col("field").isin(fields) & F.col("term").isin(all_terms)
+    ).select(*block_cols).join(F.broadcast(stats), ["field", "term"])
     field_stats = {
         f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
     }
     gate_df, gate_mode = gate_frame(ctx, query.filters, ctx.doc_bits)
     scorer = _make_shard_scorer(
         field_stats,
+        tuple(parsed.scoring_terms),
         tuple(parsed.must),
         tuple(parsed.must_not),
         k,
         ctx.k1,
         ctx.b,
         gate_mode,
+        phrase_specs,
     )
     if gate_mode == "none":
         return blocks.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)

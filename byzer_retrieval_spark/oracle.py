@@ -58,6 +58,30 @@ class BM25Oracle:
         df = self.df.get(term, 0)
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
+    def phrase_tf(self, i: int, terms: Sequence[str]) -> int:
+        """Exact slop-0 phrase occurrences in doc i (count of start
+        positions, like Lucene's ExactPhraseMatcher)."""
+        toks = self.toks[i]
+        m = len(terms)
+        if m == 0 or len(toks) < m:
+            return 0
+        return sum(
+            1
+            for s in range(len(toks) - m + 1)
+            if all(toks[s + j] == terms[j] for j in range(m))
+        )
+
+    def score_phrase(self, i: int, terms: Sequence[str]) -> Optional[float]:
+        """PhraseQuery BM25: tf = phrase freq; idf = Σ idf(member) with
+        multiplicity (BM25Similarity.idfExplain over the phrase's
+        TermStatistics array); length norm as for terms."""
+        ptf = self.phrase_tf(i, terms)
+        if ptf == 0:
+            return None
+        idf_sum = sum(self.idf(t) for t in terms)
+        dl = float(self.dl[i])
+        return idf_sum * (ptf / (ptf + K1 * (1.0 - B + B * dl / self.avgdl)))
+
     def score_doc(self, i: int, terms: Sequence[str]) -> Optional[float]:
         """Sum of idf*tfnorm over matching scoring terms; None if no match."""
         total, matched = 0.0, False
@@ -89,19 +113,26 @@ class BM25Oracle:
             if parsed.empty:
                 continue
             # boolean gates (non-scoring semantics of MUST_NOT; MUST both
-            # gates and scores)
+            # gates and scores) — phrase clauses gate/score like terms
             if any(self.tf[i].get(t, 0) > 0 for t in parsed.must_not):
+                continue
+            if any(self.phrase_tf(i, p) > 0 for p in parsed.not_phrases):
                 continue
             if parsed.must and not all(self.tf[i].get(t, 0) > 0 for t in parsed.must):
                 continue
-            if not parsed.must and not parsed.should:
+            if parsed.must_phrases and not all(
+                self.phrase_tf(i, p) > 0 for p in parsed.must_phrases
+            ):
+                continue
+            if not (parsed.must or parsed.should or parsed.scoring_phrases):
                 continue  # pure-negative query matches nothing (Lucene)
             s = self.score_doc(i, parsed.scoring_terms)
-            if parsed.must and s is None:
-                s = 0.0  # unreachable: musts matched implies a match
-            if s is None:
+            p_parts = [self.score_phrase(i, p) for p in parsed.scoring_phrases]
+            p_score = sum(x for x in p_parts if x is not None)
+            p_matched = any(x is not None for x in p_parts)
+            if s is None and not p_matched and not parsed.must:
                 continue
-            out.append((row[self.key_field], s))
+            out.append((row[self.key_field], (s or 0.0) + p_score))
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:limit]
 

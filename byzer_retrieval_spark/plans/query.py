@@ -91,12 +91,16 @@ class SearchQuery:
 
 @dataclass(frozen=True)
 class ParsedKeyword:
-    """SimpleQueryParser subset: OR of should + MUST / MUST_NOT terms."""
+    """SimpleQueryParser subset: OR of SHOULD clauses + MUST / MUST_NOT,
+    where a clause is a term or a quoted phrase ("a b", slop 0)."""
 
     should: Tuple[str, ...]
     must: Tuple[str, ...]
     must_not: Tuple[str, ...]
     match_all: bool = False
+    phrases: Tuple[Tuple[str, ...], ...] = ()       # SHOULD phrases
+    must_phrases: Tuple[Tuple[str, ...], ...] = ()
+    not_phrases: Tuple[Tuple[str, ...], ...] = ()
 
     @property
     def scoring_terms(self) -> Tuple[str, ...]:
@@ -105,14 +109,45 @@ class ParsedKeyword:
         return tuple(dict.fromkeys(self.must + self.should))
 
     @property
+    def scoring_phrases(self) -> Tuple[Tuple[str, ...], ...]:
+        # MUST phrases score too (like MUST terms)
+        return tuple(dict.fromkeys(self.must_phrases + self.phrases))
+
+    @property
+    def all_phrases(self) -> Tuple[Tuple[str, ...], ...]:
+        return tuple(
+            dict.fromkeys(self.must_phrases + self.phrases + self.not_phrases)
+        )
+
+    @property
+    def phrase_terms(self) -> Tuple[str, ...]:
+        """Every distinct term appearing in any phrase (their postings —
+        with positions — must be scanned)."""
+        out: List[str] = []
+        for p in self.all_phrases:
+            out.extend(p)
+        return tuple(dict.fromkeys(out))
+
+    @property
     def empty(self) -> bool:
-        return not (self.should or self.must or self.must_not or self.match_all)
+        return not (
+            self.should or self.must or self.must_not or self.match_all
+            or self.all_phrases
+        )
+
+
+_PHRASE_RE = None  # compiled lazily (module import order)
 
 
 def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeyword:
     """Parse the keyword string; terms are run through the same analyzer
     as the index (the reference parses with the same WhitespaceAnalyzer
-    it indexes with, RetrievalWorker.java:339)."""
+    it indexes with, RetrievalWorker.java:339). Quoted segments become
+    phrase clauses (Lucene SimpleQueryParser ``"..."`` syntax,
+    RetrievalWorker.java:339-341); a one-token phrase degrades to a term
+    (as Lucene's PhraseQuery rewrite does)."""
+    import re as _re
+
     if keyword is None or keyword.strip() == "":
         return ParsedKeyword((), (), ())
     if keyword.strip() == MATCH_ALL:
@@ -120,10 +155,32 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
     should: List[str] = []
     must: List[str] = []
     must_not: List[str] = []
+    p_should: List[Tuple[str, ...]] = []
+    p_must: List[Tuple[str, ...]] = []
+    p_not: List[Tuple[str, ...]] = []
+
+    def on_phrase(m: "_re.Match") -> str:
+        prefix, body = m.group(1), m.group(2)
+        toks = tuple(tokenize_py(body, mode))
+        if not toks:
+            return " "
+        t_bucket, p_bucket = should, p_should
+        if prefix == "+":
+            t_bucket, p_bucket = must, p_must
+        elif prefix == "-":
+            t_bucket, p_bucket = must_not, p_not
+        if len(toks) == 1:
+            t_bucket.append(toks[0])
+        else:
+            p_bucket.append(toks)
+        return " "
+
+    rest = _re.sub(r'([+-]?)"([^"]*)"', on_phrase, keyword)
+
     # split with the SAME whitespace class the analyzers use (not
     # Python's Unicode str.split), so query-side segmentation can never
     # disagree with index-side tokenization
-    for raw in (t for t in _WS_RE.split(keyword) if t):
+    for raw in (t for t in _WS_RE.split(rest) if t):
         bucket = should
         if raw.startswith("+") and len(raw) > 1:
             bucket, raw = must, raw[1:]
@@ -131,7 +188,12 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
             bucket, raw = must_not, raw[1:]
         for tok in tokenize_py(raw, mode):
             bucket.append(tok)
-    return ParsedKeyword(tuple(should), tuple(must), tuple(must_not))
+    return ParsedKeyword(
+        tuple(should), tuple(must), tuple(must_not),
+        phrases=tuple(p_should),
+        must_phrases=tuple(p_must),
+        not_phrases=tuple(p_not),
+    )
 
 
 # ---------------------------------------------------------------------

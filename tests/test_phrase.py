@@ -1,0 +1,92 @@
+"""Phrase queries (Lucene SimpleQueryParser '"..."' syntax,
+RetrievalWorker.java:339-341): rank identity across the WAND fast path,
+the DataFrame path, and the brute-force oracle, with phrase clauses in
+SHOULD / MUST / MUST_NOT roles and positions round-tripping through
+upsert and compaction."""
+
+import numpy as np
+import pytest
+
+from byzer_retrieval_spark.operators.scorer_df import search_df
+from byzer_retrieval_spark.operators.wand import search_fast
+from byzer_retrieval_spark.oracle import BM25Oracle
+from byzer_retrieval_spark.plans.query import SearchQuery, parse_keyword
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_rows):
+    return BM25Oracle(corpus_rows, text_field="content", key_field="_id")
+
+
+def test_parse_phrases():
+    p = parse_keyword('"a b" +"c d e" -"x y" foo +bar -baz "solo"')
+    assert p.phrases == (("a", "b"),)
+    assert p.must_phrases == (("c", "d", "e"),)
+    assert p.not_phrases == (("x", "y"),)
+    # one-token phrases degrade to terms, keeping their +/- role
+    assert "solo" in p.should and "bar" in p.must and "baz" in p.must_not
+    assert set(p.phrase_terms) == {"a", "b", "c", "d", "e", "x", "y"}
+
+
+PHRASE_QUERIES = [
+    ('"import import"', 10),
+    ('"import return"', 10),
+    ('"def if" class', 10),          # phrase + should term
+    ('+"import return" -lambda', 10),  # must phrase + not term
+    ('self -"import import"', 10),   # not phrase
+    ('"return if public"', 10),      # 3-term phrase
+]
+
+
+@pytest.mark.parametrize("keyword,k", PHRASE_QUERIES)
+def test_phrase_rank_identity(corpus_engine, oracle, keyword, k):
+    q = SearchQuery(keyword=keyword, fields=["content"], limit=k)
+    ctx = corpus_engine.ctx()
+    exp = oracle.search(keyword, limit=k)
+    fast = [(r["_id"], r["_score"]) for r in search_fast(ctx, q).collect()]
+    slow = [(r["_id"], r["_score"]) for r in search_df(ctx, q).collect()]
+    assert [f[0] for f in fast] == [e[0] for e in exp] == [s[0] for s in slow]
+    if fast:
+        np.testing.assert_allclose(
+            [f[1] for f in fast], [e[1] for e in exp], rtol=1e-9
+        )
+
+
+def test_phrase_has_matches(corpus_engine, oracle):
+    """Guard against a vacuous test: the corpus must actually contain
+    the tested phrases."""
+    exp = oracle.search('"import import"', limit=5)
+    assert len(exp) > 0
+
+
+def test_phrase_survives_upsert_and_compact(spark, corpus_rows, tmp_path):
+    """Positions must round-trip through the delta (upsert) path and the
+    compaction re-encode."""
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+
+    eng = RetrievalEngine(spark, str(tmp_path / "idx"))
+    rows = [
+        {"_id": "1", "content": "alpha beta gamma"},
+        {"_id": "2", "content": "beta alpha beta gamma"},
+        {"_id": "3", "content": "gamma beta alpha"},
+    ]
+    eng.build(
+        spark.createDataFrame(rows),
+        cfg=IndexConfig(num_shards=2, analyzed_fields=("content",), id_columns=()),
+        resume=False,
+    )
+    q = SearchQuery(keyword='"beta gamma"', fields=["content"], limit=10)
+    ids = [r["_id"] for r in eng.search(q).collect()]
+    assert set(ids) == {"1", "2"}
+
+    # upsert doc 3 so it now contains the phrase (delta segment)
+    eng.upsert(spark.createDataFrame([{"_id": "3", "content": "beta gamma beta gamma"}]))
+    ids = [r["_id"] for r in eng.search(q).collect()]
+    assert "3" in ids and set(ids) == {"1", "2", "3"}
+
+    # delete doc 1 and compact: positions re-encoded per surviving posting
+    eng.delete_by_ids(["1"])
+    eng.compact()
+    ids = [r["_id"] for r in eng.search(q).collect()]
+    assert set(ids) == {"2", "3"}
