@@ -253,8 +253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_token_counts,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
-        "dedup_minhash_lsh": _q_minhash_lsh,       # rows-only (no SQL oracle)
-        "dedup_simhash": _q_simhash,               # rows-only (no SQL oracle)
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
         "embedding_cosine_topk": _q_cosine_topk,
         "embedding_near_dup_pairs": _q_embedding_pairs,
         "embedding_lsh_topk": _q_lsh_topk,         # rows-only (approximate)
@@ -390,6 +390,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE ni / (sa.sz + sb.sz - ni) >= 0.5
         """,
+        # minhash-LSH verifies candidates with EXACT Jaccard, so its
+        # output is the exact-Jaccard pair set whenever banding recall
+        # is exhaustive — with k=64/b=32 (S-curve ≥ 0.9999 at j=0.5)
+        # it equals the brute-force pair SQL at every test SF.
+        "dedup_minhash_lsh": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+              )) AS s
+              FROM t WHERE len(toks) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(ni / (sa.sz + sb.sz - ni), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ni / (sa.sz + sb.sz - ni) >= 0.5
+        """,
         "rel_agg_lineitem": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -409,6 +437,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_spent DESC, custkey ASC LIMIT 20
         """,
     }
+    # simhash: the engine's pigeonhole bucketing is EXACT for
+    # max_hamming < segments, and the signature itself (md5-60bit, pure
+    # Catalyst) has a value-identical DuckDB twin — so the oracle is the
+    # brute-force all-pairs popcount over the same signatures.
+    from byzer_retrieval_spark.functions.dedup import simhash_sql
+
+    sqls["dedup_simhash"] = f"""
+        WITH s AS ({simhash_sql("documents", "doc_id", "text")})
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.sig, b.sig))::INT AS hamming
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """
     # text_lang_id / text_quality / embedding ops get their SQL from the
     # function library so Spark expr and oracle can never drift
     from byzer_retrieval_spark.functions.text import (
@@ -588,32 +629,38 @@ def _rounded_recall(spark, sf, keyword) -> DataFrame:
 
 
 def _q_fusion_score_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Routes through operators/fusion.score_sum_fuse so the oracle gate
+    certifies the SHIPPED operator (M3), not an inline reimplementation."""
+    from byzer_retrieval_spark.operators.fusion import score_sum_fuse
+
+    n = _documents(spark, sf).count()
     a = _rounded_recall(spark, sf, "merge").withColumnRenamed("score", "_score")
     b = _rounded_recall(spark, sf, "vector").withColumnRenamed("score", "_score")
-    u = a.unionByName(b)
-    return (
-        u.groupBy("_id")
-        .agg(F.round(F.sum("_score"), 5).alias("score"))
-        .select(F.col("_id").cast("long").alias("doc_id"), "score")
+    fused = score_sum_fuse([a, b], limit=n)
+    return fused.select(
+        F.col("_id").cast("long").alias("doc_id"),
+        F.round("_score", 5).alias("score"),
     )
 
 
 def _q_fusion_rrf(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    """Routes through operators/fusion.rrf_fuse (M2). The recalls carry
+    5dp-rounded scores and _id as a STRING (the engine's tie-break key),
+    matching the oracle's rank windows exactly."""
+    from byzer_retrieval_spark.operators.fusion import rrf_fuse
 
-    parts = []
-    for kw in ("merge", "vector"):
-        r = _bm25_all(spark, sf, kw)
-        w = Window.orderBy(
-            F.col("score").desc(), F.col("doc_id").cast("string").asc()
-        )
-        parts.append(
-            r.withColumn("rnk", F.row_number().over(w) - 1).select(
-                "doc_id", (F.lit(1.0) / (F.col("rnk") + F.lit(60.0))).alias("c")
-            )
-        )
-    u = parts[0].unionByName(parts[1])
-    return u.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    n = _documents(spark, sf).count()
+    recalls = [
+        _bm25_all(spark, sf, kw)
+        .select(F.col("doc_id").cast("string").alias("_id"),
+                F.col("score").alias("_score"))
+        for kw in ("merge", "vector")
+    ]
+    fused = rrf_fuse(recalls, limit=n)
+    return fused.select(
+        F.col("_id").cast("long").alias("doc_id"),
+        F.round("_score", 6).alias("score"),
+    )
 
 
 def _q_delete_requery(spark: SparkSession, sf: str) -> DataFrame:
@@ -748,15 +795,23 @@ def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 def _q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from byzer_retrieval_spark.functions.dedup import minhash_lsh_dup_pairs
 
-    return minhash_lsh_dup_pairs(
+    out = minhash_lsh_dup_pairs(
         _documents(spark, sf), "doc_id", "text", threshold=0.5
+    )
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"
     )
 
 
 def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from byzer_retrieval_spark.functions.dedup import simhash_dup_pairs
 
-    return simhash_dup_pairs(_documents(spark, sf), "doc_id", "text", max_hamming=3)
+    out = simhash_dup_pairs(_documents(spark, sf), "doc_id", "text", max_hamming=3)
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("int"),
+    )
 
 
 def _query_vec() -> list[float]:

@@ -10,32 +10,33 @@ code corpus), with the scalable plan spelled out:
                 shingle-equality self-join. Quadratic in bucket size —
                 correct small-scale oracle, and the verifier for the
                 approximate methods below.
-- minhash-lsh:  k min-hashes over shingle hashes (vectorized numpy UDF),
-                banded into b bands of r rows; docs sharing any band
-                bucket are candidates (one groupBy on (band, signature)),
-                then candidates are verified with exact Jaccard. This is
-                THE 100 TB path: cost ~ O(N·k) + one shuffle on band keys.
-- simhash:      64-bit weighted-hyperplane fingerprint; near-dup iff
-                hamming distance ≤ t. Banded into 4 16-bit segments →
-                candidates share a segment (pigeonhole: ham ≤ 3 ⇒ some
-                segment equal), verified by popcount. One shuffle.
+- minhash-lsh:  k min-hashes over xxhash64 shingle hashes, computed
+                ENTIRELY JVM-side (k MIN aggregates with map-side
+                partial aggregation — no Python in the path), banded
+                into b bands of r rows; docs sharing any band bucket are
+                candidates (one shuffle), then verified with exact
+                Jaccard. This is THE 100 TB path: cost ~ O(N·k) + one
+                shuffle on band keys, and verification makes the output
+                a SUBSET of the exact-Jaccard pairs by construction.
+- simhash:      60-bit weighted-sign fingerprint over md5-hashed tokens,
+                pure Catalyst expressions with a value-identical DuckDB
+                SQL twin; near-dup iff hamming ≤ t. Pigeonhole segment
+                bucketing (4 × 15-bit) is EXACT for t ≤ 3: the output
+                equals brute-force all-pairs popcount. One shuffle.
 - embedding:    cosine ≥ τ near-dups; exact small-scale via self-join,
                 scalable via random-hyperplane LSH buckets (see
                 similarity.py).
 
-All numeric hashing uses splitmix64/xxhash-style mixing with fixed
-seeds — deterministic across runs and partitionings.
+All hashing is fix-seeded and deterministic across runs/partitionings.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, List
+from typing import List
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
 
 from byzer_retrieval_spark.functions.text import tokens_expr
 
@@ -131,71 +132,72 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: with h, a, b < 2^31 the affine form a*h+b stays
+# under 2^63, so the permutations run as plain Catalyst long arithmetic
+# with no overflow (Spark 4 runs ANSI mode; wrapping multiply would
+# throw). 2^31 hash space is ample for min-hash uniformity.
+_MERSENNE = (1 << 31) - 1
 
 
 def _perm_params(k: int, seed: int = 42):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
     return a, b
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64,
     shingle_n: int = 3, seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<long>) — k min-hash values per doc, computed in a
-    vectorized Arrow UDF (numpy: hash shingles once, then k affine
-    permutations over the Mersenne prime)."""
+    """(id, sig: array<long>) — k min-hash values per doc, computed
+    ENTIRELY JVM-side: shingles hash with xxhash64 (whole-stage
+    codegen), and each of the k affine permutations
+    ``pmod(a_i*h + b_i, p)`` is a MIN aggregate over the exploded
+    shingle rows (partial aggregation collapses per-task before the one
+    shuffle on id). No Python in the path at all — this replaces a
+    per-shingle-string Python FNV loop that dominated the old version.
+
+    Docs with no shingles (fewer than n tokens) produce no row — they
+    cannot be near-duplicates of anything by Jaccard ≥ t > 0.
+    """
     a, b = _perm_params(num_hashes, seed)
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf(ArrayType(LongType()))
-    def sig_udf(shingles: pd.Series) -> pd.Series:
-        out = []
-        for arr in shingles:
-            if arr is None or len(arr) == 0:
-                out.append(np.full(num_hashes, np.iinfo(np.int64).max).tolist())
-                continue
-            h = np.array(
-                [np.uint64(hash_str(s)) for s in arr], dtype=np.uint64
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(text_col, shingle_n)).alias("__sh"),
+    ).select(
+        "id",
+        # top 31 bits of xxhash64 → h in [0, 2^31)
+        F.shiftrightunsigned(F.xxhash64("__sh"), 33).alias("__h"),
+    )
+    aggs = [
+        F.min(
+            F.pmod(
+                F.col("__h") * F.lit(int(a[i])) + F.lit(int(b[i])),
+                F.lit(_MERSENNE),
             )
-            # k affine perms: (a*h + b) mod p, take min per perm
-            vals = (h[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
-
-    def hash_str(s: str) -> int:
-        # deterministic 64-bit string hash (FNV-1a then splitmix)
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        return int(_splitmix64(np.array([h], dtype=np.uint64))[0])
-
-    return df.select(
-        F.col(id_col).alias("id"), shingles_expr(text_col, shingle_n).alias("__sh")
-    ).select("id", sig_udf("__sh").alias("sig"))
+        ).alias(f"__s{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id", F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64,
-    bands: int = 16, shingle_n: int = 3, threshold: float = 0.8, seed: int = 42,
+    bands: int = 32, shingle_n: int = 3, threshold: float = 0.8, seed: int = 42,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact-Jaccard verification.
 
     Scale path: signatures are one narrow pass; candidates come from ONE
     groupBy on (band_id, band_signature); only candidate pairs are
-    verified. With k=64, b=16 (r=4) the S-curve crosses ~0.5 at
-    j≈(1/16)^(1/4)≈0.5 — catches j≥0.8 with prob ≈1-(1-j^4)^16 > 0.999.
+    verified. Defaults k=64, b=32 (r=2): the S-curve catches j≥0.5 with
+    prob 1-(1-j²)^32 ≥ 0.9999 (≈1-1e-13 at j=0.8) — empirically
+    exhaustive on the driver's test tables, where the output equals the
+    exact-Jaccard pair set (the DuckDB oracle). Verification makes
+    false positives impossible, so output ⊆ exact pairs always.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -253,48 +255,84 @@ def minhash_lsh_dup_pairs(
 # ---------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------
+# 60-bit fingerprint. Token hash = first 15 hex chars of md5(token)
+# (md5 is the one hash Spark and DuckDB share byte-for-byte, and 60 bits
+# keeps the value inside a signed int64 in both engines), so the WHOLE
+# simhash — hashing, per-bit weighted sums, sign bits — is expressible
+# identically as Catalyst expressions and as the DuckDB oracle SQL.
 
-def simhash_udf(num_bits: int = 64):
-    from pyspark.sql.functions import pandas_udf
+SIMHASH_BITS = 60
+SIMHASH_SEGMENTS = 4  # 4 × 15-bit segments: hamming ≤ 3 ⇒ one segment equal
 
-    @pandas_udf(LongType())
-    def sim(toks: pd.Series) -> pd.Series:
-        out = np.zeros(len(toks), dtype=np.int64)
-        for i, arr in enumerate(toks):
-            if arr is None or len(arr) == 0:
-                out[i] = 0
-                continue
-            vals, counts = np.unique(np.asarray(arr, dtype=object), return_counts=True)
-            hs = np.array(
-                [_fnv1a64(str(v)) for v in vals], dtype=np.uint64
+
+def simhash_expr_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sig) — pure-Catalyst simhash: explode tokens → per-(id,token)
+    counts → 60 per-bit weighted-sign sums in ONE hash aggregate → sign
+    bits packed into a long. No Python anywhere (the old version looped
+    a Python FNV per token string inside a pandas UDF)."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_expr(F.col(text_col))).alias("t")
+    )
+    cnt = tok.groupBy("id", "t").agg(F.count("*").alias("cnt"))
+    hv = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    cnt = cnt.withColumn("hv", hv)
+    bit_aggs = [
+        F.sum(
+            F.col("cnt")
+            * (
+                F.shiftright(F.col("hv"), k).bitwiseAND(F.lit(1)) * F.lit(2)
+                - F.lit(1)
             )
-            bits = ((hs[:, None] >> np.arange(num_bits, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
-            w = counts.astype(np.float64)[:, None]
-            acc = (w * (2.0 * bits - 1.0)).sum(axis=0)
-            sig = np.uint64(0)
-            for bpos in np.nonzero(acc > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
+        ).alias(f"__b{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    acc = cnt.groupBy("id").agg(*bit_aggs)
+    sig = None
+    for k in range(SIMHASH_BITS):
+        term = F.when(F.col(f"__b{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return acc.select("id", sig.alias("sig"))
 
-    return sim
 
+def simhash_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of simhash_expr_df — same md5-60-bit hash, same
+    per-bit fold, so signatures agree value-for-value."""
+    from byzer_retrieval_spark.functions.text import tokens_sql
 
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    toks = tokens_sql(text_col)
+    bit_sums = ", ".join(
+        f"sum(cnt * (((hv >> {k}) & 1) * 2 - 1)) AS b{k}"
+        for k in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN {1 << k}::BIGINT ELSE 0 END)"
+        for k in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT {id_col} AS id, unnest({toks}) AS t FROM {table}),
+cnt AS (
+  SELECT id, t, count(*)::BIGINT AS cnt,
+         ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+  FROM tok GROUP BY id, t
+),
+acc AS (SELECT id, {bit_sums} FROM cnt GROUP BY id)
+SELECT id, ({sig}) AS sig FROM acc
+"""
 
 
 def simhash_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming via 4-segment
-    pigeonhole bucketing (one shuffle), verified by popcount."""
-    sigs = df.select(
-        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__t")
-    ).select("id", simhash_udf()("__t").alias("sig"))
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via pigeonhole
+    segment bucketing (one shuffle), verified by popcount. With
+    max_hamming ≤ SIMHASH_SEGMENTS-1 the output is EXACTLY the set of
+    pairs at hamming ≤ max_hamming (pigeonhole: fewer differing bits
+    than segments ⇒ some segment is untouched) — a real oracle, not an
+    approximation."""
+    seg_bits = SIMHASH_BITS // SIMHASH_SEGMENTS
+    sigs = simhash_expr_df(df, id_col, text_col)
     segs = sigs.select(
         "id",
         "sig",
@@ -303,11 +341,11 @@ def simhash_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("seg"),
-                        F.shiftrightunsigned(F.col("sig"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sig"), i * seg_bits)
+                        .bitwiseAND(F.lit((1 << seg_bits) - 1))
                         .alias("sval"),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_SEGMENTS)
                 ]
             )
         ).alias("s"),
