@@ -58,6 +58,34 @@ def _engine_for(spark: SparkSession, sf_dir: str) -> RetrievalEngine:
     return eng
 
 
+def _engine_hybrid_for(spark: SparkSession, sf_dir: str) -> RetrievalEngine:
+    """Index over documents ⋈ embeddings (text + stored vector column) —
+    exercises the SearchQuery vector path (Q3) and the keyword+vector
+    RRF hybrid dispatch (Q4/M2) end-to-end through api.search."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    eng = RetrievalEngine(spark, os.path.join(IDX_ROOT, tag))
+    store = eng.store("db", "hybrid")
+    if store.current_snapshot() is None:
+        docs = _documents(spark, sf_dir)
+        emb = _embeddings(spark, sf_dir)
+        src = docs.join(emb, docs.doc_id == emb.vec_id).select(
+            F.col("doc_id").cast("string").alias("_id"),
+            "doc_id",
+            "text",
+            "lang",
+            "embedding",
+        )
+        eng.build(
+            src,
+            database="db",
+            table="hybrid",
+            cfg=IndexConfig(num_shards=4, analyzed_fields=("text",), id_columns=()),
+            resume=True,
+            source_desc=f"{sf_dir} documents+embeddings",
+        )
+    return eng
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -207,6 +235,67 @@ SELECT doc_id, round(sum(sc), 5) AS score FROM u GROUP BY doc_id
 """
 
 
+def _hybrid_rrf_sql(terms: list[str], k: int) -> str:
+    """Oracle for the keyword+vector RRF hybrid: two top-k recalls
+    ranked by RAW (unrounded) scores with (score desc, doc_id-as-string
+    asc) tie-break — exactly api.search's dispatch → rrf_fuse."""
+    from byzer_retrieval_spark.functions.similarity import cosine_sql_expr
+
+    sc_list = ", ".join(f"'{t}'" for t in terms)
+    c = cosine_sql_expr("v.embedding", _query_vec())
+    return f"""
+WITH corpus AS (
+  -- the hybrid index is built over documents ⋈ embeddings, so ALL
+  -- keyword stats (N, df, avgdl) are relative to the joined corpus
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN embeddings v ON v.vec_id = d.doc_id
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM corpus
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+kw AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS s
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ({sc_list}) GROUP BY tf.doc_id
+  ORDER BY s DESC, CAST(tf.doc_id AS VARCHAR) ASC LIMIT {k}
+),
+vec AS (
+  SELECT d.doc_id, {c} AS s
+  FROM documents d JOIN embeddings v ON v.vec_id = d.doc_id
+  ORDER BY {c} DESC, CAST(d.doc_id AS VARCHAR) ASC LIMIT {k}
+),
+rk AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY s DESC, CAST(doc_id AS VARCHAR) ASC) - 1 AS r FROM kw
+),
+rv AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY s DESC, CAST(doc_id AS VARCHAR) ASC) - 1 AS r FROM vec
+),
+u AS (
+  SELECT doc_id, 1.0 / (r + 60) AS cb FROM rk
+  UNION ALL SELECT doc_id, 1.0 / (r + 60) FROM rv
+),
+fz AS (SELECT doc_id, sum(cb) AS s FROM u GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM fz
+ORDER BY s DESC, CAST(doc_id AS VARCHAR) ASC LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------
@@ -257,7 +346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "embedding_cosine_topk": _q_cosine_topk,
         "embedding_near_dup_pairs": _q_embedding_pairs,
-        "embedding_lsh_topk": _q_lsh_topk,         # rows-only (approximate)
+        "embedding_lsh_topk": _q_lsh_topk,
+        "embedding_lsh_dup_pairs": _q_lsh_dup_pairs,
+        # --- SearchQuery vector + hybrid dispatch (Q3/Q4/M2) -------------
+        "vector_search_filtered": _q_vector_search,
+        "hybrid_keyword_vector_rrf": _q_hybrid_rrf,
         # --- relational breadth (Spark-side bonus; not in the reference,
         #     see SURVEY §2.2) ------------------------------------------
         "rel_agg_lineitem": _q_rel_agg,
@@ -481,6 +574,29 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT vec_id AS id, round({c}, 6) AS cosine FROM embeddings "
         f"ORDER BY {c} DESC, vec_id ASC LIMIT 10"
     )
+    # exact-mode LSH (probe = num_planes) returns exact top-k, but its
+    # cosine runs over float-cast-then-double vectors via the generic
+    # pairwise expression — same brute-force oracle as above
+    sqls["embedding_lsh_topk"] = sqls["embedding_cosine_topk"]
+    sqls["embedding_lsh_dup_pairs"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e) /
+                     (sqrt(list_dot_product(a.e, a.e)) *
+                      sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) *
+               sqrt(list_dot_product(b.e, b.e))) >= 0.5
+    """
+    c2 = cosine_sql_expr("v.embedding", _query_vec())
+    sqls["vector_search_filtered"] = (
+        f"SELECT d.doc_id, round({c2}, 6) AS cosine "
+        "FROM documents d JOIN embeddings v ON v.vec_id = d.doc_id "
+        "WHERE d.lang = 'en' "
+        f"ORDER BY {c2} DESC, CAST(d.doc_id AS VARCHAR) ASC LIMIT 10"
+    )
+    sqls["hybrid_keyword_vector_rrf"] = _hybrid_rrf_sql(["merge", "vector"], 10)
     sqls["embedding_near_dup_pairs"] = """
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -843,12 +959,82 @@ def _q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from byzer_retrieval_spark.functions.similarity import lsh_cosine_topk
+def _lsh_index_for(
+    spark: SparkSession, sf: str, name: str, num_planes: int, num_tables: int
+):
+    """Build-once persisted LSH index over the sf dir's embeddings."""
+    from byzer_retrieval_spark.functions.similarity import LshVectorIndex
 
-    emb = _embeddings(spark, sf)
-    out = lsh_cosine_topk(emb, "vec_id", "embedding", _query_vec(), k=10)
-    return out.select(F.col("id").cast("long"), F.round("cosine", 5).alias("cosine"))
+    tag = os.path.basename(os.path.normpath(sf))
+    idx = LshVectorIndex(
+        os.path.join(IDX_ROOT, tag, name),
+        num_planes=num_planes,
+        num_tables=num_tables,
+    )
+    if not idx.exists():
+        emb = _embeddings(spark, sf)
+        dim = len(emb.select("embedding").first()["embedding"])
+        idx.build(emb, "vec_id", "embedding", dim=dim)
+    return idx
+
+
+def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted-LSH ANN: probe_hamming = num_planes → exact top-k, so
+    the brute-force cosine SQL is a true oracle (the pruned-probe recall
+    + partition-pruning plan are pinned by pytest)."""
+    idx = _lsh_index_for(spark, sf, "lsh12x2", num_planes=12, num_tables=2)
+    out = idx.topk(spark, _query_vec(), k=10, probe_hamming=12)
+    return out.select(F.col("id").cast("long"), "cosine")
+
+
+def _q_lsh_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed near-dup pairs (the scale path for embedding dedup):
+    candidates share an LSH bucket in any of 16 two-plane tables
+    (miss prob ≤ (1-p²)^16 with p = 1-θ/π; ≈ 8e-5 even at cosine 0.5),
+    verified by exact cosine — empirically equal to the all-pairs oracle
+    on every test SF."""
+    idx = _lsh_index_for(spark, sf, "lsh2x16", num_planes=2, num_tables=16)
+    out = idx.dup_pairs(spark, threshold=0.5)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
+    )
+
+
+def _q_vector_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered exact KNN through the SearchQuery path (Q3): cosine over
+    the stored embedding column with a non-scoring lang filter,
+    reproducing Lucene's filtered KnnFloatVectorQuery semantics
+    (RetrievalWorker.java:346-366)."""
+    eng = _engine_hybrid_for(spark, sf)
+    q = SearchQuery(
+        vector=_query_vec(),
+        vector_field="embedding",
+        filters={"and": [{"field": "lang", "value": "en"}]},
+        limit=10,
+    )
+    out = eng.search(q, "db", "hybrid")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("_score", 6).alias("cosine"),
+    )
+
+
+def _q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword+vector hybrid through api.search: two recalls fused with
+    RRF (isRRF = keyword && vectorField, LocalRetrievalMaster.java:185)."""
+    eng = _engine_hybrid_for(spark, sf)
+    q = SearchQuery(
+        keyword="merge vector",
+        fields=["text"],
+        vector=_query_vec(),
+        vector_field="embedding",
+        limit=10,
+    )
+    out = eng.search(q, "db", "hybrid")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("_score", 6).alias("score"),
+    )
 
 
 def _q_rel_agg(spark: SparkSession, sf: str) -> DataFrame:

@@ -382,9 +382,10 @@ def simhash_dup_pairs(
 def embedding_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Exact cosine ≥ threshold pairs (self-join; small-scale oracle —
-    the scalable path buckets by random-hyperplane LSH first, see
-    similarity.random_hyperplane_buckets)."""
+    """Exact cosine ≥ threshold pairs (all-pairs self-join; small-scale
+    oracle ONLY — the scalable path is
+    similarity.LshVectorIndex.dup_pairs, which joins on persisted
+    (tbl, bucket) keys instead of all-pairs)."""
     dot = F.aggregate(
         F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
         F.lit(0.0),

@@ -10,9 +10,11 @@ equivalents:
   strictly better recall than HNSW (recall 1.0), and on a cluster the
   scan parallelizes perfectly. Filters compose as ordinary Column
   predicates BEFORE scoring — exactly Lucene's filtered-KNN semantics.
-- APPROXIMATE path at extreme scale: random-hyperplane LSH bucketing
-  (functions/similarity.lsh_cosine_topk) — bucket ids become partition
-  columns so Catalyst prunes whole partitions.
+- APPROXIMATE path at extreme scale: the persisted
+  functions/similarity.LshVectorIndex — bucket ids are PARTITION
+  columns computed at build time, so a query's probe set prunes whole
+  bucket directories (the engine's analog of the reference's
+  index-time HNSW graph).
 """
 
 from __future__ import annotations

@@ -173,11 +173,11 @@ def test_simhash_near_dups(dup_df):
     assert (4, 5) not in pairs
 
 
-def test_embedding_near_dup_and_topk(spark, embeddings):
+def test_embedding_near_dup_and_topk(spark, embeddings, tmp_path):
     from byzer_retrieval_spark.functions.dedup import embedding_dup_pairs
     from byzer_retrieval_spark.functions.similarity import (
+        LshVectorIndex,
         brute_force_cosine_topk,
-        lsh_cosine_topk,
     )
 
     sub = embeddings.limit(60)
@@ -191,23 +191,44 @@ def test_embedding_near_dup_and_topk(spark, embeddings):
     assert exact[0] == 0  # self is most similar
     # the testdata embeddings are near-random (best neighbor cosine ~0.33,
     # bit-agreement p~0.6) — LSH's job is HIGH-similarity retrieval, so
-    # assert (a) the query itself is always found, (b) recall beats the
-    # candidate-fraction baseline
-    approx = lsh_cosine_topk(
-        embeddings, "vec_id", "embedding", q, k=10,
-        num_planes=12, probe_hamming=3, num_tables=2,
-    ).collect()
+    # assert (a) the query itself is always found, (b) exact mode
+    # (probe >= planes) reproduces brute force identically
+    idx = LshVectorIndex(str(tmp_path / "lsh"), num_planes=12, num_tables=2)
+    idx.build(embeddings, "vec_id", "embedding", dim=len(q))
+    approx = idx.topk(spark, q, k=10, probe_hamming=3).collect()
     assert approx[0]["id"] == 0 and approx[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
+    exact_mode = [r["id"] for r in idx.topk(spark, q, k=10, probe_hamming=12).collect()]
+    assert exact_mode == exact
 
 
-def test_lsh_recall_on_planted_near_dups(spark):
+def test_lsh_index_partition_pruning(spark, embeddings, tmp_path):
+    """The probe must reach the scan as PARTITION filters (whole bucket
+    directories pruned) — the point of build-time bucketing."""
+    import io
+    from contextlib import redirect_stdout
+
+    from byzer_retrieval_spark.functions.similarity import LshVectorIndex
+
+    q = embeddings.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    idx = LshVectorIndex(str(tmp_path / "lsh"), num_planes=12, num_tables=2)
+    idx.build(embeddings, "vec_id", "embedding", dim=len(q))
+    plan_buf = io.StringIO()
+    with redirect_stdout(plan_buf):
+        idx.topk(spark, q, k=10, probe_hamming=2).explain("formatted")
+    plan = plan_buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("bucket" in l and "tbl" in l for l in pf_lines), pf_lines
+
+
+def test_lsh_recall_on_planted_near_dups(spark, tmp_path):
     """LSH must reliably retrieve true near-duplicates (cosine >= 0.95):
     plant 20 perturbed copies of a base vector among 480 random ones."""
     import numpy as np
 
     from byzer_retrieval_spark.functions.similarity import (
+        LshVectorIndex,
         brute_force_cosine_topk,
-        lsh_cosine_topk,
     )
 
     rng = np.random.default_rng(123)
@@ -222,14 +243,25 @@ def test_lsh_recall_on_planted_near_dups(spark):
     df = spark.createDataFrame(rows, ["id", "vec"])
     qv = (base / np.linalg.norm(base)).tolist()
     exact = [r["id"] for r in brute_force_cosine_topk(df, "id", "vec", qv, k=10).collect()]
-    approx = [
-        r["id"]
-        for r in lsh_cosine_topk(
-            df, "id", "vec", qv, k=10, num_planes=12, probe_hamming=2, num_tables=2
-        ).collect()
-    ]
+    idx = LshVectorIndex(str(tmp_path / "lsh_planted"), num_planes=12, num_tables=2)
+    idx.build(df, "id", "vec", dim=32)
+    approx = [r["id"] for r in idx.topk(spark, qv, k=10, probe_hamming=2).collect()]
     recall = len(set(exact) & set(approx)) / 10.0
     assert recall >= 0.9, f"LSH recall on planted near-dups {recall}"
+
+    # the bucketed dup-pair path finds the planted near-dup pairs exactly
+    from byzer_retrieval_spark.functions.dedup import embedding_dup_pairs
+
+    exact_pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(df, "id", "vec", threshold=0.95).collect()
+    )
+    idx2 = LshVectorIndex(str(tmp_path / "lsh_pairs"), num_planes=2, num_tables=16)
+    idx2.build(df, "id", "vec", dim=32)
+    lsh_pairs = sorted(
+        (r["id_a"], r["id_b"]) for r in idx2.dup_pairs(spark, threshold=0.95).collect()
+    )
+    assert lsh_pairs == exact_pairs
 
 
 def test_cosine_topk_matches_duckdb(embeddings):
