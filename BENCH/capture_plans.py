@@ -1,0 +1,137 @@
+"""Regenerate BENCH/PLANS.md: formatted physical plans for the query
+paths that matter at 100 TB, with the properties to check annotated.
+
+Run: python BENCH/capture_plans.py   (≈2 min, local[8], 200-doc index)
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def cap(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.functions.similarity import LshVectorIndex
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+    from byzer_retrieval_spark.operators.scorer_df import search_df
+    from byzer_retrieval_spark.operators.wand import search_fast, search_wand
+    from byzer_retrieval_spark.plans.query import SearchQuery
+    from byzer_retrieval_spark.session import get_spark
+    from byzer_retrieval_spark.sources.corpus import gen_rows
+
+    spark = get_spark(app_name="plans", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = "/tmp/plans_idx"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = RetrievalEngine(spark, root)
+    eng.build(
+        spark.createDataFrame(gen_rows(200)),
+        cfg=IndexConfig(num_shards=4, hot_term_split_threshold=64),
+        resume=False,
+    )
+    ctx = eng.ctx()
+
+    sections = []
+
+    q = SearchQuery(keyword="def return", fields=["content"], limit=10)
+    sections.append(("WAND per-shard plan (search_wand)", cap(search_wand(ctx, q))))
+    sections.append(
+        ("WAND end-to-end with stored fields (search_fast) — check "
+         "dynamicpruning on the docs scan's PartitionFilters",
+         cap(search_fast(ctx, q)))
+    )
+
+    qf = SearchQuery(
+        keyword="def return", fields=["content"],
+        filters={"and": [{"field": "lang", "value": "java"}]}, limit=10,
+    )
+    sections.append(
+        ("FILTERED WAND (gate cogrouped into the scorer) — check the "
+         "FlatMapCoGroupsInPandas with the pushed lang filter on the "
+         "docs-side gate scan",
+         cap(search_fast(ctx, qf)))
+    )
+
+    qp = SearchQuery(keyword='"def return"', fields=["content"], limit=10)
+    sections.append(
+        ("PHRASE query — check ReadSchema now includes positions (and "
+         "ONLY phrase queries read it)",
+         cap(search_wand(ctx, qp)))
+    )
+
+    sections.append(
+        ("DataFrame scorer (search_df) — oracle-grade slow path",
+         cap(search_df(ctx, q)))
+    )
+
+    qm = SearchQuery(
+        filters={"and": [{"field": "lang", "value": "java"}]},
+        sorts=[{"size": "desc"}] if "size" in ctx.stored_columns() else [],
+        limit=10,
+    )
+    sections.append(("Filter-mode query (no scoring)", cap(eng.filter(qm))))
+
+    # LSH probe plan: partition pruning on (tbl, bucket)
+    emb_rows = [(i, [float((i * 7 + j) % 13) / 13.0 for j in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(emb_rows, ["id", "vec"])
+    idx = LshVectorIndex("/tmp/plans_lsh", num_planes=8, num_tables=2)
+    idx.build(emb, "id", "vec", dim=16)
+    qv = [0.3] * 16
+    sections.append(
+        ("LSH vector index probe — check PartitionFilters on (tbl, bucket)",
+         cap(idx.topk(spark, qv, k=5, probe_hamming=1)))
+    )
+
+    hdr = """# BENCH/PLANS.md — physical-plan review (`.explain("formatted")`)
+
+Captured on the 200-doc smoke index (layout identical at any scale) by
+`python BENCH/capture_plans.py`. What to check, per the scale mandate —
+and what the plans show:
+
+- **Predicate pushdown reaches the parquet scans**: postings scans show
+  `PushedFilters: [EqualTo(field,content), In(term, [...])]` (and
+  `StringStartsWith` for prefix queries) — postings are term-sorted
+  within files, so row-group min/max prune everything but the query's
+  terms (the Spark analog of Lucene's term-dictionary seek).
+- **Column pruning**: `ReadSchema` on postings scans carries only the
+  block columns the scorer needs; the `positions` varbyte column is
+  read ONLY by phrase queries; `content` never exists in any query-time
+  table (analyze ⇒ Store.NO).
+- **All joins broadcast**; the stored-field materialization broadcasts
+  the ≤ shards·k winners INTO the docs scan on (shard_id, __docid), and
+  the docs scan's PartitionFilters shows `dynamicpruningexpression(
+  shard_id IN dynamicpruning#N)` — only winner shards are read.
+- **Filtered search stays in-task**: the filter tree becomes a
+  (shard_id, __docid) gate DataFrame cogrouped with the posting blocks
+  (`FlatMapCoGroupsInPandas`) — no driver round-trip, no plan literals;
+  tombstones ride the same mechanism (deny gate) or anti-joins.
+- **LSH vector probes prune partitions**: the probe set appears as
+  `PartitionFilters: [(tbl = t) AND bucket IN (...)]` — whole bucket
+  directories are skipped, never scanned.
+- **AQE on** (`AdaptiveSparkPlan`).
+
+Raw captures below.
+"""
+    out = [hdr]
+    for title, plan in sections:
+        out.append(f"\n```\n{'=' * 30} {title} {'=' * 30}\n{plan}\n```\n")
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
+        f.write("".join(out))
+    print("wrote BENCH/PLANS.md")
+
+
+if __name__ == "__main__":
+    main()

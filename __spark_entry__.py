@@ -235,6 +235,48 @@ SELECT doc_id, round(sum(sc), 5) AS score FROM u GROUP BY doc_id
 """
 
 
+def _bm25_prefix_sql(stem: str, terms: list[str]) -> str:
+    """BM25 over (should terms) + a ``stem*`` prefix clause scored with
+    Lucene's CONSTANT_SCORE rewrite (1.0 per matching doc per clause) —
+    mirrors the engine's prefix handling in both scorer paths."""
+    return _bm25_constscore_sql(f"term LIKE '{stem}%'", terms)
+
+
+def _bm25_constscore_sql(term_pred: str, terms: list[str]) -> str:
+    """BM25 over (should terms) + one multi-term clause selected by
+    ``term_pred`` and scored CONSTANT 1.0 per matching doc (Lucene's
+    constant-score rewrite for PrefixQuery / FuzzyQuery)."""
+    sc_list = ", ".join(f"'{t}'" for t in terms) or "''"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+tscore AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS sc
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ({sc_list}) GROUP BY tf.doc_id
+),
+px AS (
+  SELECT DISTINCT doc_id FROM toks WHERE {term_pred}
+),
+u AS (
+  SELECT doc_id, sc FROM tscore
+  UNION ALL SELECT doc_id, 1.0 AS sc FROM px
+)
+SELECT doc_id, round(sum(sc), 5) AS score FROM u GROUP BY doc_id
+"""
+
+
 def _hybrid_rrf_sql(terms: list[str], k: int) -> str:
     """Oracle for the keyword+vector RRF hybrid: two top-k recalls
     ranked by RAW (unrounded) scores with (score desc, doc_id-as-string
@@ -320,6 +362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": lambda spark, sf: _bm25_all(
             spark, sf, 'merge "part filter"'
         ),
+        "bm25_prefix": lambda spark, sf: _bm25_all(spark, sf, "mer* vector"),
+        "bm25_fuzzy": lambda spark, sf: _bm25_all(spark, sf, "merg~1 vector"),
         "term_stats": _q_term_stats,
         # --- filters / match-all / sorts (F1-F5, L1-L4, M5) -------------
         "match_all_filter": _q_match_all_filter,
@@ -368,6 +412,10 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "vector"], doc_filter="d.lang = 'en'"
         ),
         "bm25_phrase": _bm25_phrase_sql(["part", "filter"], ["merge"]),
+        "bm25_prefix": _bm25_prefix_sql("mer", ["vector"]),
+        "bm25_fuzzy": _bm25_constscore_sql(
+            "levenshtein(term, 'merg') <= 1", ["vector"]
+        ),
         "term_stats": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents

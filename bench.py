@@ -66,7 +66,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    work = f"/tmp/bench_byzer_{sf_tag}_{cpus}"
+    tag = os.environ.get("BENCH_WORKDIR_TAG", "")
+    work = f"/tmp/bench_byzer_{sf_tag}_{cpus}" + (f"_{tag}" if tag else "")
     shutil.rmtree(work, ignore_errors=True)
     corpus_path = os.path.join(work, "corpus.parquet")
     # corpus generation is input setup, not benchmarked work

@@ -99,6 +99,7 @@ class RetrievalEngine:
             block_size=int(m.get("block_size", 128)),
             k1=float(m.get("k1", 1.2)),
             b=float(m.get("b", 0.75)),
+            lucene_dl_quantization=bool(m.get("lucene_dl_quantization", False)),
         )
 
     # ---- write path ----------------------------------------------------

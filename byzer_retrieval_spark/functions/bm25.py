@@ -95,6 +95,29 @@ def quantize_dl(dl: np.ndarray) -> np.ndarray:
     return res.reshape(np.asarray(dl).shape)
 
 
+def representable_dls(max_dl: int = 2**31 - 1):
+    """Sorted distinct values the byte4 code can represent (≤ 256)."""
+    vals = sorted({_byte4_to_int(b) for b in range(256)})
+    return [v for v in vals if v <= max_dl]
+
+
+def quantize_dl_expr(col):
+    """Catalyst expression of quantize_dl: the byte4 code rounds DOWN to
+    the nearest representable value, so quantized(dl) = max{r in R :
+    r <= dl} over the 256-value representable set — computed as a fold
+    over a literal array (JVM-side, once per DOC row)."""
+    from pyspark.sql import functions as F
+
+    reps = representable_dls()
+    arr = F.array(*[F.lit(int(v)) for v in reps])
+    idx = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, x: acc + F.when(col >= x, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.element_at(arr, idx)
+
+
 def score_terms(tfs: np.ndarray, dls: np.ndarray, dfs: np.ndarray,
                 n_docs: float, avgdl: float) -> np.ndarray:
     """Vectorized per-(term,doc) partial scores: idf * tfnorm (float64)."""

@@ -93,6 +93,27 @@ def filtered_docs(
     return docs.filter(cond)
 
 
+def expand_fuzzy(
+    ctx: IndexContext, fields, word: str, max_edits: int
+) -> Tuple[str, ...]:
+    """Terms within classic Levenshtein distance of ``word`` — Lucene's
+    FuzzyQuery dictionary expansion, as a scan of the (tiny, term-sorted)
+    stats table. Deviations, documented: classic Levenshtein (Spark's
+    built-in; Lucene uses Damerau — a transposition counts as 2 edits
+    here) and no 50-term expansion cap."""
+    rows = (
+        ctx.stats()
+        .filter(
+            F.col("field").isin(list(fields))
+            & (F.levenshtein(F.col("term"), F.lit(word)) <= max_edits)
+        )
+        .select("term")
+        .distinct()
+        .collect()
+    )
+    return tuple(sorted(r["term"] for r in rows))
+
+
 def gate_frame(
     ctx: IndexContext, filters: Dict[str, Any], doc_bits: int
 ) -> Tuple[Optional[DataFrame], str]:

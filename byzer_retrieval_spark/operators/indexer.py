@@ -106,6 +106,10 @@ class IndexConfig:
     use_arrow_udf_tokenizer: bool = False  # expr path is the JVM hot path
     k1: float = 1.2
     b: float = 0.75
+    # Lucene-faithful 1-byte dl norms (SmallFloat byte4): quantizes the
+    # dl stored in posting blocks; avgdl stays exact. Default off = our
+    # exact-dl semantics (strictly more precise, documented deviation).
+    lucene_dl_quantization: bool = False
 
 
 def _derive_ids(df: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -347,6 +351,8 @@ def build_index(
             old.get("num_shards") != cfg.num_shards
             or old.get("analyzer") != cfg.analyzer
             or old.get("analyzed_fields") != list(cfg.analyzed_fields)
+            or bool(old.get("lucene_dl_quantization", False))
+            != cfg.lucene_dl_quantization
         ):
             # layout-incompatible rebuild: stale shard partitions from a
             # different num_shards/analyzer must not survive a dynamic
@@ -473,7 +479,20 @@ def build_index(
                     toks_col.alias("__toks"),
                 )
                 if with_dl:
-                    d = d.withColumn("dl", F.size("__toks"))
+                    # scoring dl rides into the posting blocks; when
+                    # Lucene-faithful quantization is on, blocks carry
+                    # the byte4-rounded dl while the docs table (hence
+                    # avgdl) stays EXACT — exactly Lucene, which decodes
+                    # a 1-byte norm per doc but computes avgdl from
+                    # exact sumTotalTermFreq (SURVEY §1.3)
+                    dl_col = F.size("__toks")
+                    if cfg.lucene_dl_quantization:
+                        from byzer_retrieval_spark.functions.bm25 import (
+                            quantize_dl_expr,
+                        )
+
+                        dl_col = quantize_dl_expr(dl_col)
+                    d = d.withColumn("dl", dl_col)
                 frames.append(
                     # posexplode: the ordinal IS the term position, free
                     # at explode time — no extra pass for positions
@@ -625,6 +644,7 @@ def build_index(
             "k1": cfg.k1,
             "b": cfg.b,
             "doc_bits": DOC_BITS,
+            "lucene_dl_quantization": cfg.lucene_dl_quantization,
         }
     )
     store.write_meta(meta)

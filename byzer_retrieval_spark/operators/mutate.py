@@ -55,6 +55,7 @@ def _cfg_from_meta(meta: Dict[str, Any]) -> IndexConfig:
         block_size=int(meta.get("block_size", 128)),
         k1=float(meta.get("k1", 1.2)),
         b=float(meta.get("b", 0.75)),
+        lucene_dl_quantization=bool(meta.get("lucene_dl_quantization", False)),
     )
 
 
@@ -215,12 +216,20 @@ def upsert(
 
     # delta postings go through the SAME token-level mapInArrow builder
     # as a full build (single shuffle, run-length tf, positions encoded)
+    def _dl_col(f_name: str):
+        c = F.col(f"dl_{f_name}")
+        if cfg.lucene_dl_quantization:
+            from byzer_retrieval_spark.functions.bm25 import quantize_dl_expr
+
+            c = quantize_dl_expr(c)
+        return c
+
     tok_frames = [
         analyzed.select(
             "shard_id",
             "__docid",
             F.lit(f_name).alias("field"),
-            F.col(f"dl_{f_name}").alias("dl"),
+            _dl_col(f_name).alias("dl"),
             F.posexplode(F.col(f"__toks_{f_name}")).alias("pos", "term"),
         )
         for f_name in cfg.analyzed_fields

@@ -59,7 +59,12 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
             .select("_score", *stored)
         )
 
-    if parsed.empty or (not parsed.scoring_terms and not parsed.scoring_phrases):
+    if parsed.empty or (
+        not parsed.scoring_terms
+        and not parsed.scoring_phrases
+        and not parsed.scoring_prefixes
+        and not parsed.scoring_fuzzies
+    ):
         # no scoring clauses (incl. pure-negative queries): Lucene's
         # BooleanQuery with only prohibited clauses matches nothing
         return (
@@ -77,7 +82,25 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         + [(f"__ps{i}", p, "should") for i, p in enumerate(parsed.phrases)]
         + [(f"__pn{i}", p, "not") for i, p in enumerate(parsed.not_phrases)]
     )
-    for pkey, _, kind in phrase_specs:
+    prefix_specs = (
+        [(f"__xm{i}", p, "must") for i, p in enumerate(parsed.must_prefixes)]
+        + [(f"__xs{i}", p, "should") for i, p in enumerate(parsed.prefixes)]
+        + [(f"__xn{i}", p, "not") for i, p in enumerate(parsed.not_prefixes)]
+    )
+    # fuzzy clauses expand against the term dictionary first (Lucene's
+    # FuzzyQuery automaton walk ≙ a scan of the tiny stats table), then
+    # behave as constant-score term-set clauses
+    from byzer_retrieval_spark.operators.filtering import expand_fuzzy
+
+    fuzzy_specs = [
+        (key, expand_fuzzy(ctx, fields, w, n), kind)
+        for key, (w, n), kind in (
+            [(f"__zm{i}", p, "must") for i, p in enumerate(parsed.must_fuzzies)]
+            + [(f"__zs{i}", p, "should") for i, p in enumerate(parsed.fuzzies)]
+            + [(f"__zn{i}", p, "not") for i, p in enumerate(parsed.not_fuzzies)]
+        )
+    ]
+    for pkey, _, kind in phrase_specs + prefix_specs + fuzzy_specs:
         if kind in ("should", "must"):
             scoring.add(pkey)
         if kind == "must":
@@ -190,6 +213,31 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
                 ).alias("part_score"),
             )
             contrib = contrib.unionByName(pc)
+
+    # ---- prefix clauses: CONSTANT_SCORE multi-term expansion -------------
+    # Lucene's SimpleQueryParser builds one PrefixQuery per field; with
+    # the default constant-score rewrite a matching doc contributes
+    # boost=1.0 per field-clause (not BM25 of the expanded terms). The
+    # startswith predicate pushes to the postings scan (StringStartsWith
+    # → parquet row-group pruning on term-sorted blocks).
+    const_score_preds = [
+        (pkey, F.col("term").startswith(stem)) for pkey, stem, kind in prefix_specs
+    ] + [
+        (pkey, F.col("term").isin(list(terms)) if terms else F.lit(False))
+        for pkey, terms, kind in fuzzy_specs
+    ]
+    for pkey, pred in const_score_preds:
+        match = (
+            flat_postings(
+                ctx.postings().filter(F.col("field").isin(fields) & pred)
+            )
+            .select("field", "__docid")
+            .distinct()
+        )
+        pc = match.select(
+            "__docid", F.lit(pkey).alias("term"), F.lit(1.0).alias("part_score")
+        )
+        contrib = contrib.unionByName(pc)
 
     agg = contrib.groupBy("__docid").agg(
         F.sum(

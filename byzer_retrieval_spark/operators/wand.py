@@ -135,6 +135,8 @@ def _make_shard_scorer(
     b: float,
     gate_mode: str = "none",
     phrase_specs: Tuple[Tuple[str, Tuple[str, ...], str], ...] = (),
+    prefix_specs: Tuple[Tuple[str, str, str], ...] = (),
+    termset_specs: Tuple[Tuple[str, Tuple[str, ...], str], ...] = (),
 ):
     """idf is derived in-task from the broadcast-joined ``df`` column —
     no eager stats collect on the driver, so a whole search is ONE job.
@@ -151,10 +153,19 @@ def _make_shard_scorer(
     are present (a phrase's score isn't bounded by per-block term stats
     we track per clause — exhaustive per-shard scoring stays vectorized
     and bounded by the query terms' postings).
+
+    ``prefix_specs``: (key, stem, kind) per ``foo*`` clause — Lucene
+    PrefixQuery with the default CONSTANT_SCORE rewrite: a matching doc
+    contributes 1.0 per field-clause. Pruning is likewise disabled.
+
+    ``termset_specs``: (key, expanded-terms, kind) — pre-expanded
+    multi-term clauses (fuzzy ``foo~N`` after its dictionary walk),
+    scored constant 1.0 per matching field-clause like prefixes.
     """
     scoring_set = set(scoring_terms)
+    extra_specs = tuple(phrase_specs) + tuple(prefix_specs) + tuple(termset_specs)
     n_must = len(set(must_terms)) + len(
-        {key for key, _, kind in phrase_specs if kind == "must"}
+        {key for key, _, kind in extra_specs if kind == "must"}
     )
     not_set = set(not_terms)
     _EMPTY = np.empty(0, dtype=np.int64)
@@ -199,18 +210,19 @@ def _make_shard_scorer(
                     dls=g["dls"].tolist(),
                 )
             )
-        if not cl and not phrase_specs:
+        if not cl and not extra_specs:
             return pd.DataFrame({"shard_id": [], "__docid": [], "score": []}).astype(
                 {"shard_id": np.int32, "__docid": np.int64, "score": np.float64}
             )
 
-        def merge_phrases(uniq, scores, must_cnt):
-            """Fold phrase-clause matches into the term-level result:
-            scores add Σidf·tfnorm(phrase_tf) per field (Lucene
-            PhraseWeight: idf summed over member term stats), must
-            phrases raise must_cnt once per clause, not-phrases extend
-            the exclusion set. Returns updated (uniq, scores, must_cnt,
-            excl)."""
+        def merge_extras(uniq, scores, must_cnt):
+            """Fold phrase- and prefix-clause matches into the
+            term-level result: phrase scores add Σidf·tfnorm(phrase_tf)
+            per field (Lucene PhraseWeight: idf summed over member term
+            stats); prefix clauses add constant 1.0 per matching
+            field-clause (Lucene CONSTANT_SCORE rewrite). MUST clauses
+            raise must_cnt once per clause, NOT clauses extend the
+            exclusion set."""
             from byzer_retrieval_spark.operators.decode import (
                 absolute_positions,
                 decode_position_deltas,
@@ -236,6 +248,27 @@ def _make_shard_scorer(
                     datas[t] = (docs, tfs, dls, pos)
                     dfs[t] = float(g["df"].iloc[0])
                 n_docs, avgdl = field_stats[fld]
+                for pkey, matcher, kind in (
+                    [(pk, ("prefix", st), kd) for pk, st, kd in prefix_specs]
+                    + [(pk, ("set", ts), kd) for pk, ts, kd in termset_specs]
+                ):
+                    g = (
+                        fp[fp["term"].str.startswith(matcher[1])]
+                        if matcher[0] == "prefix"
+                        else fp[fp["term"].isin(set(matcher[1]))]
+                    )
+                    if not len(g):
+                        continue
+                    docs, _, _, _ = decode_rows(
+                        g["doc_gaps"], g["tfs"], g["dls"], g["first_doc"]
+                    )
+                    pdocs = np.unique(docs)
+                    if pdocs.size == 0:
+                        continue
+                    per_key_docs.setdefault((pkey, kind), []).append(pdocs)
+                    if kind in ("should", "must"):
+                        add_docs.append(pdocs)
+                        add_parts.append(np.full(pdocs.size, 1.0))
                 for pkey, terms, kind in phrase_specs:
                     if any(t not in datas for t in terms):
                         continue
@@ -328,7 +361,7 @@ def _make_shard_scorer(
         total_blocks = sum(c["firsts"].size for c in cl)
         all_sel = [np.arange(c["firsts"].size) for c in cl]
 
-        if total_blocks > PRUNE_MIN_BLOCKS and not phrase_specs:
+        if total_blocks > PRUNE_MIN_BLOCKS and not extra_specs:
             # ---- phase 0: bounds --------------------------------------
             term_max = np.array([float(c["ub"].max()) for c in cl])
             others = term_max.sum() - term_max  # Σ other clauses' max ub
@@ -392,8 +425,8 @@ def _make_shard_scorer(
                 mask = gate(uniq, scores, must_cnt) if uniq.size else np.zeros(0, dtype=bool)
         else:
             uniq, scores, must_cnt = exact(all_sel)
-            if phrase_specs:
-                uniq, scores, must_cnt = merge_phrases(uniq, scores, must_cnt)
+            if extra_specs:
+                uniq, scores, must_cnt = merge_extras(uniq, scores, must_cnt)
             mask = gate(uniq, scores, must_cnt) if uniq.size else np.zeros(0, dtype=bool)
 
         docs_f, scores_f = uniq[mask], scores[mask]
@@ -454,7 +487,12 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     parsed = parse_keyword(query.keyword, ctx.analyzer)
     if parsed.match_all or parsed.empty:
         return None
-    if not parsed.scoring_terms and not parsed.scoring_phrases:
+    if (
+        not parsed.scoring_terms
+        and not parsed.scoring_phrases
+        and not parsed.scoring_prefixes
+        and not parsed.scoring_fuzzies
+    ):
         return None
     fields = [f for f in (query.fields or ctx.analyzed_fields) if f in ctx.analyzed_fields]
     k = query.limit
@@ -466,13 +504,40 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         + [(f"__ps{i}", p, "should") for i, p in enumerate(parsed.phrases)]
         + [(f"__pn{i}", p, "not") for i, p in enumerate(parsed.not_phrases)]
     )
+    prefix_specs = tuple(
+        [(f"__xm{i}", p, "must") for i, p in enumerate(parsed.must_prefixes)]
+        + [(f"__xs{i}", p, "should") for i, p in enumerate(parsed.prefixes)]
+        + [(f"__xn{i}", p, "not") for i, p in enumerate(parsed.not_prefixes)]
+    )
+    # fuzzy clauses expand against the term dictionary first (tiny
+    # stats-table scan ≙ Lucene's FuzzyQuery automaton walk), then ride
+    # as constant-score term-set clauses
+    from byzer_retrieval_spark.operators.filtering import expand_fuzzy
+
+    termset_specs = tuple(
+        (key, expand_fuzzy(ctx, fields, w, n), kind)
+        for key, (w, n), kind in (
+            [(f"__zm{i}", p, "must") for i, p in enumerate(parsed.must_fuzzies)]
+            + [(f"__zs{i}", p, "should") for i, p in enumerate(parsed.fuzzies)]
+            + [(f"__zn{i}", p, "not") for i, p in enumerate(parsed.not_fuzzies)]
+        )
+    )
+
+    # term predicate: exact terms + prefix stems + fuzzy expansions —
+    # all push down to the postings scan (In / StringStartsWith on
+    # term-sorted row groups)
+    fuzzy_terms = [t for _, ts, _ in termset_specs for t in ts]
+    in_terms = list(dict.fromkeys(all_terms + fuzzy_terms))
+    term_pred = F.col("term").isin(in_terms) if in_terms else F.lit(False)
+    for _, stem, _ in prefix_specs:
+        term_pred = term_pred | F.col("term").startswith(stem)
 
     # term stats ride along via a broadcast join of the (pruned) stats
     # scan — no eager driver collect, so the whole search stays ONE job.
     # A MUST term absent from the corpus simply never satisfies the
     # must-count gate (no postings → no rows), matching Lucene.
     stats = ctx.stats().filter(
-        F.col("field").isin(fields) & F.col("term").isin(all_terms)
+        F.col("field").isin(fields) & term_pred
     ).select("field", "term", "df")
     block_cols = [
         "shard_id", "field", "term", "first_doc", "last_doc",
@@ -483,7 +548,7 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         # the extra varbyte column off every non-phrase scan)
         block_cols.append("positions")
     blocks = ctx.postings().filter(
-        F.col("field").isin(fields) & F.col("term").isin(all_terms)
+        F.col("field").isin(fields) & term_pred
     ).select(*block_cols).join(F.broadcast(stats), ["field", "term"])
     field_stats = {
         f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
@@ -499,6 +564,8 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         ctx.b,
         gate_mode,
         phrase_specs,
+        prefix_specs,
+        termset_specs,
     )
     if gate_mode == "none":
         return blocks.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)

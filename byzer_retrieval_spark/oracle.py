@@ -71,6 +71,16 @@ class BM25Oracle:
             if all(toks[s + j] == terms[j] for j in range(m))
         )
 
+    def prefix_match(self, i: int, stem: str) -> bool:
+        """PrefixQuery membership: any indexed term starts with stem."""
+        return any(t.startswith(stem) for t in self.tf[i])
+
+    def fuzzy_match(self, i: int, word: str, max_edits: int) -> bool:
+        """FuzzyQuery membership: any indexed term within classic
+        Levenshtein distance (matching Spark/DuckDB ``levenshtein``;
+        Lucene uses Damerau — documented deviation)."""
+        return any(_lev(t, word) <= max_edits for t in self.tf[i])
+
     def score_phrase(self, i: int, terms: Sequence[str]) -> Optional[float]:
         """PhraseQuery BM25: tf = phrase freq; idf = Σ idf(member) with
         multiplicity (BM25Similarity.idfExplain over the phrase's
@@ -124,12 +134,31 @@ class BM25Oracle:
                 self.phrase_tf(i, p) > 0 for p in parsed.must_phrases
             ):
                 continue
-            if not (parsed.must or parsed.should or parsed.scoring_phrases):
+            if any(self.prefix_match(i, p) for p in parsed.not_prefixes):
+                continue
+            if parsed.must_prefixes and not all(
+                self.prefix_match(i, p) for p in parsed.must_prefixes
+            ):
+                continue
+            if any(self.fuzzy_match(i, w, n) for w, n in parsed.not_fuzzies):
+                continue
+            if parsed.must_fuzzies and not all(
+                self.fuzzy_match(i, w, n) for w, n in parsed.must_fuzzies
+            ):
+                continue
+            if not (
+                parsed.must or parsed.should or parsed.scoring_phrases
+                or parsed.scoring_prefixes or parsed.scoring_fuzzies
+            ):
                 continue  # pure-negative query matches nothing (Lucene)
             s = self.score_doc(i, parsed.scoring_terms)
             p_parts = [self.score_phrase(i, p) for p in parsed.scoring_phrases]
             p_score = sum(x for x in p_parts if x is not None)
-            p_matched = any(x is not None for x in p_parts)
+            # prefix/fuzzy clauses: CONSTANT_SCORE rewrite → 1.0 per match
+            x_hits = [self.prefix_match(i, p) for p in parsed.scoring_prefixes]
+            x_hits += [self.fuzzy_match(i, w, n) for w, n in parsed.scoring_fuzzies]
+            p_score += float(sum(x_hits))
+            p_matched = any(x is not None for x in p_parts) or any(x_hits)
             if s is None and not p_matched and not parsed.must:
                 continue
             out.append((row[self.key_field], (s or 0.0) + p_score))
@@ -149,3 +178,20 @@ class BM25Oracle:
             for fname, direction in s.items():
                 rows.sort(key=lambda r: r.get(fname), reverse=str(direction).lower() == "desc")
         return rows[:limit] if limit is not None else rows
+
+
+def _lev(a: str, b: str) -> int:
+    """Classic Levenshtein (insert/delete/substitute), two-row DP."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

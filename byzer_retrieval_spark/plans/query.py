@@ -101,6 +101,12 @@ class ParsedKeyword:
     phrases: Tuple[Tuple[str, ...], ...] = ()       # SHOULD phrases
     must_phrases: Tuple[Tuple[str, ...], ...] = ()
     not_phrases: Tuple[Tuple[str, ...], ...] = ()
+    prefixes: Tuple[str, ...] = ()                  # SHOULD prefixes
+    must_prefixes: Tuple[str, ...] = ()
+    not_prefixes: Tuple[str, ...] = ()
+    fuzzies: Tuple[Tuple[str, int], ...] = ()       # SHOULD (word, max_edits)
+    must_fuzzies: Tuple[Tuple[str, int], ...] = ()
+    not_fuzzies: Tuple[Tuple[str, int], ...] = ()
 
     @property
     def scoring_terms(self) -> Tuple[str, ...]:
@@ -129,10 +135,30 @@ class ParsedKeyword:
         return tuple(dict.fromkeys(out))
 
     @property
+    def scoring_prefixes(self) -> Tuple[str, ...]:
+        return tuple(dict.fromkeys(self.must_prefixes + self.prefixes))
+
+    @property
+    def all_prefixes(self) -> Tuple[str, ...]:
+        return tuple(
+            dict.fromkeys(self.must_prefixes + self.prefixes + self.not_prefixes)
+        )
+
+    @property
+    def scoring_fuzzies(self) -> Tuple[Tuple[str, int], ...]:
+        return tuple(dict.fromkeys(self.must_fuzzies + self.fuzzies))
+
+    @property
+    def all_fuzzies(self) -> Tuple[Tuple[str, int], ...]:
+        return tuple(
+            dict.fromkeys(self.must_fuzzies + self.fuzzies + self.not_fuzzies)
+        )
+
+    @property
     def empty(self) -> bool:
         return not (
             self.should or self.must or self.must_not or self.match_all
-            or self.all_phrases
+            or self.all_phrases or self.all_prefixes or self.all_fuzzies
         )
 
 
@@ -180,12 +206,33 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
     # split with the SAME whitespace class the analyzers use (not
     # Python's Unicode str.split), so query-side segmentation can never
     # disagree with index-side tokenization
+    x_should: List[str] = []
+    x_must: List[str] = []
+    x_not: List[str] = []
+    z_should: List[Tuple[str, int]] = []
+    z_must: List[Tuple[str, int]] = []
+    z_not: List[Tuple[str, int]] = []
+    _FUZZY_RE = _re.compile(r"^(.+?)~(\d*)$")
     for raw in (t for t in _WS_RE.split(rest) if t):
-        bucket = should
+        bucket, xbucket, zbucket = should, x_should, z_should
         if raw.startswith("+") and len(raw) > 1:
-            bucket, raw = must, raw[1:]
+            bucket, xbucket, zbucket, raw = must, x_must, z_must, raw[1:]
         elif raw.startswith("-") and len(raw) > 1:
-            bucket, raw = must_not, raw[1:]
+            bucket, xbucket, zbucket, raw = must_not, x_not, z_not, raw[1:]
+        # `foo~N` / `foo~` → fuzzy clause (SimpleQueryParser FuzzyQuery,
+        # default maxEdits 2); `foo*` → prefix clause (PrefixQuery) —
+        # the analyzer runs on the stem in both cases
+        fz = _FUZZY_RE.match(raw)
+        if fz:
+            stem = tokenize_py(fz.group(1), mode)
+            if len(stem) == 1:
+                zbucket.append((stem[0], int(fz.group(2) or 2)))
+                continue
+        if raw.endswith("*") and len(raw) > 1:
+            stem = tokenize_py(raw[:-1], mode)
+            if len(stem) == 1:
+                xbucket.append(stem[0])
+                continue
         for tok in tokenize_py(raw, mode):
             bucket.append(tok)
     return ParsedKeyword(
@@ -193,6 +240,12 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
         phrases=tuple(p_should),
         must_phrases=tuple(p_must),
         not_phrases=tuple(p_not),
+        prefixes=tuple(x_should),
+        must_prefixes=tuple(x_must),
+        not_prefixes=tuple(x_not),
+        fuzzies=tuple(z_should),
+        must_fuzzies=tuple(z_must),
+        not_fuzzies=tuple(z_not),
     )
 
 
