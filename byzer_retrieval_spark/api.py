@@ -193,10 +193,16 @@ class RetrievalEngine:
         return search_df(self.ctx(database, table), query)
 
     def filter(
-        self, query: SearchQuery, database: str = "default", table: str = "default"
+        self,
+        query: SearchQuery,
+        database: str = "default",
+        table: str = "default",
+        per_shard_limit: bool = False,
     ) -> DataFrame:
-        """Filter-mode query (L1-L4): no scoring, multi-sort, limit."""
-        return filter_query(self.ctx(database, table), query)
+        """Filter-mode query (L1-L4): no scoring, multi-sort, limit.
+        ``per_shard_limit=True`` = the reference's exact L4 behavior
+        (limit per shard, concatenated without a global re-limit)."""
+        return filter_query(self.ctx(database, table), query, per_shard_limit)
 
     def multi_search(
         self,

@@ -290,25 +290,42 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
 
 
 def filter_query(
-    ctx: IndexContext, query: SearchQuery
+    ctx: IndexContext, query: SearchQuery, per_shard_limit: bool = False
 ) -> DataFrame:
     """Filter-mode query: no scoring, boolean tree + multi-sort + limit
     (reference: LocalRetrievalMaster.filter / RetrievalWorker.java:273-307).
 
     Deviation noted in SURVEY §2.1 L4: the reference applies ``limit``
-    per shard and concatenates (up to shards×limit rows); we apply one
-    global limit — the semantically-useful behavior — and keep the
-    reference behavior reachable by not passing a limit.
+    PER SHARD and concatenates (up to shards×limit rows,
+    RetrievalWorker.java:291-294 with no master re-limit). Our default
+    is one global limit — the semantically-useful behavior.
+    ``per_shard_limit=True`` reproduces the reference exactly: top
+    ``limit`` rows per shard by the sort order, concatenated, globally
+    re-sorted (the master's comparator re-sort, RetrievalMaster.java:
+    225-247) but NOT re-limited.
     """
-    from byzer_retrieval_spark.plans.query import sorts_to_columns
-
     from byzer_retrieval_spark.operators.filtering import filtered_docs
+    from byzer_retrieval_spark.plans.query import sorts_to_columns
 
     docs = ctx.docs()
     cand = filtered_docs(ctx, query.filters)
     out = cand if cand is not None else docs
     out = ctx.exclude_tombstones(out)
     sort_cols = sorts_to_columns(query.sorts)
+    if per_shard_limit and query.limit:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shard_id").orderBy(
+            *(sort_cols + [F.col("_id").asc()])
+        )
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= query.limit)
+            .drop("__rn")
+        )
+        return out.orderBy(*(sort_cols + [F.col("_id").asc()])).select(
+            *ctx.stored_columns()
+        )
     # always end with _id asc for determinism
     out = out.orderBy(*(sort_cols + [F.col("_id").asc()]))
     if query.limit:

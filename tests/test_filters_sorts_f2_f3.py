@@ -108,3 +108,27 @@ def test_get_by_ids(f3_engine):
     got = f3_engine.get_by_ids(["file03", "file04"]).collect()
     assert [r["_id"] for r in got] == ["file03", "file04"]
     assert got[0]["raw_content"] == "raw 3"
+
+
+def test_l4_per_shard_limit_strict_compat(corpus_engine):
+    """per_shard_limit=True reproduces the reference's L4 behavior:
+    up to shards x limit rows (limit applied per shard, no global
+    re-limit), a superset of the global-limit result."""
+    from byzer_retrieval_spark.plans.query import SearchQuery
+
+    q = SearchQuery(
+        filters={"and": [{"field": "lang", "value": "python"}]},
+        sorts=[{"path": "asc"}],
+        limit=3,
+    )
+    strict = corpus_engine.filter(q, per_shard_limit=True).collect()
+    glob = corpus_engine.filter(q).collect()
+    num_shards = corpus_engine.ctx().meta["num_shards"]
+    assert len(glob) == 3
+    assert 3 <= len(strict) <= 3 * num_shards
+    # the global top-3 is contained in the per-shard union
+    strict_ids = {r["_id"] for r in strict}
+    assert {r["_id"] for r in glob} <= strict_ids
+    # sorted by the sort spec then _id
+    paths = [(r["path"], r["_id"]) for r in strict]
+    assert paths == sorted(paths)
