@@ -122,10 +122,11 @@ def _bm25_sql(
     must_not: list[str] | None = None,
     limit: int | None = None,
     doc_filter: str | None = None,
+    must_any: list[str] | None = None,
 ) -> str:
     must = must or []
     must_not = must_not or []
-    scoring = list(dict.fromkeys(must + terms))
+    scoring = list(dict.fromkeys(must + terms + (must_any or [])))
     in_list = ", ".join(f"'{t}'" for t in scoring + must_not) or "''"
     sc_list = ", ".join(f"'{t}'" for t in scoring) or "''"
     gates = []
@@ -133,6 +134,9 @@ def _bm25_sql(
         gates.append(
             f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) > 0"
         )
+    if must_any:
+        ga = ", ".join(f"'{t}'" for t in must_any)
+        gates.append(f"sum(CASE WHEN term IN ({ga}) THEN 1 ELSE 0 END) > 0")
     gates.append(
         "sum(CASE WHEN term IN ("
         + (", ".join(f"'{t}'" for t in must_not) or "''")
@@ -364,6 +368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bm25_prefix": lambda spark, sf: _bm25_all(spark, sf, "mer* vector"),
         "bm25_fuzzy": lambda spark, sf: _bm25_all(spark, sf, "merg~1 vector"),
+        "bm25_group": lambda spark, sf: _bm25_all(
+            spark, sf, "+(merge vector) table"
+        ),
         "term_stats": _q_term_stats,
         # --- filters / match-all / sorts (F1-F5, L1-L4, M5) -------------
         "match_all_filter": _q_match_all_filter,
@@ -416,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fuzzy": _bm25_constscore_sql(
             "levenshtein(term, 'merg') <= 1", ["vector"]
         ),
+        "bm25_group": _bm25_sql(["table"], must_any=["merge", "vector"]),
         "term_stats": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents

@@ -239,6 +239,12 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         )
         contrib = contrib.unionByName(pc)
 
+    group_aggs = [
+        F.max(
+            F.when(F.col("term").isin(list(g)), F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"__anyg{i}")
+        for i, g in enumerate(parsed.must_any_groups)
+    ]
     agg = contrib.groupBy("__docid").agg(
         F.sum(
             F.when(F.col("term").isin(list(scoring)), F.col("part_score")).otherwise(
@@ -254,12 +260,17 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         F.max(
             F.when(F.col("term").isin(list(scoring)), F.lit(1)).otherwise(F.lit(0))
         ).alias("__has_match"),
+        *group_aggs,
     )
-    agg = agg.filter(
+    gate = (
         (F.col("__must_cnt") == F.lit(len(must)))
         & (F.col("__has_not") == F.lit(0))
         & (F.col("__has_match") == F.lit(1))
     )
+    for i in range(len(parsed.must_any_groups)):
+        # +(a b) gate: at least one group member matched (must-ANY)
+        gate = gate & (F.col(f"__anyg{i}") == F.lit(1))
+    agg = agg.filter(gate)
     agg = ctx.exclude_tombstones(agg)
 
     cand = _candidate_docs(ctx, query)

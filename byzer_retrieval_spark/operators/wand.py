@@ -137,6 +137,7 @@ def _make_shard_scorer(
     phrase_specs: Tuple[Tuple[str, Tuple[str, ...], str], ...] = (),
     prefix_specs: Tuple[Tuple[str, str, str], ...] = (),
     termset_specs: Tuple[Tuple[str, Tuple[str, ...], str], ...] = (),
+    any_groups: Tuple[Tuple[str, ...], ...] = (),
 ):
     """idf is derived in-task from the broadcast-joined ``df`` column —
     no eager stats collect on the driver, so a whole search is ONE job.
@@ -161,6 +162,12 @@ def _make_shard_scorer(
     ``termset_specs``: (key, expanded-terms, kind) — pre-expanded
     multi-term clauses (fuzzy ``foo~N`` after its dictionary walk),
     scored constant 1.0 per matching field-clause like prefixes.
+
+    ``any_groups``: ``+(a b)`` gates — a doc must match >= 1 member of
+    each group (members also score as ordinary SHOULD clauses). Safe
+    under block pruning: both phases select, for EVERY clause, all
+    blocks overlapping the candidate doc ranges, so membership evidence
+    is complete for every emitted doc; gating only removes docs.
     """
     scoring_set = set(scoring_terms)
     extra_specs = tuple(phrase_specs) + tuple(prefix_specs) + tuple(termset_specs)
@@ -315,9 +322,11 @@ def _make_shard_scorer(
                 must2[np.searchsorted(uniq2, u)] += 1
             return uniq2, scores2, must2
 
+        tracked = set(must_terms) | {t for g in any_groups for t in g}
+
         def exact(selections: List[np.ndarray]):
             """Exact scores over selected blocks; returns (docs, scores,
-            must_cnt, excluded) on the unique doc set."""
+            must_cnt, group_hits) on the unique doc set."""
             doc_parts, score_parts = [], []
             term_docs: Dict[str, List[np.ndarray]] = {}
             for c, sel in zip(cl, selections):
@@ -334,22 +343,34 @@ def _make_shard_scorer(
                 )
                 doc_parts.append(docs)
                 score_parts.append(part)
-                if c["term"] in must_terms:
+                if c["term"] in tracked:
                     term_docs.setdefault(c["term"], []).append(docs)
             if not doc_parts:
                 z = np.empty(0, dtype=np.int64)
-                return z, np.empty(0), np.empty(0, dtype=np.int64)
+                return z, np.empty(0), np.empty(0, dtype=np.int64), []
             all_docs = np.concatenate(doc_parts)
             all_parts = np.concatenate(score_parts)
             uniq, inv = np.unique(all_docs, return_inverse=True)
             scores = np.bincount(inv, weights=all_parts, minlength=uniq.size)
+            hit_of = {
+                t: np.unique(np.concatenate(arrs)) for t, arrs in term_docs.items()
+            }
             must_cnt = np.zeros(uniq.size, dtype=np.int64)
-            for t, arrs in term_docs.items():
-                must_cnt += np.isin(uniq, np.unique(np.concatenate(arrs)))
-            return uniq, scores, must_cnt
+            for t in set(must_terms):
+                if t in hit_of:
+                    must_cnt += np.isin(uniq, hit_of[t])
+            group_hits = [
+                np.unique(np.concatenate([hit_of[t] for t in g if t in hit_of]))
+                if any(t in hit_of for t in g)
+                else np.empty(0, dtype=np.int64)
+                for g in any_groups
+            ]
+            return uniq, scores, must_cnt, group_hits
 
-        def gate(uniq, scores, must_cnt):
+        def gate(uniq, scores, must_cnt, group_hits):
             mask = must_cnt == n_must
+            for hits in group_hits:
+                mask &= np.isin(uniq, hits)
             if excl.size:
                 mask &= ~np.isin(uniq, excl)
             if gate_mode == "allow":
@@ -386,9 +407,9 @@ def _make_shard_scorer(
                 np.nonzero(_overlap_mask(c["firsts"], c["lasts"], rf, rl))[0]
                 for c in cl
             ]
-            u1, s1, mc1 = exact(sel1)
+            u1, s1, mc1, gh1 = exact(sel1)
             if u1.size:
-                m1 = gate(u1, s1, mc1) & _in_intervals(u1, rf, rl)
+                m1 = gate(u1, s1, mc1, gh1) & _in_intervals(u1, rf, rl)
                 vals = s1[m1]
             else:
                 vals = np.empty(0)
@@ -415,19 +436,19 @@ def _make_shard_scorer(
                     np.nonzero(_overlap_mask(c["firsts"], c["lasts"], rf2, rl2))[0]
                     for c in cl
                 ]
-                uniq, scores, must_cnt = exact(all_sel)
+                uniq, scores, must_cnt, ghits = exact(all_sel)
                 if uniq.size:
-                    mask = gate(uniq, scores, must_cnt) & _in_intervals(uniq, rf2, rl2)
+                    mask = gate(uniq, scores, must_cnt, ghits) & _in_intervals(uniq, rf2, rl2)
                 else:
                     mask = np.zeros(0, dtype=bool)
             else:
-                uniq, scores, must_cnt = exact(all_sel)
-                mask = gate(uniq, scores, must_cnt) if uniq.size else np.zeros(0, dtype=bool)
+                uniq, scores, must_cnt, ghits = exact(all_sel)
+                mask = gate(uniq, scores, must_cnt, ghits) if uniq.size else np.zeros(0, dtype=bool)
         else:
-            uniq, scores, must_cnt = exact(all_sel)
+            uniq, scores, must_cnt, ghits = exact(all_sel)
             if extra_specs:
                 uniq, scores, must_cnt = merge_extras(uniq, scores, must_cnt)
-            mask = gate(uniq, scores, must_cnt) if uniq.size else np.zeros(0, dtype=bool)
+            mask = gate(uniq, scores, must_cnt, ghits) if uniq.size else np.zeros(0, dtype=bool)
 
         docs_f, scores_f = uniq[mask], scores[mask]
         if docs_f.size > k:
@@ -566,6 +587,7 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         phrase_specs,
         prefix_specs,
         termset_specs,
+        parsed.must_any_groups,
     )
     if gate_mode == "none":
         return blocks.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)

@@ -146,6 +146,11 @@ class BM25Oracle:
                 self.fuzzy_match(i, w, n) for w, n in parsed.must_fuzzies
             ):
                 continue
+            if parsed.must_any_groups and not all(
+                any(self.tf[i].get(t, 0) > 0 for t in g)
+                for g in parsed.must_any_groups
+            ):
+                continue
             if not (
                 parsed.must or parsed.should or parsed.scoring_phrases
                 or parsed.scoring_prefixes or parsed.scoring_fuzzies

@@ -107,6 +107,10 @@ class ParsedKeyword:
     fuzzies: Tuple[Tuple[str, int], ...] = ()       # SHOULD (word, max_edits)
     must_fuzzies: Tuple[Tuple[str, int], ...] = ()
     not_fuzzies: Tuple[Tuple[str, int], ...] = ()
+    # +(a b) groups: doc must match AT LEAST ONE member (the group's
+    # terms also score as ordinary SHOULD clauses — flattening preserves
+    # Lucene's nested-BooleanQuery score sum)
+    must_any_groups: Tuple[Tuple[str, ...], ...] = ()
 
     @property
     def scoring_terms(self) -> Tuple[str, ...]:
@@ -159,6 +163,7 @@ class ParsedKeyword:
         return not (
             self.should or self.must or self.must_not or self.match_all
             or self.all_phrases or self.all_prefixes or self.all_fuzzies
+            or self.must_any_groups
         )
 
 
@@ -203,6 +208,36 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
 
     rest = _re.sub(r'([+-]?)"([^"]*)"', on_phrase, keyword)
 
+    # ---- groups: (a b) / +(a b) / -(a b) -----------------------------
+    # Lucene nests a BooleanQuery per group; because the outer query is
+    # a disjunction-of-clauses sum, FLATTENING preserves scores exactly.
+    # The only new semantic is the gate: +(...) requires >= 1 member
+    # (must-ANY); -(...) = NOT(a OR b) = -a -b. Plain terms only inside
+    # groups (nested groups / phrases in groups are out, documented).
+    any_groups: List[Tuple[str, ...]] = []
+
+    def on_group(m: "_re.Match") -> str:
+        prefix, body = m.group(1), m.group(2)
+        toks = tuple(
+            t for raw in (x for x in _WS_RE.split(body) if x and x != "|")
+            for t in tokenize_py(raw, mode)
+        )
+        if not toks:
+            return " "
+        if prefix == "-":
+            must_not.extend(toks)
+        elif prefix == "+":
+            should.extend(toks)
+            any_groups.append(toks)
+        else:
+            should.extend(toks)
+        return " "
+
+    rest = _re.sub(r"([+-]?)\(([^()]*)\)", on_group, rest)
+    # `a | b`: SimpleQueryParser's OR operator — with implicit-OR
+    # semantics a standalone | is a no-op separator
+    rest = _re.sub(r"(?:^|(?<=\s))\|(?=\s|$)", " ", rest)
+
     # split with the SAME whitespace class the analyzers use (not
     # Python's Unicode str.split), so query-side segmentation can never
     # disagree with index-side tokenization
@@ -246,6 +281,7 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
         fuzzies=tuple(z_should),
         must_fuzzies=tuple(z_must),
         not_fuzzies=tuple(z_not),
+        must_any_groups=tuple(any_groups),
     )
 
 

@@ -82,3 +82,40 @@ def test_parse_fuzzy():
     assert p.must_fuzzies == (("foo", 2),)
     assert p.not_fuzzies == (("bar", 3),)
     assert p.should == ("baz",)
+
+
+GROUP_QUERIES = [
+    ("+(import return) def", 10),   # must-any group + scored term
+    ("+(sym_17_0 sym_18_0) import", 10),
+    ("(def class) -lambda", 10),    # plain group = flattened OR
+    ("-(lambda await) import", 10), # -(a b) == -a -b
+    ("def | class", 10),            # | is the OR separator
+]
+
+
+@pytest.mark.parametrize("keyword,k", GROUP_QUERIES)
+def test_group_rank_identity(corpus_engine, oracle, keyword, k):
+    q = SearchQuery(keyword=keyword, fields=["content"], limit=k)
+    ctx = corpus_engine.ctx()
+    exp = oracle.search(keyword, limit=k)
+    fast = [(r["_id"], r["_score"]) for r in search_fast(ctx, q).collect()]
+    slow = [(r["_id"], r["_score"]) for r in search_df(ctx, q).collect()]
+    assert [f[0] for f in fast] == [e[0] for e in exp] == [s[0] for s in slow]
+    if fast:
+        np.testing.assert_allclose(
+            [f[1] for f in fast], [e[1] for e in exp], rtol=1e-9
+        )
+
+
+def test_parse_groups():
+    p = parse_keyword("+(a b) (c d) -(e f) g | h")
+    assert p.must_any_groups == (("a", "b"),)
+    assert set(p.should) >= {"a", "b", "c", "d", "g", "h"}
+    assert "|" not in p.should
+    assert set(p.must_not) == {"e", "f"}
+
+
+def test_group_equivalence_pipe_vs_space(corpus_engine, oracle):
+    a = oracle.search("def | class", limit=20)
+    b = oracle.search("def class", limit=20)
+    assert a == b
