@@ -402,6 +402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- SearchQuery vector + hybrid dispatch (Q3/Q4/M2) -------------
         "vector_search_filtered": _q_vector_search,
         "hybrid_keyword_vector_rrf": _q_hybrid_rrf,
+        # --- event-time windows (Structured-Streaming-native shapes;
+        #     same functions run batch and under readStream) ------------
+        "events_tumbling_agg": _q_events_tumbling,
+        "events_sessionization": _q_events_sessions,
         # --- relational breadth (Spark-side bonus; not in the reference,
         #     see SURVEY §2.2) ------------------------------------------
         "rel_agg_lineitem": _q_rel_agg,
@@ -599,6 +603,11 @@ def oracle_sql() -> dict[str, str]:
         FROM s a JOIN s b ON a.id < b.id
         WHERE bit_count(xor(a.sig, b.sig)) <= 3
     """
+    # event-time window twins live next to the operators
+    from byzer_retrieval_spark.streaming.windows import sessions_sql, tumbling_sql
+
+    sqls["events_tumbling_agg"] = tumbling_sql("events")
+    sqls["events_sessionization"] = sessions_sql("events")
     # text_lang_id / text_quality / embedding ops get their SQL from the
     # function library so Spark expr and oracle can never drift
     from byzer_retrieval_spark.functions.text import (
@@ -1091,6 +1100,20 @@ def _q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round("_score", 6).alias("score"),
     )
+
+
+def _q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.streaming.windows import tumbling_event_counts
+
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    return tumbling_event_counts(ev)
+
+
+def _q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.streaming.windows import session_windows
+
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    return session_windows(ev)
 
 
 def _q_rel_agg(spark: SparkSession, sf: str) -> DataFrame:
