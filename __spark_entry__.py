@@ -402,6 +402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- SearchQuery vector + hybrid dispatch (Q3/Q4/M2) -------------
         "vector_search_filtered": _q_vector_search,
         "hybrid_keyword_vector_rrf": _q_hybrid_rrf,
+        # --- multimodal binary plumbing (decode stubbed: no media libs
+        #     in this container; the Arrow binary transfer, batch shape,
+        #     and frame-sampling plan are the real production path) -----
+        "multimodal_decode_meta": _q_multimodal_meta,
         # --- event-time windows (Structured-Streaming-native shapes;
         #     same functions run batch and under readStream) ------------
         "events_tumbling_agg": _q_events_tumbling,
@@ -602,6 +606,18 @@ def oracle_sql() -> dict[str, str]:
                bit_count(xor(a.sig, b.sig))::INT AS hamming
         FROM s a JOIN s b ON a.id < b.id
         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """
+    # multimodal: the synthetic media table is reconstructable in pure
+    # SQL (payload = sha256 digest repeated 4+i%5 times → 32*(4+i%5)
+    # bytes; videos sample a frame every 500 ms of duration 1000+i)
+    sqls["multimodal_decode_meta"] = """
+        SELECT i AS media_id,
+               CASE (i % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               (32 * (4 + (i % 5)))::BIGINT AS n_bytes,
+               CASE WHEN (i % 3) = 2 THEN ((1000 + i) // 500)::INT
+                    ELSE -1 END AS n_frames
+        FROM range(64) t(i) ORDER BY media_id
     """
     # event-time window twins live next to the operators
     from byzer_retrieval_spark.streaming.windows import sessions_sql, tumbling_sql
@@ -1099,6 +1115,35 @@ def _q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round("_score", 6).alias("score"),
+    )
+
+
+def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary media plumbing end-to-end: the deterministic media table's
+    payload bytes cross into the mapInPandas decoder over Arrow
+    (n_bytes measured from the ACTUAL received bytes — corruption or
+    truncation in the binary transfer would mismatch the SQL-computed
+    expectation), joined with the JVM-side frame-sampling plan."""
+    from byzer_retrieval_spark.functions.multimodal import (
+        decode_image_features,
+        frame_sample_plan,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, 64)
+    feats = decode_image_features(media, fake=True)
+    frames = frame_sample_plan(media).select(
+        "media_id", F.size("frame_ts_ms").alias("n_frames")
+    )
+    return (
+        feats.join(frames, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            F.col("n_bytes").cast("long"),
+            F.coalesce(F.col("n_frames"), F.lit(-1)).cast("int").alias("n_frames"),
+        )
+        .orderBy("media_id")
     )
 
 
