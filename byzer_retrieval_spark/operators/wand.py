@@ -521,14 +521,14 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         dict.fromkeys(parsed.scoring_terms + parsed.must_not + parsed.phrase_terms)
     )
     phrase_specs = tuple(
-        [(f"__pm{i}", p, "must") for i, p in enumerate(parsed.must_phrases)]
-        + [(f"__ps{i}", p, "should") for i, p in enumerate(parsed.phrases)]
-        + [(f"__pn{i}", p, "not") for i, p in enumerate(parsed.not_phrases)]
+        [(f"__pm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_phrases))]
+        + [(f"__ps{i}", p, "should") for i, p in enumerate(parsed.dedup_should_phrases)]
+        + [(f"__pn{i}", p, "not") for i, p in enumerate(dict.fromkeys(parsed.not_phrases))]
     )
     prefix_specs = tuple(
-        [(f"__xm{i}", p, "must") for i, p in enumerate(parsed.must_prefixes)]
-        + [(f"__xs{i}", p, "should") for i, p in enumerate(parsed.prefixes)]
-        + [(f"__xn{i}", p, "not") for i, p in enumerate(parsed.not_prefixes)]
+        [(f"__xm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_prefixes))]
+        + [(f"__xs{i}", p, "should") for i, p in enumerate(parsed.dedup_should_prefixes)]
+        + [(f"__xn{i}", p, "not") for i, p in enumerate(dict.fromkeys(parsed.not_prefixes))]
     )
     # fuzzy clauses expand against the term dictionary first (tiny
     # stats-table scan ≙ Lucene's FuzzyQuery automaton walk), then ride
@@ -538,9 +538,9 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     termset_specs = tuple(
         (key, expand_fuzzy(ctx, fields, w, n), kind)
         for key, (w, n), kind in (
-            [(f"__zm{i}", p, "must") for i, p in enumerate(parsed.must_fuzzies)]
-            + [(f"__zs{i}", p, "should") for i, p in enumerate(parsed.fuzzies)]
-            + [(f"__zn{i}", p, "not") for i, p in enumerate(parsed.not_fuzzies)]
+            [(f"__zm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_fuzzies))]
+            + [(f"__zs{i}", p, "should") for i, p in enumerate(parsed.dedup_should_fuzzies)]
+            + [(f"__zn{i}", p, "not") for i, p in enumerate(dict.fromkeys(parsed.not_fuzzies))]
         )
     )
 

@@ -148,6 +148,26 @@ class ParsedKeyword:
             dict.fromkeys(self.must_prefixes + self.prefixes + self.not_prefixes)
         )
 
+    # ---- deduped clause lists for the executors -----------------------
+    # Lucene's BooleanQuery dedups identical SHOULD clauses and a clause
+    # that is both MUST and SHOULD scores once; the engine paths build
+    # their specs from these so duplicate clauses never double-count
+    # (matching scoring_terms' dict.fromkeys(must + should) semantics).
+    @property
+    def dedup_should_phrases(self) -> Tuple[Tuple[str, ...], ...]:
+        m = set(self.must_phrases)
+        return tuple(p for p in dict.fromkeys(self.phrases) if p not in m)
+
+    @property
+    def dedup_should_prefixes(self) -> Tuple[str, ...]:
+        m = set(self.must_prefixes)
+        return tuple(p for p in dict.fromkeys(self.prefixes) if p not in m)
+
+    @property
+    def dedup_should_fuzzies(self) -> Tuple[Tuple[str, int], ...]:
+        m = set(self.must_fuzzies)
+        return tuple(p for p in dict.fromkeys(self.fuzzies) if p not in m)
+
     @property
     def scoring_fuzzies(self) -> Tuple[Tuple[str, int], ...]:
         return tuple(dict.fromkeys(self.must_fuzzies + self.fuzzies))
