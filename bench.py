@@ -37,6 +37,8 @@ BENCH_QUERIES = {
     "q_must_not": "+import -sym_1717_0",
     "q_triple_or": "self class lambda",
     "q_hot_pair": "import return",
+    "q_phrase": '"def return"',           # position-join verification
+    "q_prefix": "sym_17* class",          # constant-score expansion
 }
 
 
