@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_group": lambda spark, sf: _bm25_all(
             spark, sf, "+(merge vector) table"
         ),
+        "bm25_batch_fanout": _q_batch_fanout,
         "term_stats": _q_term_stats,
         # --- filters / match-all / sorts (F1-F5, L1-L4, M5) -------------
         "match_all_filter": _q_match_all_filter,
@@ -432,6 +433,14 @@ def oracle_sql() -> dict[str, str]:
             "levenshtein(term, 'merg') <= 1", ["vector"]
         ),
         "bm25_group": _bm25_sql(["table"], must_any=["merge", "vector"]),
+        "bm25_batch_fanout": (
+            f"SELECT 0 AS query_id, doc_id, score FROM ({_bm25_sql(['merge'])})"
+            " UNION ALL "
+            f"SELECT 1, doc_id, score FROM ({_bm25_sql(['vector', 'hash'])})"
+            " UNION ALL "
+            f"SELECT 2, doc_id, score FROM ("
+            f"{_bm25_sql(['batch'], must=['data'], must_not=['spark'])})"
+        ),
         "term_stats": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents
@@ -726,6 +735,25 @@ def _q_bm25_filtered(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = eng.search(q, "db", "documents")
     return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("_score", 5).alias("score"),
+    )
+
+
+def _q_batch_fanout(spark: SparkSession, sf: str) -> DataFrame:
+    """Three keyword queries executed in ONE Spark job
+    (operators/batch.py — the 100 TB query-throughput path: the
+    per-job scheduling floor is paid once per batch). All-rows per
+    query so the oracle is a UNION of per-query BM25 SQL."""
+    eng = _engine_for(spark, sf)
+    n = _documents(spark, sf).count()
+    qs = [
+        SearchQuery(keyword=kw, fields=["text"], limit=n)
+        for kw in ("merge", "vector hash", "+data -spark batch")
+    ]
+    out = eng.batch_search(qs, "db", "documents")
+    return out.select(
+        "query_id",
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round("_score", 5).alias("score"),
     )

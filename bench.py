@@ -96,6 +96,17 @@ def main() -> None:
         timings[name] = round(statistics.median(reps), 3)
         q_times.append(statistics.median(reps))
 
+    # batch fan-out throughput: 100 distinct queries in ONE job — the
+    # scheduling floor is paid once per batch (operators/batch.py)
+    batch_qs = [
+        SearchQuery(keyword=f"sym_{i}_0 import", fields=["content"], limit=10)
+        for i in range(100)
+    ]
+    tb = time.time()
+    eng.batch_search(batch_qs).collect()
+    batch_sec = time.time() - tb
+    timings["batch100"] = round(batch_sec, 3)
+
     total = build_sec + sum(q_times)
     out = {
         "metric": "index_build_plus_bm25_query_e2e",
@@ -106,6 +117,7 @@ def main() -> None:
         "files": n_files,
         "build_files_per_sec": round(n_files / build_sec, 1),
         "query_p50_sec": round(statistics.median(q_times), 3),
+        "batch_queries_per_sec": round(100.0 / batch_sec, 1),
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -204,6 +204,21 @@ class RetrievalEngine:
         (limit per shard, concatenated without a global re-limit)."""
         return filter_query(self.ctx(database, table), query, per_shard_limit)
 
+    def batch_search(
+        self,
+        queries: List[SearchQuery],
+        database: str = "default",
+        table: str = "default",
+    ) -> DataFrame:
+        """MANY term-clause keyword queries in ONE Spark job (the
+        scheduling floor is paid once per batch, not per query) —
+        returns (query_id, _score, stored...) with per-query global
+        top-k. See operators/batch.py; non-batchable shapes (filters,
+        phrase/prefix/fuzzy, match-all) go through ``search``."""
+        from byzer_retrieval_spark.operators.batch import batch_search
+
+        return batch_search(self.ctx(database, table), queries)
+
     def multi_search(
         self,
         queries: List[SearchQuery],
