@@ -84,6 +84,15 @@ def main() -> None:
     )
     sections.append(("Filter-mode query (no scoring)", cap(eng.filter(qm))))
 
+    from byzer_retrieval_spark.operators.batch import batch_search
+
+    qs = [SearchQuery(keyword=f"sym_{i}_0 def", fields=["content"], limit=5) for i in range(10)]
+    sections.append(
+        ("BATCH fan-out (10 queries, one job) — one postings scan for the "
+         "union of terms, one FlatMapGroupsInPandas, per-query top-k window",
+         cap(batch_search(ctx, qs)))
+    )
+
     # LSH probe plan: partition pruning on (tbl, bucket)
     emb_rows = [(i, [float((i * 7 + j) % 13) / 13.0 for j in range(16)]) for i in range(200)]
     emb = spark.createDataFrame(emb_rows, ["id", "vec"])
