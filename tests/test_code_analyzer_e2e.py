@@ -36,6 +36,10 @@ def code_engine(spark, tmp_path_factory):
         "IMPORT Return",          # uppercase query matches lowercased index
         "print x",                # code mode splits print(x) into tokens
         "+def -sym_3_0 class",
+        '"import return"',        # phrase over code-mode positions
+        "SYM_3* class",           # prefix (stem lowercased by the analyzer)
+        "impor~1 def",            # fuzzy over the code-mode dictionary
+        "+(def class) return",    # must-any group
     ],
 )
 def test_code_mode_rank_identity(code_engine, keyword):
