@@ -37,8 +37,10 @@ from byzer_retrieval_spark.operators.decode import decode_rows, flat_postings
 from byzer_retrieval_spark.operators.indexer import (
     DOC_BITS,
     IndexConfig,
+    PARTIAL_POSTING_SCHEMA,
     POSTING_BLOCK_SCHEMA,
     _derive_ids,
+    _merge_block_builder,
     _sorted_block_builder,
     _tokenize,
 )
@@ -256,64 +258,98 @@ def upsert(
     return {"tombstoned": n_tomb, "snapshot_id": sid}
 
 
+def _reencode_pos_rows(batches):
+    """Narrow mapInArrow: posting rows with ABSOLUTE positions
+    (array<int>) → PARTIAL_POSTING rows with per-posting varbyte delta
+    runs, ready for the build-time merge builder. One vectorized varbyte
+    pass per batch, zero-copy BinaryArray construction."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from byzer_retrieval_spark.functions.encoding import (
+        varbyte_encode,
+        varbyte_nbytes,
+    )
+
+    pa.set_cpu_count(1)
+    for rb in batches:
+        tbl = pa.Table.from_batches([rb]).combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
+            continue
+        pos_list = tbl.column("positions").chunk(0)
+        counts = pc.list_value_length(pos_list).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(pos_list).to_numpy().astype(np.int64)
+        total = flat.size
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        deltas = np.empty(total, dtype=np.int64)
+        if total:
+            deltas[0] = flat[0]
+            np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+            deltas[starts] = flat[starts]
+        enc = varbyte_encode(deltas)
+        nb = varbyte_nbytes(deltas)
+        byte_ends = np.cumsum(nb)
+        p_off = np.zeros(n + 1, dtype=np.int32)
+        p_off[1:-1] = byte_ends[starts[1:] - 1]
+        p_off[-1] = len(enc)
+        pos_arr = pa.BinaryArray.from_buffers(
+            pa.binary(), n, [None, pa.py_buffer(p_off.tobytes()), pa.py_buffer(enc)]
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                tbl.column("shard_id").chunk(0),
+                tbl.column("field").chunk(0),
+                tbl.column("term").chunk(0),
+                pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
+                tbl.column("__docid").chunk(0),
+                tbl.column("dl").chunk(0),
+                tbl.column("tf").chunk(0),
+                pos_arr,
+            ],
+            names=[f.name for f in PARTIAL_POSTING_SCHEMA.fields],
+        )
+
+
 def compact(spark: SparkSession, store: IndexStore) -> Dict[str, Any]:
     """Segment merge: physically drop tombstoned docs from postings and
     docs, then refresh stats (this is when df/avgdl 'forget' deleted
-    docs — exactly Lucene's behavior on segment merge)."""
-    tomb = store.tombstone_ids(spark)
-    if not tomb:
+    docs — exactly Lucene's behavior on segment merge).
+
+    No driver-side tombstone data: the only collect is the ≤ num_shards
+    affected-shard list (for partition-filtered rewrites). The rewrite
+    itself is decode → distributed anti-join against the tombstone
+    DataFrame → re-encode through the SAME streaming merge builder the
+    full build uses, so compaction scales exactly like a build."""
+    tomb_df = store.tombstones(spark)
+    if tomb_df is None:
         return {"compacted_shards": 0}
-    tomb_arr = np.asarray(sorted(int(t) for t in tomb), dtype=np.int64)
-    shards = sorted({int(t >> DOC_BITS) for t in tomb_arr})
+    tomb_ids = tomb_df.select("__docid").distinct()
+    shards = sorted(
+        int(r.s)
+        for r in tomb_ids.select(
+            F.shiftright("__docid", DOC_BITS).alias("s")
+        )
+        .distinct()
+        .collect()
+    )
+    if not shards:
+        return {"compacted_shards": 0}
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     postings = store.postings(spark).filter(F.col("shard_id").isin(shards))
     block_size = int(store.read_meta().get("block_size", 128))
 
-    def rewrite(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        from byzer_retrieval_spark.functions.encoding import (
-            varbyte_decode,
-            varbyte_encode_segments,
-        )
-
-        shard_id, fld, term = int(key[0]), key[1], key[2]
-        pdf = pdf.sort_values("first_doc")
-        docs, tfs, dls, _ = decode_rows(
-            pdf["doc_gaps"], pdf["tfs"], pdf["dls"], pdf["first_doc"]
-        )
-        # position-delta segments are self-contained per POSTING (absolute
-        # first value), so re-cutting blocks = re-slicing the token stream
-        pos_deltas = np.concatenate(
-            [varbyte_decode(b).astype(np.int64) for b in pdf["positions"]]
-        ) if len(pdf) else np.empty(0, dtype=np.int64)
-        keep = ~np.isin(docs, tomb_arr)
-        tok_keep = np.repeat(keep, tfs)
-        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
-        pos_deltas = pos_deltas[tok_keep]
-        rows = []
-        tok_off = np.zeros(docs.size + 1, dtype=np.int64)
-        np.cumsum(tfs, out=tok_off[1:])
-        for s in range(0, docs.size, block_size):
-            e = min(s + block_size, docs.size)
-            ids = docs[s:e]
-            gaps = np.empty(e - s, dtype=np.int64)
-            gaps[0] = 0
-            np.subtract(ids[1:], ids[:-1], out=gaps[1:])
-            rows.append(
-                (
-                    shard_id, fld, term, int(ids[0]), int(ids[-1]), int(e - s),
-                    int(tfs[s:e].max()), int(dls[s:e].min()), int(tfs[s:e].sum()),
-                    varbyte_encode(gaps),
-                    varbyte_encode(tfs[s:e].astype(np.uint64)),
-                    varbyte_encode(dls[s:e].astype(np.uint64)),
-                    varbyte_encode(
-                        pos_deltas[tok_off[s]:tok_off[e]].astype(np.uint64)
-                    ),
-                )
-            )
-        return pd.DataFrame(
-            rows, columns=[f.name for f in POSTING_BLOCK_SCHEMA.fields]
-        )
+    live_rows = flat_postings(postings, with_positions=True).join(
+        tomb_ids, "__docid", "left_anti"
+    )
+    new_blocks = (
+        live_rows.mapInArrow(_reencode_pos_rows, schema=PARTIAL_POSTING_SCHEMA)
+        .repartition("shard_id", "field", "term", "split_id")
+        .sortWithinPartitions("shard_id", "field", "term", "split_id", "__docid")
+        .mapInArrow(_merge_block_builder(block_size), schema=POSTING_BLOCK_SCHEMA)
+    )
 
     import os
     import shutil
@@ -338,14 +374,10 @@ def compact(spark: SparkSession, store: IndexStore) -> Dict[str, Any]:
                 shutil.move(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
 
-    new_blocks = postings.groupBy("shard_id", "field", "term").applyInPandas(
-        rewrite, schema=POSTING_BLOCK_SCHEMA
-    )
     swap_partitions(new_blocks, store.postings_path, ["field", "term", "first_doc"])
 
     docs = store.docs(spark).filter(F.col("shard_id").isin(shards))
-    tomb_df = store.tombstones(spark)
-    live = docs.join(tomb_df.select("__docid").distinct(), "__docid", "left_anti")
+    live = docs.join(tomb_ids, "__docid", "left_anti")
     swap_partitions(live, store.docs_path, ["__docid"])
 
     shutil.rmtree(store.tombstones_path, ignore_errors=True)
