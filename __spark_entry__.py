@@ -395,10 +395,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
         "embedding_cosine_topk": _q_cosine_topk,
         "embedding_near_dup_pairs": _q_embedding_pairs,
         "embedding_lsh_topk": _q_lsh_topk,
+        "embedding_ivf_topk": _q_ivf_topk,
         "embedding_lsh_dup_pairs": _q_lsh_dup_pairs,
         # --- SearchQuery vector + hybrid dispatch (Q3/Q4/M2) -------------
         "vector_search_filtered": _q_vector_search,
@@ -560,29 +562,24 @@ def oracle_sql() -> dict[str, str]:
         # output is the exact-Jaccard pair set whenever banding recall
         # is exhaustive — with k=64/b=32 (S-curve ≥ 0.9999 at j=0.5)
         # it equals the brute-force pair SQL at every test SF.
-        "dedup_minhash_lsh": f"""
-            WITH t AS (
-              SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+        "dedup_minhash_lsh": "WITH " + _MINHASH_PAIR_CTES + """
+            SELECT id_a, id_b, jaccard FROM mh_pairs
+        """,
+        # transitive closure of the SAME pair set: min-label reachability
+        # via a recursive CTE — the SQL twin of graph.connected_components
+        "dedup_clusters": "WITH RECURSIVE " + _MINHASH_PAIR_CTES + """,
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM mh_pairs
+              UNION
+              SELECT id_b, id_a FROM mh_pairs
             ),
-            sh AS (
-              SELECT doc_id, unnest(list_distinct(
-                list_transform(range(1, greatest(len(toks) - 1, 1)),
-                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-              )) AS s
-              FROM t WHERE len(toks) >= 3
-            ),
-            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS ni
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
             )
-            SELECT id_a, id_b,
-                   round(ni / (sa.sz + sb.sz - ni), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE ni / (sa.sz + sb.sz - ni) >= 0.5
+            SELECT a AS id, least(a, min(b)) AS cluster
+            FROM reach GROUP BY a
         """,
         "rel_agg_lineitem": """
             SELECT l_returnflag, l_linestatus,
@@ -668,6 +665,9 @@ def oracle_sql() -> dict[str, str]:
     # cosine runs over float-cast-then-double vectors via the generic
     # pairwise expression — same brute-force oracle as above
     sqls["embedding_lsh_topk"] = sqls["embedding_cosine_topk"]
+    # exact-mode IVF (nprobe = num_clusters) likewise scans one full
+    # replica of the table through the same cosine expression
+    sqls["embedding_ivf_topk"] = sqls["embedding_cosine_topk"]
     sqls["embedding_lsh_dup_pairs"] = """
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -704,6 +704,36 @@ def oracle_sql() -> dict[str, str]:
 _TOKS_LOWER = (
     f"list_filter(regexp_split_to_array(lower(text), '{_WS_CLASS}+'), x -> x <> '')"
 )
+
+# shared CTE chain ending in mh_pairs(id_a, id_b, jaccard): the exact-
+# Jaccard >= 0.5 pair set (see the dedup_minhash_lsh oracle comment for
+# why this equals the banded-LSH output); reused by dedup_clusters
+_MINHASH_PAIR_CTES = f"""
+            t AS (
+              SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+              )) AS s
+              FROM t WHERE len(toks) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            mh_pairs AS (
+              SELECT id_a, id_b,
+                     round(ni / (sa.sz + sb.sz - ni), 6) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE ni / (sa.sz + sb.sz - ni) >= 0.5
+            )
+"""
 
 
 # ---------------------------------------------------------------------
@@ -1028,6 +1058,17 @@ def _q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive-closure dedup clustering: minhash-LSH pairs →
+    connected components (iterative min-label joins). The DuckDB oracle
+    computes the same closure with a recursive CTE over the identical
+    pair set."""
+    from byzer_retrieval_spark.functions.dedup import dedup_clusters
+
+    out = dedup_clusters(_documents(spark, sf), "doc_id", "text", threshold=0.5)
+    return out.select(F.col("id").cast("long"), F.col("cluster").cast("long"))
+
+
 def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from byzer_retrieval_spark.functions.dedup import simhash_dup_pairs
 
@@ -1085,6 +1126,32 @@ def _lsh_index_for(
         dim = len(emb.select("embedding").first()["embedding"])
         idx.build(emb, "vec_id", "embedding", dim=dim)
     return idx
+
+
+def _ivf_index_for(spark: SparkSession, sf: str, num_clusters: int):
+    """Build-once persisted IVF index over the sf dir's embeddings."""
+    from byzer_retrieval_spark.functions.similarity import IvfVectorIndex
+
+    tag = os.path.basename(os.path.normpath(sf))
+    idx = IvfVectorIndex(
+        os.path.join(IDX_ROOT, tag, f"ivf{num_clusters}"),
+        num_clusters=num_clusters,
+    )
+    if not idx.exists():
+        emb = _embeddings(spark, sf)
+        dim = len(emb.select("embedding").first()["embedding"])
+        idx.build(emb, "vec_id", "embedding", dim=dim)
+    return idx
+
+
+def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted-IVF ANN (spherical k-means partitions): nprobe =
+    num_clusters → exact top-k, so the brute-force cosine SQL is a true
+    oracle (the pruned-probe recall + partition-pruning plan are pinned
+    by pytest)."""
+    idx = _ivf_index_for(spark, sf, num_clusters=16)
+    out = idx.topk(spark, _query_vec(), k=10, nprobe=16)
+    return out.select(F.col("id").cast("long"), "cosine")
 
 
 def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:

@@ -404,3 +404,24 @@ def embedding_dup_pairs(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine"
         )
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Duplicate CLUSTERS (id, cluster) from minhash-LSH pairs via
+    connected components — the transitive-closure step a keep-one-per-
+    group dedup actually needs (A~B, B~C ⇒ {A,B,C} even though the
+    detector never compared A with C). ``cluster`` is the min member id.
+    Only documents that belong to some duplicate pair appear."""
+    from byzer_retrieval_spark.functions.graph import connected_components
+
+    pairs = minhash_lsh_dup_pairs(
+        df, id_col, text_col, num_hashes=k, bands=bands, threshold=threshold
+    )
+    return connected_components(pairs, "id_a", "id_b")

@@ -28,6 +28,7 @@ import os
 from typing import List, Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -266,6 +267,158 @@ class LshVectorIndex:
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )
+
+
+class IvfVectorIndex:
+    """Persisted IVF (inverted-file) ANN index: spherical k-means.
+
+    The second classic build-time ANN structure next to LSH bucketing
+    (FAISS IVF-Flat shape): centroids are learned once with a
+    distributed spherical k-means, every vector is assigned to its
+    nearest centroid, and the table is persisted PARTITIONED BY the
+    cluster id. A query ranks the (tiny, driver-side) centroid set,
+    probes the ``nprobe`` nearest clusters via partition filters — at
+    10^12 vectors it reads nprobe/num_clusters of the corpus — and
+    scores candidates with the exact Catalyst cosine. ``nprobe >=
+    num_clusters`` degrades to an exact scan (the correctness oracle).
+
+    Scale shape: every k-means iteration is one narrow assignment pass
+    (Arrow-batched numpy matmul, no per-row Python) plus one
+    posexplode→groupBy(cluster, pos) partial-agg shuffle whose key
+    space is num_clusters × dim (thousands), independent of corpus
+    size; only num_clusters × dim floats ever reach the driver.
+
+    Reference capability matched: persisted per-shard ANN index
+    (Lucene HNSW, XLucene95HnswVectorsFormat.java:119-149) — same
+    build-once/query-many contract, algorithm chosen for columnar
+    partition pruning.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        num_clusters: int = 16,
+        max_iters: int = 5,
+        seed: int = 42,
+    ):
+        self.path = path
+        self.num_clusters = num_clusters
+        self.max_iters = max_iters
+        self.seed = seed
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.path, "meta.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.meta_path)
+
+    def _centroids(self) -> np.ndarray:
+        with open(self.meta_path) as f:
+            return np.asarray(json.load(f)["centroids"], dtype=np.float64)
+
+    @staticmethod
+    def _assign_udf(centroids: np.ndarray):
+        """argmax cosine(v, centroid) — Arrow-batched numpy matmul."""
+        from pyspark.sql.functions import pandas_udf
+
+        c = centroids  # (C, d), rows unit-norm
+
+        @pandas_udf("int")
+        def assign(vs: pd.Series) -> pd.Series:
+            m = np.stack(vs.to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+        return assign
+
+    def build(self, df: DataFrame, id_col: str, vec_col: str, dim: int) -> None:
+        base = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<float>").alias("vec")
+        )
+        # deterministic init: first num_clusters vectors in id order
+        # (id order, not data order, so re-builds are reproducible)
+        init = base.orderBy("id").limit(self.num_clusters).collect()
+        cent = np.asarray([r.vec for r in init], dtype=np.float64)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("vec").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        )
+        unit = base.withColumn(
+            "unit", F.transform("vec", lambda x: x / F.greatest(norm, F.lit(1e-12)))
+        )
+        for _ in range(self.max_iters):
+            assigned = unit.withColumn("cluster", self._assign_udf(cent)(F.col("vec")))
+            sums = (
+                assigned.select("cluster", F.posexplode("unit").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("val").alias("s"))
+                .collect()
+            )
+            new_cent = cent.copy()
+            acc = np.zeros((self.num_clusters, dim), dtype=np.float64)
+            seen = np.zeros(self.num_clusters, dtype=bool)
+            for r in sums:
+                acc[int(r.cluster), int(r.pos)] = float(r.s)
+                seen[int(r.cluster)] = True
+            nz = np.linalg.norm(acc, axis=1)
+            upd = seen & (nz > 1e-12)
+            new_cent[upd] = acc[upd] / nz[upd, None]
+            if np.allclose(new_cent, cent, atol=1e-9):
+                cent = new_cent
+                break
+            cent = new_cent
+
+        final = base.withColumn("cluster", self._assign_udf(cent)(F.col("vec")))
+        (
+            final.repartition("cluster")
+            .write.partitionBy("cluster")
+            .mode("overwrite")
+            .parquet(self.data_path)
+        )
+        os.makedirs(self.path, exist_ok=True)
+        with open(self.meta_path, "w") as f:
+            json.dump(
+                {
+                    "num_clusters": self.num_clusters,
+                    "dim": dim,
+                    "seed": self.seed,
+                    "centroids": cent.tolist(),
+                },
+                f,
+            )
+
+    def probe_clusters(self, query: Sequence[float], nprobe: int) -> List[int]:
+        cent = self._centroids()
+        q = np.asarray(query, dtype=np.float64)
+        q /= max(float(np.linalg.norm(q)), 1e-12)
+        sims = cent @ q
+        return [int(i) for i in np.argsort(-sims)[: min(nprobe, len(sims))]]
+
+    def topk(
+        self,
+        spark: SparkSession,
+        query: Sequence[float],
+        k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Approximate cosine top-k over the nprobe nearest clusters
+        (partition-filter pruned); nprobe >= num_clusters is exact."""
+        data = spark.read.parquet(self.data_path)
+        if nprobe < self.num_clusters:
+            data = data.filter(
+                F.col("cluster").isin(self.probe_clusters(query, nprobe))
+            )
+        return brute_force_cosine_topk(data, "id", "vec", query, k)
 
 
 def cosine_sql_expr(vec_col: str, query: Sequence[float]) -> str:

@@ -343,3 +343,115 @@ def test_incremental_index_stream(spark, tmp_path):
     # upsert semantics: old content of _id=2 no longer matches
     old = eng.search(SearchQuery(keyword="test", fields=["content"], limit=10)).collect()
     assert "2" not in {r["_id"] for r in old}
+
+
+# ---- IVF ANN index --------------------------------------------------------
+def test_ivf_exact_mode_matches_brute_force(spark, embeddings, tmp_path):
+    """nprobe = num_clusters must reproduce the exact brute-force top-k
+    (ids AND cosines) — the contract the driver oracle relies on."""
+    from byzer_retrieval_spark.functions.similarity import (
+        IvfVectorIndex,
+        brute_force_cosine_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    idx = IvfVectorIndex(str(tmp_path / "ivf"), num_clusters=8)
+    idx.build(embeddings, "vec_id", "embedding", dim=len(q))
+    exact = [
+        (r["id"], r["cosine"])
+        for r in brute_force_cosine_topk(
+            embeddings, "vec_id", "embedding", q, k=10
+        ).collect()
+    ]
+    got = [(r["id"], r["cosine"]) for r in idx.topk(spark, q, k=10, nprobe=8).collect()]
+    assert got == exact
+
+
+def test_ivf_partition_pruning_and_recall(spark, embeddings, tmp_path):
+    """Pruned probes must reach the scan as PARTITION filters, and the
+    nearest-cluster probe must retrieve the query's true neighborhood:
+    recall@10 >= 0.9 with nprobe = num_clusters/4."""
+    import io
+    from contextlib import redirect_stdout
+
+    from byzer_retrieval_spark.functions.similarity import (
+        IvfVectorIndex,
+        brute_force_cosine_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    idx = IvfVectorIndex(str(tmp_path / "ivf"), num_clusters=8)
+    idx.build(embeddings, "vec_id", "embedding", dim=len(q))
+
+    plan_buf = io.StringIO()
+    with redirect_stdout(plan_buf):
+        idx.topk(spark, q, k=10, nprobe=2).explain("formatted")
+    pf_lines = [
+        l for l in plan_buf.getvalue().splitlines() if "PartitionFilters" in l
+    ]
+    assert any("cluster" in l for l in pf_lines), pf_lines
+
+    exact = [
+        r["id"]
+        for r in brute_force_cosine_topk(
+            embeddings, "vec_id", "embedding", q, k=10
+        ).collect()
+    ]
+    approx = [r["id"] for r in idx.topk(spark, q, k=10, nprobe=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10.0
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+
+# ---- connected-components dedup clustering --------------------------------
+def test_connected_components_transitive_chain(spark):
+    """A 100-node chain (diameter 99) must collapse to one cluster
+    within max_iters via doubling-free min-label propagation, and
+    disjoint cliques must stay separate."""
+    from byzer_retrieval_spark.functions.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 140)]      # one long chain
+    clique = [(a, b) for a in range(500, 505) for b in range(a + 1, 505)]
+    iso_pair = [(900, 901)]
+    edges = spark.createDataFrame(chain + clique + iso_pair, ["src", "dst"])
+    got = {
+        (r.id, r.cluster)
+        for r in connected_components(edges, max_iters=50).collect()
+    }
+    assert {(i, 100) for i in range(100, 141)} <= got
+    assert {(i, 500) for i in range(500, 505)} <= got
+    assert (900, 900) in got and (901, 900) in got
+    assert len(got) == 41 + 5 + 2
+
+
+def test_dedup_clusters_groups_transitively(spark, documents):
+    """dedup_clusters must equal the transitive closure of the pair set
+    (every pair's endpoints share a cluster; cluster = min member)."""
+    from byzer_retrieval_spark.functions.dedup import (
+        dedup_clusters,
+        minhash_lsh_dup_pairs,
+    )
+
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dup_pairs(
+            documents, "doc_id", "text", threshold=0.5
+        ).collect()
+    ]
+    labels = {
+        r.id: r.cluster
+        for r in dedup_clusters(documents, "doc_id", "text", 0.5).collect()
+    }
+    # python union-find closure as the model
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    model = {x: find(x) for x in parent}
+    assert labels == model
