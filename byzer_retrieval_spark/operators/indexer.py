@@ -758,22 +758,13 @@ def build_index(
         )
         staged = spark.read.parquet(staged_path)
 
-        if fingerprints is None:
-            # fresh build: fingerprints from the staged table (same
-            # values — identical columns — one fewer full source pass)
-            _pt = time.time()
-            fingerprints = _collect_fps(staged)
-            pending = sorted(fingerprints)
-            phase_t["fingerprint_scan_staged"] = round(time.time() - _pt, 2)
+        if fingerprints is None and staged.isEmpty():
+            # fresh build over an empty source: nothing to write
+            fingerprints, pending = {}, []
 
-    metrics = {
-        "num_shards": cfg.num_shards,
-        "shards_with_data": len(fingerprints or {}),
-        "shards_built": len(pending),
-        "shards_skipped_by_resume": len(skipped),
-    }
-
-    if pending:
+    hot_terms: List[str] = []
+    if pending or pending is None:
+        from concurrent.futures import ThreadPoolExecutor
 
         # ---- pass 1: docs table (stored fields only: analyze ⇒ Store.NO)
         stored = (
@@ -785,32 +776,35 @@ def build_index(
                 if c not in cfg.analyzed_fields and c != "_id"
             ]
         )
-        _pt = time.time()
-        # sha256 columns are already materialized in the staged parquet
-        # (computed once at staging); only dl needs the tokenizer here
-        docs_out = staged
-        for f_name in cfg.analyzed_fields:
-            docs_out = docs_out.withColumn(
-                f"dl_{f_name}",
-                F.size(tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer))
-                if not cfg.use_arrow_udf_tokenizer
-                else F.size(tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))),
+
+        def _docs_pass() -> None:
+            _pt = time.time()
+            # sha256 columns are already materialized in the staged
+            # parquet (computed once at staging); only dl needs the
+            # tokenizer here
+            docs_out = staged
+            for f_name in cfg.analyzed_fields:
+                docs_out = docs_out.withColumn(
+                    f"dl_{f_name}",
+                    F.size(tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer))
+                    if not cfg.use_arrow_udf_tokenizer
+                    else F.size(tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))),
+                )
+            doc_cols = (
+                ["__docid", "_id", "shard_id"]
+                + stored
+                + [f"dl_{f}" for f in cfg.analyzed_fields]
+                + [f"{f}_sha256" for f in cfg.analyzed_fields]
             )
-        doc_cols = (
-            ["__docid", "_id", "shard_id"]
-            + stored
-            + [f"dl_{f}" for f in cfg.analyzed_fields]
-            + [f"{f}_sha256" for f in cfg.analyzed_fields]
-        )
-        (
-            docs_out.select(*doc_cols)
-            .repartition("shard_id")
-            .sortWithinPartitions("__docid")
-            .write.partitionBy("shard_id")
-            .mode("overwrite")
-            .parquet(store.docs_path)
-        )
-        phase_t["docs_write"] = round(time.time() - _pt, 2)
+            (
+                docs_out.select(*doc_cols)
+                .repartition("shard_id")
+                .sortWithinPartitions("__docid")
+                .write.partitionBy("shard_id")
+                .mode("overwrite")
+                .parquet(store.docs_path)
+            )
+            phase_t["docs_write"] = round(time.time() - _pt, 2)
 
         # ---- pass 2: hot-term detection (map-side-combined count) --------
         # Detection is a skew-balancing heuristic, not a correctness
@@ -818,32 +812,44 @@ def build_index(
         # count, ~|vocab| keys before the shuffle). A term whose sampled
         # estimate straddles the threshold merely gets a slightly larger
         # (or a needlessly split) build group.
-        _pt = time.time()
-        sample_frac = float(os.environ.get("BYZER_HOT_SAMPLE", "0.1"))
-        sampled = staged.sample(fraction=sample_frac, seed=42)
-        hot_frames = []
-        for f_name in cfg.analyzed_fields:
-            toks_col = (
-                tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))
-                if cfg.use_arrow_udf_tokenizer
-                else tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer)
+        def _hot_detect() -> List[str]:
+            _pt = time.time()
+            sample_frac = float(os.environ.get("BYZER_HOT_SAMPLE", "0.1"))
+            sampled = staged.sample(fraction=sample_frac, seed=42)
+            hot_frames = []
+            for f_name in cfg.analyzed_fields:
+                toks_col = (
+                    tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))
+                    if cfg.use_arrow_udf_tokenizer
+                    else tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer)
+                )
+                hot_frames.append(
+                    sampled.select(F.lit(f_name).alias("field"), F.explode(toks_col).alias("term"))
+                )
+            hot_u = hot_frames[0]
+            for t in hot_frames[1:]:
+                hot_u = hot_u.unionByName(t)
+            hot = (
+                hot_u.groupBy("field", "term")
+                .count()
+                .filter(F.col("count") > cfg.hot_term_split_threshold * sample_frac)
+                .select("field", "term")
+                .collect()
             )
-            hot_frames.append(
-                sampled.select(F.lit(f_name).alias("field"), F.explode(toks_col).alias("term"))
-            )
-        hot_u = hot_frames[0]
-        for t in hot_frames[1:]:
-            hot_u = hot_u.unionByName(t)
-        hot = (
-            hot_u.groupBy("field", "term")
-            .count()
-            .filter(F.col("count") > cfg.hot_term_split_threshold * sample_frac)
-            .select("field", "term")
-            .collect()
-        )
-        hot_terms = [r.term for r in hot]
-        phase_t["hot_term_detect"] = round(time.time() - _pt, 2)
-        metrics["hot_terms_split"] = len(hot_terms)
+            phase_t["hot_term_detect"] = round(time.time() - _pt, 2)
+            return [r.term for r in hot]
+
+        # The docs write, the fresh-build fingerprint agg, and (below)
+        # the postings pipeline are INDEPENDENT jobs over the staged
+        # table — run them on scheduler threads so their latencies
+        # overlap (serial chain → max, not sum; the cluster pipelines
+        # stages of concurrent jobs). Only hot-term detection gates the
+        # postings plan (it parameterizes the salt), so it runs first;
+        # the futures are resolved after the postings write.
+        _ex = ThreadPoolExecutor(max_workers=2)
+        _fut_fp = _ex.submit(_collect_fps, staged) if fingerprints is None else None
+        _fut_docs = _ex.submit(_docs_pass)
+        hot_terms = _hot_detect()
 
         # ---- pass 3: two-stage postings build (north_star shape) ---------
         # Stage A (NARROW): tokenize JVM-side, ship token ARRAYS (flat
@@ -898,22 +904,46 @@ def build_index(
             .parquet(store.postings_path)
         )
         phase_t["postings_write"] = round(time.time() - _pt, 2)
+        _fut_docs.result()
+        if _fut_fp is not None:
+            fingerprints = _fut_fp.result()
+            pending = sorted(fingerprints)
+        _ex.shutdown()
         shutil.rmtree(staged_path, ignore_errors=True)
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+    elif pending is None:
+        pending = []
+
+    metrics = {
+        "num_shards": cfg.num_shards,
+        "shards_with_data": len(fingerprints or {}),
+        "shards_built": len(pending),
+        "shards_skipped_by_resume": len(skipped),
+        "hot_terms_split": len(hot_terms),
+    }
 
     # ---- global stats from the FULL committed tables (resume-safe) ------
+    # Three independent jobs (stats-table write, per-shard postings agg,
+    # per-shard docs agg) run concurrently on scheduler threads; the
+    # global field stats (N, sum_dl, avgdl) are the driver-side sum of
+    # the per-shard docs aggregates, so the old separate global agg job
+    # is gone entirely.
+    from concurrent.futures import ThreadPoolExecutor
+
     _pt = time.time()
     docs_full = store.docs(spark)
     postings_full = store.postings(spark)
     stats_df = postings_full.groupBy("field", "term").agg(
         F.sum("df_block").alias("df"), F.sum("sum_tf").alias("cf")
     )
-    (
-        stats_df.repartitionByRange(F.col("term"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(store.stats_path)
-    )
+
+    def _write_stats() -> None:
+        (
+            stats_df.repartitionByRange(F.col("term"))
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(store.stats_path)
+        )
 
     aggs = [F.count("*").alias("__n_total")]
     for f_name in cfg.analyzed_fields:
@@ -921,29 +951,36 @@ def build_index(
             F.count_if(F.col(f"dl_{f_name}") > 0).alias(f"__n_{f_name}")
         )
         aggs.append(F.sum(f"dl_{f_name}").alias(f"__sum_{f_name}"))
-    row = docs_full.agg(*aggs).collect()[0]
+
+    with ThreadPoolExecutor(max_workers=2) as _sx:
+        _fut_stats = _sx.submit(_write_stats)
+        _fut_blocks = _sx.submit(
+            lambda: postings_full.groupBy("shard_id")
+            .agg(F.count("*").alias("blocks"), F.sum("df_block").alias("postings"))
+            .collect()
+        )
+        doc_rows = docs_full.groupBy("shard_id").agg(*aggs).collect()
+        blocks_rows = _fut_blocks.result()
+        _fut_stats.result()
+
+    per_shard_docs = {int(r.shard_id): int(r["__n_total"]) for r in doc_rows}
+    n_total = sum(per_shard_docs.values())
     field_stats = {}
     for f_name in cfg.analyzed_fields:
-        n = int(row[f"__n_{f_name}"] or 0)
+        n = sum(int(r[f"__n_{f_name}"] or 0) for r in doc_rows)
+        sum_dl = sum(int(r[f"__sum_{f_name}"] or 0) for r in doc_rows)
         field_stats[f_name] = {
             "n_docs": n,
-            "sum_dl": int(row[f"__sum_{f_name}"] or 0),
-            "avgdl": (float(row[f"__sum_{f_name}"]) / n) if n else 0.0,
+            "sum_dl": sum_dl,
+            "avgdl": (float(sum_dl) / n) if n else 0.0,
         }
-    n_total = int(row["__n_total"])
     phase_t["stats_refresh"] = round(time.time() - _pt, 2)
     _pt = time.time()
 
     # ---- per-shard manifests (lineage + metrics) -------------------------
-    per_shard_docs = {
-        int(r.shard_id): int(r["count"])
-        for r in docs_full.groupBy("shard_id").count().collect()
-    }
     per_shard_blocks = {
         int(r.shard_id): {"blocks": int(r.blocks), "postings": int(r.postings)}
-        for r in postings_full.groupBy("shard_id")
-        .agg(F.count("*").alias("blocks"), F.sum("df_block").alias("postings"))
-        .collect()
+        for r in blocks_rows
     }
     for s in pending:
         store.write_shard_manifest(
