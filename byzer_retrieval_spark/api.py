@@ -164,6 +164,86 @@ class RetrievalEngine:
     def drop(self, database: str = "default", table: str = "default") -> None:
         self.store(database, table).drop()
 
+    # ---- persisted ANN over the table's vector column -------------------
+    def build_vector_ann(
+        self,
+        vector_field: str,
+        database: str = "default",
+        table: str = "default",
+        kind: str = "lsh",
+        probe: Optional[Dict[str, Any]] = None,
+        **params: Any,
+    ) -> Dict[str, Any]:
+        """Build a persisted ANN index over a stored vector column —
+        the engine-level analog of the HNSW graph the reference builds
+        at index time (SchemaUtils.java:104-110). ``kind`` is "lsh"
+        (random-hyperplane buckets) or "ivf" (spherical k-means).
+
+        The index records the table snapshot it was built from; any
+        later mutation makes it stale and vector searches silently fall
+        back to the exact scan until it is rebuilt (an HNSW graph has
+        the same rebuild-on-change lifecycle). ``probe`` overrides the
+        query-time probe width (default: {"probe_hamming": 2} for lsh,
+        {"nprobe": 4} for ivf).
+        """
+        import json as _json
+        import os as _os
+
+        from byzer_retrieval_spark.functions.similarity import (
+            IvfVectorIndex,
+            LshVectorIndex,
+        )
+
+        store = self.store(database, table)
+        ctx = self.ctx(database, table)
+        docs = ctx.exclude_tombstones(ctx.docs())
+        dim = len(docs.select(vector_field).first()[0])
+        path = _os.path.join(store.base, "ann", vector_field, kind)
+        if kind == "lsh":
+            idx = LshVectorIndex(path, **params)
+            probe = probe or {"probe_hamming": 2}
+        elif kind == "ivf":
+            idx = IvfVectorIndex(path, **params)
+            probe = probe or {"nprobe": 4}
+        else:
+            raise ValueError(f"unknown ANN kind {kind!r}")
+        idx.build(docs, "_id", vector_field, dim=dim, extra_cols=("__docid",))
+        state = {
+            "kind": kind,
+            "field": vector_field,
+            "params": params,
+            "probe": probe,
+            "snapshot_id": store.current_snapshot_id(),
+        }
+        with open(_os.path.join(store.base, "ann", vector_field, "state.json"), "w") as f:
+            _json.dump(state, f)
+        return state
+
+    def _current_ann(self, store: IndexStore, vector_field: str):
+        """(index, probe_kw) when a persisted ANN index exists for the
+        field AND matches the CURRENT snapshot; else None."""
+        import json as _json
+        import os as _os
+
+        p = _os.path.join(store.base, "ann", vector_field or "", "state.json")
+        if not vector_field or not _os.path.exists(p):
+            return None
+        with open(p) as f:
+            state = _json.load(f)
+        if int(state.get("snapshot_id", -2)) != store.current_snapshot_id():
+            return None  # stale after a mutation → exact fallback
+        from byzer_retrieval_spark.functions.similarity import (
+            IvfVectorIndex,
+            LshVectorIndex,
+        )
+
+        cls = LshVectorIndex if state["kind"] == "lsh" else IvfVectorIndex
+        idx = cls(
+            _os.path.join(store.base, "ann", vector_field, state["kind"]),
+            **state.get("params", {}),
+        )
+        return idx, dict(state.get("probe", {}))
+
     # ---- read path -------------------------------------------------------
     def search(
         self,
@@ -185,9 +265,7 @@ class RetrievalEngine:
         has_vec = bool(query.vector) and query.vector_field
         has_kw = query.keyword is not None and query.keyword.strip() != ""
         if has_vec:
-            from byzer_retrieval_spark.operators.knn import vector_topk
-
-            vec_recall = vector_topk(ctx, query)
+            vec_recall = self._vector_recall(ctx, database, table, query)
             if not has_kw:
                 return vec_recall
             kw_recall = self._keyword_search(ctx, query, use_fast_path)
@@ -199,6 +277,22 @@ class RetrievalEngine:
                 .select("_score", *ctx.stored_columns())
             )
         return self._keyword_search(ctx, query, use_fast_path)
+
+    def _vector_recall(
+        self, ctx: IndexContext, database: str, table: str, query: SearchQuery
+    ) -> DataFrame:
+        """Vector recall dispatch: a CURRENT persisted ANN index serves
+        unfiltered vector queries (like the reference always querying
+        its HNSW graph); filtered queries and stale/absent indexes take
+        the exact filtered scan (strictly better recall)."""
+        from byzer_retrieval_spark.operators.knn import vector_topk, vector_topk_ann
+
+        if not query.filters:
+            ann = self._current_ann(self.store(database, table), query.vector_field)
+            if ann is not None:
+                idx, probe_kw = ann
+                return vector_topk_ann(ctx, query, idx, **probe_kw)
+        return vector_topk(ctx, query)
 
     def _keyword_search(
         self, ctx: IndexContext, query: SearchQuery, use_fast_path: bool = True

@@ -155,13 +155,24 @@ class LshVectorIndex:
     def exists(self) -> bool:
         return os.path.exists(self.meta_path)
 
-    def build(self, df: DataFrame, id_col: str, vec_col: str, dim: int) -> None:
+    def build(
+        self,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        dim: int,
+        extra_cols: Sequence[str] = (),
+    ) -> None:
         """Bucket every vector in every table (JVM dot products) and
         persist partitioned by (tbl, bucket). One narrow pass + one
-        partitioned write; no shuffle beyond the write repartition."""
+        partitioned write; no shuffle beyond the write repartition.
+        ``extra_cols`` ride along into the index rows (e.g. __docid so
+        the engine can partition-prune the stored-field join)."""
         reps = []
         base = df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).cast("array<float>").alias("vec")
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<float>").alias("vec"),
+            *[F.col(c) for c in extra_cols],
         )
         for t in range(self.num_tables):
             planes = hyperplanes(dim, self.num_planes, self.seed + t)
@@ -186,21 +197,31 @@ class LshVectorIndex:
                     "num_tables": self.num_tables,
                     "seed": self.seed,
                     "dim": dim,
+                    "extra_cols": list(extra_cols),
                 },
                 f,
             )
 
+    def _extra_cols(self) -> List[str]:
+        try:
+            with open(self.meta_path) as f:
+                return list(json.load(f).get("extra_cols", []))
+        except FileNotFoundError:
+            return []
+
     def candidates(
         self, spark: SparkSession, query: Sequence[float], probe_hamming: int
     ) -> DataFrame:
-        """Distinct (id, vec) whose bucket is within probe_hamming of
-        the query's bucket in ANY table — via partition filters only."""
+        """Distinct (id, vec, extras) whose bucket is within
+        probe_hamming of the query's bucket in ANY table — via partition
+        filters only."""
         dim = len(query)
+        cols = ["id", "vec"] + self._extra_cols()
         data = spark.read.parquet(self.data_path)
         if probe_hamming >= self.num_planes:
             # exact mode: one full replica (still one num_tables-th of
             # the index) — used by the correctness oracle
-            return data.filter(F.col("tbl") == 0).select("id", "vec")
+            return data.filter(F.col("tbl") == 0).select(*cols)
         cond = F.lit(False)
         for t in range(self.num_tables):
             planes = hyperplanes(dim, self.num_planes, self.seed + t)
@@ -209,7 +230,7 @@ class LshVectorIndex:
             cond = cond | (
                 (F.col("tbl") == t) & F.col("bucket").isin([int(x) for x in probes])
             )
-        return data.filter(cond).select("id", "vec").dropDuplicates(["id"])
+        return data.filter(cond).select(*cols).dropDuplicates(["id"])
 
     def topk(
         self,
@@ -336,9 +357,18 @@ class IvfVectorIndex:
 
         return assign
 
-    def build(self, df: DataFrame, id_col: str, vec_col: str, dim: int) -> None:
+    def build(
+        self,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        dim: int,
+        extra_cols: Sequence[str] = (),
+    ) -> None:
         base = df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).cast("array<float>").alias("vec")
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<float>").alias("vec"),
+            *[F.col(c) for c in extra_cols],
         )
         # deterministic init: first num_clusters vectors in id order
         # (id order, not data order, so re-builds are reproducible)
@@ -393,9 +423,30 @@ class IvfVectorIndex:
                     "dim": dim,
                     "seed": self.seed,
                     "centroids": cent.tolist(),
+                    "extra_cols": list(extra_cols),
                 },
                 f,
             )
+
+    def _extra_cols(self) -> List[str]:
+        try:
+            with open(self.meta_path) as f:
+                return list(json.load(f).get("extra_cols", []))
+        except FileNotFoundError:
+            return []
+
+    def candidates(
+        self, spark: SparkSession, query: Sequence[float], nprobe: int
+    ) -> DataFrame:
+        """(id, vec, extras) of the nprobe nearest clusters — partition
+        filters only; nprobe >= num_clusters scans the whole index."""
+        cols = ["id", "vec"] + self._extra_cols()
+        data = spark.read.parquet(self.data_path)
+        if nprobe < self.num_clusters:
+            data = data.filter(
+                F.col("cluster").isin(self.probe_clusters(query, nprobe))
+            )
+        return data.select(*cols)
 
     def probe_clusters(self, query: Sequence[float], nprobe: int) -> List[int]:
         cent = self._centroids()
@@ -413,12 +464,9 @@ class IvfVectorIndex:
     ) -> DataFrame:
         """Approximate cosine top-k over the nprobe nearest clusters
         (partition-filter pruned); nprobe >= num_clusters is exact."""
-        data = spark.read.parquet(self.data_path)
-        if nprobe < self.num_clusters:
-            data = data.filter(
-                F.col("cluster").isin(self.probe_clusters(query, nprobe))
-            )
-        return brute_force_cosine_topk(data, "id", "vec", query, k)
+        return brute_force_cosine_topk(
+            self.candidates(spark, query, nprobe), "id", "vec", query, k
+        )
 
 
 def cosine_sql_expr(vec_col: str, query: Sequence[float]) -> str:

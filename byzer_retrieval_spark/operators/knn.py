@@ -48,3 +48,45 @@ def vector_topk(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         .limit(query.limit)
         .select("_score", *stored)
     )
+
+
+def vector_topk_ann(
+    ctx: IndexContext,
+    query: SearchQuery,
+    index,
+    **probe_kw,
+) -> DataFrame:
+    """ANN vector top-k over a PERSISTED index (LshVectorIndex /
+    IvfVectorIndex built by ``RetrievalEngine.build_vector_ann`` with
+    ``extra_cols=("__docid",)``) — the engine-level analog of the
+    reference querying its build-time HNSW graph
+    (RetrievalWorker.java:346-366).
+
+    Plan shape at 10^12 vectors: the probe reads only the matching
+    bucket/cluster PARTITIONS of the index; winners (k rows) join back
+    to the docs table on (shard_id, __docid) — shard_id derived from
+    the docid's top bits — so stored-field materialization is partition-
+    and row-group-pruned exactly like the WAND path's.
+
+    Engine dispatch guarantees the index snapshot matches the current
+    table snapshot (any mutation makes it stale → exact fallback), so
+    no tombstone handling is needed here.
+    """
+    qv = [float(x) for x in query.vector]
+    cand = index.candidates(ctx.spark, qv, **probe_kw)
+    scored = cand.withColumn("_score", _cosine_expr("vec", qv))
+    win = (
+        scored.orderBy(F.col("_score").desc(), F.col("id").asc())
+        .limit(query.limit)
+        .select(
+            "__docid",
+            F.shiftright("__docid", ctx.doc_bits).cast("int").alias("shard_id"),
+            "_score",
+        )
+    )
+    docs = ctx.docs()
+    out = docs.join(F.broadcast(win), ["shard_id", "__docid"])
+    return (
+        out.orderBy(F.col("_score").desc(), F.col("_id").asc())
+        .select("_score", *ctx.stored_columns())
+    )

@@ -1,0 +1,111 @@
+"""Engine-level persisted-ANN vector search: build_vector_ann + the
+search() dispatch (current index → ANN probe; mutation → stale →
+exact fallback). Reference capability: query-time use of the
+index-time HNSW graph (RetrievalWorker.java:346-366)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from byzer_retrieval_spark.api import RetrievalEngine
+from byzer_retrieval_spark.operators.indexer import IndexConfig
+from byzer_retrieval_spark.plans.query import SearchQuery
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vec_engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vec_ann"))
+    eng = RetrievalEngine(spark, root)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    src = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").cast("string").alias("_id"),
+        "doc_id",
+        "text",
+        "lang",
+        "embedding",
+    )
+    eng.build(
+        src,
+        cfg=IndexConfig(num_shards=4, analyzed_fields=("text",), id_columns=()),
+        resume=False,
+    )
+    return eng
+
+
+def _qvec():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(64)
+    return [float(x) for x in (v / np.linalg.norm(v))]
+
+
+def test_ann_exhaustive_probe_equals_exact(vec_engine):
+    """LSH index with probe_hamming = num_planes must reproduce the
+    exact vector search (ids and scores) through eng.search()."""
+    q = SearchQuery(vector=_qvec(), vector_field="embedding", limit=10)
+    exact = [
+        (r["doc_id"], round(r["_score"], 6))
+        for r in vec_engine.search(q).collect()
+    ]
+    state = vec_engine.build_vector_ann(
+        "embedding",
+        kind="lsh",
+        num_planes=6,
+        num_tables=2,
+        probe={"probe_hamming": 6},
+    )
+    assert state["snapshot_id"] == vec_engine.store().current_snapshot_id()
+    assert vec_engine._current_ann(vec_engine.store(), "embedding") is not None
+    got = [
+        (r["doc_id"], round(r["_score"], 6))
+        for r in vec_engine.search(q).collect()
+    ]
+    assert got == exact
+
+
+def test_ann_recall_at_pruned_probe(vec_engine):
+    q = SearchQuery(vector=_qvec(), vector_field="embedding", limit=10)
+    exact_ids = [r["doc_id"] for r in vec_engine.search(q).collect()]
+    # random gaussian embeddings have near-uniform pairwise cosines, so
+    # true neighbors scatter across clusters — probe 6 of 8 (still a
+    # pruned partition-filter scan) for a stable recall bound
+    vec_engine.build_vector_ann(
+        "embedding", kind="ivf", num_clusters=8, probe={"nprobe": 6}
+    )
+    # ivf replaces lsh as the CURRENT state for the field
+    idx, probe = vec_engine._current_ann(vec_engine.store(), "embedding")
+    assert probe == {"nprobe": 6}
+    got_ids = [r["doc_id"] for r in vec_engine.search(q).collect()]
+    recall = len(set(exact_ids) & set(got_ids)) / 10.0
+    # 0.7 bound: with 100 i.i.d. gaussian vectors the "neighborhood" is
+    # nearly uniform, the worst case for cluster pruning — recall on
+    # STRUCTURED data (planted near-dups) is pinned >= 0.9 by
+    # test_lsh_recall_on_planted_near_dups / the IVF unit tests
+    assert recall >= 0.7, f"IVF engine-path recall {recall}"
+
+
+def test_filtered_query_bypasses_ann_and_mutation_staleness(vec_engine, spark):
+    # filters always take the exact path (recall-exact filtered KNN)
+    qf = SearchQuery(
+        vector=_qvec(),
+        vector_field="embedding",
+        filters={"and": [{"field": "lang", "value": "en"}]},
+        limit=10,
+    )
+    langs = {r["lang"] for r in vec_engine.search(qf).collect()}
+    assert langs <= {"en"}
+
+    # a mutation bumps the snapshot → ANN is stale → exact fallback
+    victim = vec_engine.search(
+        SearchQuery(vector=_qvec(), vector_field="embedding", limit=1)
+    ).collect()[0]["_id"]
+    vec_engine.delete_by_ids([victim])
+    assert vec_engine._current_ann(vec_engine.store(), "embedding") is None
+    q = SearchQuery(vector=_qvec(), vector_field="embedding", limit=10)
+    post = [r["_id"] for r in vec_engine.search(q).collect()]
+    assert victim not in post and len(post) == 10
