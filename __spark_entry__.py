@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     same functions run batch and under readStream) ------------
         "events_tumbling_agg": _q_events_tumbling,
         "events_sessionization": _q_events_sessions,
+        "events_occurrence_rank": _q_events_occ_rank,
         # --- relational breadth (Spark-side bonus; not in the reference,
         #     see SURVEY §2.2) ------------------------------------------
         "rel_agg_lineitem": _q_rel_agg,
@@ -630,6 +631,9 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["events_tumbling_agg"] = tumbling_sql("events")
     sqls["events_sessionization"] = sessions_sql("events")
+    from byzer_retrieval_spark.streaming.stateful import occurrence_rank_sql
+
+    sqls["events_occurrence_rank"] = occurrence_rank_sql("events")
     # text_lang_id / text_quality / embedding ops get their SQL from the
     # function library so Spark expr and oracle can never drift
     from byzer_retrieval_spark.functions.text import (
@@ -1254,6 +1258,16 @@ def _q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
     return session_windows(ev)
+
+
+def _q_events_occ_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful-operator surface (applyInPandasWithState twin): per-key
+    occurrence ranks + first-seen; the batch path here IS the stream's
+    single-trigger output multiset (pinned by test_stateful_stream)."""
+    from byzer_retrieval_spark.streaming.stateful import occurrence_rank
+
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    return occurrence_rank(ev)
 
 
 def _q_rel_agg(spark: SparkSession, sf: str) -> DataFrame:
