@@ -644,6 +644,42 @@ def _merge_block_builder(block_size: int):
     return gen
 
 
+def _detect_hot_terms(df: DataFrame, cfg: "IndexConfig", phase_t: Dict) -> List[str]:
+    """Pass 2: hot-term detection (map-side-combined count).
+
+    Detection is a skew-balancing heuristic, not a correctness
+    decision, so it runs on a 10% doc sample (map-side-combined count,
+    ~|vocab| keys before the shuffle). A term whose sampled estimate
+    straddles the threshold merely gets a slightly larger (or a
+    needlessly split) build group. Needs no doc ids, so the build runs
+    it concurrently with doc-id staging."""
+    _pt = time.time()
+    sample_frac = float(os.environ.get("BYZER_HOT_SAMPLE", "0.1"))
+    sampled = df.sample(fraction=sample_frac, seed=42)
+    hot_frames = []
+    for f_name in cfg.analyzed_fields:
+        toks_col = (
+            tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))
+            if cfg.use_arrow_udf_tokenizer
+            else tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer)
+        )
+        hot_frames.append(
+            sampled.select(F.lit(f_name).alias("field"), F.explode(toks_col).alias("term"))
+        )
+    hot_u = hot_frames[0]
+    for t in hot_frames[1:]:
+        hot_u = hot_u.unionByName(t)
+    hot = (
+        hot_u.groupBy("field", "term")
+        .count()
+        .filter(F.col("count") > cfg.hot_term_split_threshold * sample_frac)
+        .select("field", "term")
+        .collect()
+    )
+    phase_t["hot_term_detect"] = round(time.time() - _pt, 2)
+    return [r.term for r in hot]
+
+
 def build_index(
     spark: SparkSession,
     source: DataFrame,
@@ -737,6 +773,15 @@ def build_index(
         # memory pressure (measured super-linear at 200k files), while
         # re-tokenizing from compressed columnar storage is a cheap,
         # linear, whole-stage-codegen'd regex pass.
+        # hot-term detection needs no doc ids — launch it over the
+        # pre-staged pending rows on a scheduler thread so it overlaps
+        # the stage write (it's off the critical path entirely when the
+        # write is slower)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        _hot_ex = _TPE(max_workers=1)
+        _fut_hot = _hot_ex.submit(_detect_hot_terms, pend, cfg, phase_t)
+
         staged_path = os.path.join(store.base, "_staged")
         _pt = time.time()
         _assign_doc_ids(pend).write.mode("overwrite").parquet(staged_path)
@@ -806,50 +851,19 @@ def build_index(
             )
             phase_t["docs_write"] = round(time.time() - _pt, 2)
 
-        # ---- pass 2: hot-term detection (map-side-combined count) --------
-        # Detection is a skew-balancing heuristic, not a correctness
-        # decision, so it runs on a 10% doc sample (map-side-combined
-        # count, ~|vocab| keys before the shuffle). A term whose sampled
-        # estimate straddles the threshold merely gets a slightly larger
-        # (or a needlessly split) build group.
-        def _hot_detect() -> List[str]:
-            _pt = time.time()
-            sample_frac = float(os.environ.get("BYZER_HOT_SAMPLE", "0.1"))
-            sampled = staged.sample(fraction=sample_frac, seed=42)
-            hot_frames = []
-            for f_name in cfg.analyzed_fields:
-                toks_col = (
-                    tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))
-                    if cfg.use_arrow_udf_tokenizer
-                    else tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer)
-                )
-                hot_frames.append(
-                    sampled.select(F.lit(f_name).alias("field"), F.explode(toks_col).alias("term"))
-                )
-            hot_u = hot_frames[0]
-            for t in hot_frames[1:]:
-                hot_u = hot_u.unionByName(t)
-            hot = (
-                hot_u.groupBy("field", "term")
-                .count()
-                .filter(F.col("count") > cfg.hot_term_split_threshold * sample_frac)
-                .select("field", "term")
-                .collect()
-            )
-            phase_t["hot_term_detect"] = round(time.time() - _pt, 2)
-            return [r.term for r in hot]
-
         # The docs write, the fresh-build fingerprint agg, and (below)
         # the postings pipeline are INDEPENDENT jobs over the staged
         # table — run them on scheduler threads so their latencies
         # overlap (serial chain → max, not sum; the cluster pipelines
-        # stages of concurrent jobs). Only hot-term detection gates the
-        # postings plan (it parameterizes the salt), so it runs first;
-        # the futures are resolved after the postings write.
+        # stages of concurrent jobs). Hot-term detection (gates the
+        # postings plan: it parameterizes the salt) has been running
+        # since before the stage write; the other futures are resolved
+        # after the postings write.
         _ex = ThreadPoolExecutor(max_workers=2)
         _fut_fp = _ex.submit(_collect_fps, staged) if fingerprints is None else None
         _fut_docs = _ex.submit(_docs_pass)
-        hot_terms = _hot_detect()
+        hot_terms = _fut_hot.result()
+        _hot_ex.shutdown()
 
         # ---- pass 3: two-stage postings build (north_star shape) ---------
         # Stage A (NARROW): tokenize JVM-side, ship token ARRAYS (flat
