@@ -29,6 +29,7 @@ class RetrievalEngine:
         self.spark = spark
         self.root = root
         self._qspark: Optional[SparkSession] = None
+        self._ctx_cache: Dict[Any, Any] = {}
 
     @property
     def query_spark(self) -> SparkSession:
@@ -55,7 +56,20 @@ class RetrievalEngine:
     def query_ctx(
         self, database: str = "default", table: str = "default"
     ) -> IndexContext:
-        return IndexContext.open(self.query_spark, self.store(database, table))
+        """Opened context for the READ path, cached per snapshot: the
+        context memoizes its table readers (file listing + footer
+        schema ≈ 0.3-0.5 s of driver work per open), and every mutation
+        commits a new snapshot id, which invalidates the cache entry —
+        so a reused context can never see a stale file set."""
+        store = self.store(database, table)
+        sid = store.current_snapshot_id()
+        key = (database, table)
+        hit = self._ctx_cache.get(key)
+        if hit is not None and hit[0] == sid:
+            return hit[1]
+        ctx = IndexContext.open(self.query_spark, store)
+        self._ctx_cache[key] = (sid, ctx)
+        return ctx
 
     # ---- table lifecycle (reference createTable, TableSettings) ---------
     def create_table(

@@ -10,6 +10,9 @@ from pyspark.sql import DataFrame, SparkSession
 from byzer_retrieval_spark.sources.storage import IndexStore
 
 
+_MISS = object()
+
+
 @dataclass
 class IndexContext:
     spark: SparkSession
@@ -27,14 +30,27 @@ class IndexContext:
         return cls(spark, store, store.read_meta(), snap)
 
     # table readers ------------------------------------------------------
+    # Memoized per context: building a reader costs a driver-side file
+    # listing + a parquet-footer schema read (~100-200 ms each). A
+    # context is pinned to ONE snapshot (mutations commit a new snapshot
+    # and the engine opens a fresh context), so the cached plans can
+    # never see stale file sets.
+    def _memo(self, key: str, build):
+        cache = self.__dict__.setdefault("_reader_memo", {})
+        hit = cache.get(key, _MISS)
+        if hit is _MISS:
+            hit = build()
+            cache[key] = hit
+        return hit
+
     def docs(self) -> DataFrame:
-        return self.store.docs(self.spark)
+        return self._memo("docs", lambda: self.store.docs(self.spark))
 
     def postings(self) -> DataFrame:
-        return self.store.postings(self.spark)
+        return self._memo("postings", lambda: self.store.postings(self.spark))
 
     def stats(self) -> DataFrame:
-        return self.store.stats(self.spark)
+        return self._memo("stats", lambda: self.store.stats(self.spark))
 
     def tombstone_ids(self) -> List[int]:
         return self.store.tombstone_ids(self.spark)
@@ -45,7 +61,7 @@ class IndexContext:
         ``tombstone_ids`` (a driver collect that inlines every deleted
         id as a plan literal — a driver bottleneck at millions of
         deletes)."""
-        return self.store.tombstones(self.spark)
+        return self._memo("tombstones", lambda: self.store.tombstones(self.spark))
 
     def exclude_tombstones(self, df: DataFrame) -> DataFrame:
         """Anti-join ``df`` (must carry __docid) against tombstones.
