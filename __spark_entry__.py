@@ -389,6 +389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_wins": _q_upsert_wins,
         # --- training-data pipeline ops -----------------------------------
         "text_fingerprint": _q_fingerprint,
+        "text_pii_scrub": _q_pii,
+        "text_repetition": _q_repetition,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
         "text_token_counts": _q_token_counts,
@@ -644,6 +646,29 @@ def oracle_sql() -> dict[str, str]:
     sqls["text_lang_id"] = (
         f"SELECT doc_id, {lang_id_sql('text')} AS pred_lang "
         "FROM documents ORDER BY doc_id"
+    )
+    from byzer_retrieval_spark.functions.text import (
+        pii_counts_sql,
+        pii_scrub_sql,
+        repetition_sql,
+    )
+
+    planted = (
+        "(text || ' contact user' || doc_id::VARCHAR || '@example.com at 10.0.'"
+        " || (doc_id % 200)::VARCHAR || '.7 ssn 123-45-678' || (doc_id % 10)::VARCHAR)"
+    )
+    pc = pii_counts_sql(planted)
+    sqls["text_pii_scrub"] = (
+        "SELECT doc_id, "
+        + ", ".join(f"{sql}::INT AS {n}" for n, sql in pc.items())
+        + f", md5({pii_scrub_sql(planted)}) AS scrubbed_md5 "
+        "FROM documents ORDER BY doc_id"
+    )
+    rep = repetition_sql("text")
+    sqls["text_repetition"] = (
+        "SELECT doc_id, "
+        + ", ".join(f"{sql} AS {n}" for n, sql in rep.items())
+        + " FROM documents ORDER BY doc_id"
     )
     qf = quality_features_sql("text")
     sqls["text_quality"] = (
@@ -984,6 +1009,45 @@ def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
         .orderBy("doc_id")
     )
+
+
+def _q_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detect + scrub. The synthetic docs contain no natural PII,
+    so the entry plants a deterministic doc_id-derived email/IP/SSN
+    suffix — IDENTICALLY in the SQL oracle — then counts matches and
+    fingerprints the scrubbed text (proving the scrub output matches
+    byte-for-byte without shipping 500 full texts through the gate)."""
+    from byzer_retrieval_spark.functions.text import (
+        pii_counts_exprs,
+        pii_scrub_expr,
+    )
+
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 ssn 123-45-678"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    cols = [c.alias(n) for n, c in pii_counts_exprs(planted).items()]
+    return (
+        _documents(spark, sf)
+        .select(
+            "doc_id",
+            *cols,
+            F.md5(pii_scrub_expr(planted)).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from byzer_retrieval_spark.functions.text import repetition_exprs
+
+    cols = [c.alias(n) for n, c in repetition_exprs(F.col("text")).items()]
+    return _documents(spark, sf).select("doc_id", *cols).orderBy("doc_id")
 
 
 def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:

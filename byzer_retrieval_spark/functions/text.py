@@ -162,3 +162,115 @@ def fingerprint_expr(col: Column) -> Column:
 
 def fingerprint_sql(expr: str) -> str:
     return f"md5(array_to_string({tokens_sql(expr)}, ' '))"
+
+
+# ---- PII detection / scrubbing -------------------------------------------
+# Regex set chosen to be expressible IDENTICALLY in Java regex (Spark)
+# and RE2 (DuckDB): plain character classes, bounded repeats, \b.
+# Order matters for scrubbing: SSN before PHONE (both are digit-dash
+# shapes), EMAIL before IP (an IP never contains '@' but an email's
+# domain may contain digits and dots).
+PII_PATTERNS: List[Tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts_exprs(col: Column) -> Dict[str, Column]:
+    """Per-type PII match counts (narrow, codegen'd regexp scans)."""
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub_expr(col: Column) -> Column:
+    """Text with every PII match replaced by its typed placeholder —
+    the redaction step of a training-data ingest pipeline."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts_sql(expr: str) -> Dict[str, str]:
+    return {
+        f"n_{name}": f"len(regexp_extract_all({expr}, '{pat}'))"
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub_sql(expr: str) -> str:
+    out = expr
+    for _, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+# ---- repetition signals (Gopher-style quality filters) -------------------
+def repetition_exprs(col: Column) -> Dict[str, Column]:
+    """Within-document repetition fractions — the classic crawl-quality
+    gate (boilerplate/spam detection): duplicate-word fraction, most-
+    frequent-word fraction, duplicate-2-gram fraction. Pure Catalyst:
+    the top-word count is a run-length scan over the SORTED token array
+    via F.aggregate (O(n log n)/doc, no Python, no shuffle)."""
+    toks = tokens_expr(col)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    dup_word = F.when(n > 0, 1.0 - nd.cast("double") / n).otherwise(F.lit(0.0))
+
+    srt = F.array_sort(toks)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(srt, zero, step, lambda acc: acc["best"])
+    top_word = F.when(n > 0, top.cast("double") / n).otherwise(F.lit(0.0))
+
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams)
+    dup2 = F.when(
+        ng > 0, 1.0 - F.size(F.array_distinct(grams)).cast("double") / ng
+    ).otherwise(F.lit(0.0))
+
+    return {
+        "dup_word_frac": F.round(dup_word, 6),
+        "top_word_frac": F.round(top_word, 6),
+        "dup_2gram_frac": F.round(dup2, 6),
+    }
+
+
+def repetition_sql(expr: str) -> Dict[str, str]:
+    toks = tokens_sql(expr)
+    t = f"__t"
+    return {
+        "dup_word_frac": (
+            f"round(CASE WHEN len({toks}) > 0 THEN 1.0 - "
+            f"len(list_distinct({toks}))::DOUBLE / len({toks}) ELSE 0.0 END, 6)"
+        ),
+        "top_word_frac": (
+            f"round(CASE WHEN len({toks}) > 0 THEN "
+            f"list_max(map_values(list_histogram({toks})))::DOUBLE / len({toks}) "
+            f"ELSE 0.0 END, 6)"
+        ),
+        "dup_2gram_frac": (
+            f"round(CASE WHEN len({toks}) >= 2 THEN 1.0 - "
+            f"len(list_distinct(list_transform(range(1, len({toks})), "
+            f"i -> concat_ws(' ', {toks}[i], {toks}[i+1]))))::DOUBLE "
+            f"/ (len({toks}) - 1) ELSE 0.0 END, 6)"
+        ),
+    }

@@ -455,3 +455,42 @@ def test_dedup_clusters_groups_transitively(spark, documents):
             parent[max(ra, rb)] = min(ra, rb)
     model = {x: find(x) for x in parent}
     assert labels == model
+
+
+# ---- PII + repetition -----------------------------------------------------
+def test_pii_scrub_and_counts(spark):
+    from byzer_retrieval_spark.functions.text import (
+        pii_counts_exprs,
+        pii_scrub_expr,
+    )
+
+    txt = (
+        "mail a.user+x@sub.example.org or 555-123-4567, ssn 123-45-6789, "
+        "host 192.168.0.1 end"
+    )
+    df = spark.createDataFrame([(txt,)], ["t"])
+    row = df.select(
+        pii_scrub_expr(F.col("t")).alias("s"),
+        *[c.alias(n) for n, c in pii_counts_exprs(F.col("t")).items()],
+    ).collect()[0]
+    assert row["n_email"] == 1 and row["n_phone"] == 1
+    assert row["n_ssn"] == 1 and row["n_ipv4"] == 1
+    assert row["s"] == "mail <EMAIL> or <PHONE>, ssn <SSN>, host <IP> end"
+
+
+def test_repetition_fractions_known_values(spark):
+    from byzer_retrieval_spark.functions.text import repetition_exprs
+
+    # "a a a b": 4 tokens, 2 distinct → dup_word 0.5; top word a:3/4;
+    # 2-grams [a a, a a, a b]: 3 grams, 2 distinct → dup 1/3
+    df = spark.createDataFrame([("a a a b",), ("",), ("x",)], ["t"])
+    rows = df.select(
+        "t", *[c.alias(n) for n, c in repetition_exprs(F.col("t")).items()]
+    ).collect()
+    by = {r["t"]: r for r in rows}
+    r = by["a a a b"]
+    assert r["dup_word_frac"] == 0.5
+    assert r["top_word_frac"] == 0.75
+    assert abs(r["dup_2gram_frac"] - 1 / 3) < 1e-6
+    assert by[""]["dup_word_frac"] == 0.0 and by[""]["top_word_frac"] == 0.0
+    assert by["x"]["dup_2gram_frac"] == 0.0
