@@ -391,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_pii_scrub": _q_pii,
         "text_repetition": _q_repetition,
+        "doc_chunking": _q_chunking,
+        "stratified_sample": _q_stratified,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
         "text_token_counts": _q_token_counts,
@@ -669,6 +671,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, "
         + ", ".join(f"{sql} AS {n}" for n, sql in rep.items())
         + " FROM documents ORDER BY doc_id"
+    )
+    from byzer_retrieval_spark.functions.chunking import chunk_documents_sql
+    from byzer_retrieval_spark.functions.sampling import stratified_sample_sql
+
+    sqls["doc_chunking"] = chunk_documents_sql("documents", "doc_id", "text", 32, 24)
+    sqls["stratified_sample"] = (
+        "SELECT doc_id, lang FROM ("
+        + stratified_sample_sql(
+            "documents", "doc_id", "lang", {"en": 1.0, "de": 0.3}, 0.05
+        )
+        + ") ORDER BY doc_id"
     )
     qf = quality_features_sql("text")
     sqls["text_quality"] = (
@@ -1048,6 +1061,25 @@ def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
 
     cols = [c.alias(n) for n, c in repetition_exprs(F.col("text")).items()]
     return _documents(spark, sf).select("doc_id", *cols).orderBy("doc_id")
+
+
+def _q_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking (window 32, stride 24): one row per
+    chunk with the md5 of the joined chunk text."""
+    from byzer_retrieval_spark.functions.chunking import chunk_documents
+
+    return chunk_documents(_documents(spark, sf), "doc_id", "text", 32, 24)
+
+
+def _q_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sampling (training-data
+    mixing): keep all en, 30% de, 5% of everything else."""
+    from byzer_retrieval_spark.functions.sampling import stratified_sample
+
+    out = stratified_sample(
+        _documents(spark, sf), "doc_id", "lang", {"en": 1.0, "de": 0.3}, 0.05
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
 
 
 def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:

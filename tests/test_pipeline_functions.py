@@ -494,3 +494,37 @@ def test_repetition_fractions_known_values(spark):
     assert abs(r["dup_2gram_frac"] - 1 / 3) < 1e-6
     assert by[""]["dup_word_frac"] == 0.0 and by[""]["top_word_frac"] == 0.0
     assert by["x"]["dup_2gram_frac"] == 0.0
+
+
+# ---- chunking + stratified sampling ---------------------------------------
+def test_chunk_documents_coverage_and_overlap(spark):
+    from byzer_retrieval_spark.functions.chunking import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a"), (3, "")], ["id", "t"])
+    rows = chunk_documents(df, "id", "t", window=4, stride=3).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append((r["chunk_id"], r["n_tokens"]))
+    # 10 tokens, starts 1,4,7,10 → sizes 4,4,4,1
+    assert sorted(by_id[1]) == [(0, 4), (1, 4), (2, 4), (3, 1)]
+    assert by_id[2] == [(0, 1)]
+    assert 3 not in by_id  # empty doc → no chunks
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    from byzer_retrieval_spark.functions.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(1000)], ["id", "lang"]
+    )
+    a = {r["id"] for r in stratified_sample(docs, "id", "lang", {"en": 0.5}, 0.1).collect()}
+    b = {r["id"] for r in stratified_sample(docs, "id", "lang", {"en": 0.5}, 0.1).collect()}
+    assert a == b  # deterministic
+    # raising a fraction only ADDS rows (per-row independence)
+    c = {r["id"] for r in stratified_sample(docs, "id", "lang", {"en": 0.8}, 0.1).collect()}
+    assert a <= c
+    # rates land near targets
+    en = sum(1 for i in a if i % 2)
+    de = sum(1 for i in a if not i % 2)
+    assert 200 <= en <= 300 and 20 <= de <= 80
