@@ -93,3 +93,54 @@ def test_state_continues_across_triggers(spark, tmp_path):
         q.stop()
     assert [g[1] for g in got] == [1, 2, 3, 4]
     assert {g[2] for g in got} == {"2024-01-01 10:00:00"}
+
+
+def test_incremental_stream_restart_exactly_once(spark, tmp_path):
+    """Kill the NRT ingestion stream and restart it from the SAME
+    checkpoint: already-ingested files must not re-upsert (offsets are
+    checkpointed), new files must, and every doc appears exactly once."""
+    import hashlib
+
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+    from byzer_retrieval_spark.plans.query import SearchQuery
+    from byzer_retrieval_spark.sources.corpus import gen_rows
+    from byzer_retrieval_spark.streaming.incremental import incremental_index_stream
+
+    rows = gen_rows(60)
+    for r in rows:
+        r["_id"] = hashlib.sha256(
+            f"{r['repo']}|{r['path']}|{r['commit']}".encode()
+        ).hexdigest()
+    eng = RetrievalEngine(spark, str(tmp_path / "idx"))
+    # base index from the first 20 docs
+    eng.build(
+        spark.createDataFrame(rows[:20]),
+        cfg=IndexConfig(num_shards=2, hot_term_split_threshold=64, id_columns=()),
+        resume=False,
+    )
+    store = eng.store()
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.createDataFrame(rows[:1]).schema
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        q = incremental_index_stream(stream, store, ckpt, trigger_available_now=True)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows[20:40]).coalesce(1).write.mode("append").parquet(
+        str(src_dir)
+    )
+    run_stream()  # drains file 1, then stops (availableNow)
+    mid = eng.search(SearchQuery(keyword="*", fields=["content"], limit=100)).count()
+    assert mid == 40
+
+    spark.createDataFrame(rows[40:]).coalesce(1).write.mode("append").parquet(
+        str(src_dir)
+    )
+    run_stream()  # restart from checkpoint: only the new file processes
+    final = eng.search(SearchQuery(keyword="*", fields=["content"], limit=100))
+    got = [r["_id"] for r in final.collect()]
+    assert len(got) == 60 and len(set(got)) == 60
