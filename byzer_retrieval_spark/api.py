@@ -174,9 +174,68 @@ class RetrievalEngine:
 
     def truncate(self, database: str = "default", table: str = "default") -> None:
         self.store(database, table).truncate()
+        self._ctx_cache.pop((database, table), None)
 
     def drop(self, database: str = "default", table: str = "default") -> None:
         self.store(database, table).drop()
+        self._ctx_cache.pop((database, table), None)
+
+    def commit(self, database: str = "default", table: str = "default") -> int:
+        """Reference ``Commit`` action (RetrievalFlightServer.java:306):
+        make pending writes durable+visible. Our write paths each end in
+        an atomic snapshot commit already (build_index / mutate.*), so
+        the explicit commit is the read barrier: it returns the CURRENT
+        snapshot id — the one every subsequent search is pinned to."""
+        return self.store(database, table).current_snapshot_id()
+
+    def cluster_info(self) -> Dict[str, Any]:
+        """Reference ``ClusterInfo`` action (RetrievalFlightServer.java:131,
+        records/ClusterInfo.java): cluster shape + per-table settings.
+        The SparkSession IS the cluster here, so worker facts come from
+        the SparkContext and table facts from each store's meta +
+        current snapshot."""
+        sc = self.spark.sparkContext
+        tables = []
+        import os as _os
+
+        root = self.root
+        if _os.path.isdir(root):
+            for db in sorted(_os.listdir(root)):
+                dbp = _os.path.join(root, db)
+                if not _os.path.isdir(dbp):
+                    continue
+                for tbl in sorted(_os.listdir(dbp)):
+                    store = self.store(db, tbl)
+                    if not store.exists():
+                        continue
+                    meta = store.read_meta()
+                    snap = store.current_snapshot() or {}
+                    tables.append(
+                        {
+                            "database": db,
+                            "table": tbl,
+                            "num_shards": meta.get("num_shards"),
+                            "analyzer": meta.get("analyzer"),
+                            "analyzed_fields": meta.get("analyzed_fields"),
+                            "snapshot_id": store.current_snapshot_id(),
+                            "n_docs": snap.get("n_docs"),
+                        }
+                    )
+        return {
+            "name": sc.appName,
+            "master": sc.master,
+            "default_parallelism": sc.defaultParallelism,
+            "spark_version": self.spark.version,
+            "tables": tables,
+        }
+
+    def shutdown(self) -> None:
+        """Reference ``Shutdown`` action (RetrievalFlightServer.java:354):
+        release engine-held resources. The shared SparkContext belongs
+        to the caller and is NOT stopped — only the engine's caches and
+        its dedicated query session are dropped."""
+        self._ctx_cache.clear()
+        self._qspark = None
 
     # ---- persisted ANN over the table's vector column -------------------
     def build_vector_ann(

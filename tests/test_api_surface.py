@@ -87,3 +87,35 @@ def test_build_from_local_requires_id(eng):
     eng.create_table("db1", "t2", REF_SCHEMA, num_shards=2)
     with pytest.raises(ValueError, match="_id"):
         eng.build_from_local([json.dumps({"name": "x", "content": "y"})], "db1", "t2")
+
+
+def test_cluster_info_commit_shutdown(spark, tmp_path):
+    """ClusterInfo / Commit / Shutdown parity surfaces
+    (RetrievalFlightServer.java:131,306,354)."""
+    import hashlib
+
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+    from byzer_retrieval_spark.plans.query import SearchQuery
+    from byzer_retrieval_spark.sources.corpus import gen_rows
+
+    eng = RetrievalEngine(spark, str(tmp_path / "ci"))
+    eng.build(
+        spark.createDataFrame(gen_rows(50)),
+        database="db1",
+        table="t1",
+        cfg=IndexConfig(num_shards=2, hot_term_split_threshold=64),
+        resume=False,
+    )
+    info = eng.cluster_info()
+    assert info["master"].startswith("local")
+    t = [x for x in info["tables"] if (x["database"], x["table"]) == ("db1", "t1")]
+    assert t and t[0]["n_docs"] == 50 and t[0]["num_shards"] == 2
+
+    sid = eng.commit("db1", "t1")
+    assert sid == eng.store("db1", "t1").current_snapshot_id() >= 0
+
+    q = SearchQuery(keyword="def", fields=["content"], limit=5)
+    assert eng.search(q, "db1", "t1").count() > 0
+    eng.shutdown()  # caches dropped; engine still usable afterward
+    assert eng.search(q, "db1", "t1").count() > 0
