@@ -288,8 +288,11 @@ class RetrievalEngine:
             "probe": probe,
             "snapshot_id": store.current_snapshot_id(),
         }
-        with open(_os.path.join(store.base, "ann", vector_field, "state.json"), "w") as f:
-            _json.dump(state, f)
+        from byzer_retrieval_spark.sources.storage import _atomic_write_json
+
+        _atomic_write_json(
+            _os.path.join(store.base, "ann", vector_field, "state.json"), state
+        )
         return state
 
     def _current_ann(self, store: IndexStore, vector_field: str):
