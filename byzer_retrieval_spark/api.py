@@ -270,7 +270,15 @@ class RetrievalEngine:
         store = self.store(database, table)
         ctx = self.ctx(database, table)
         docs = ctx.exclude_tombstones(ctx.docs())
-        dim = len(docs.select(vector_field).first()[0])
+        first = docs.select(vector_field).filter(
+            F.col(vector_field).isNotNull()
+        ).first()
+        if first is None:
+            raise ValueError(
+                f"build_vector_ann: no non-null {vector_field!r} vectors in "
+                f"{database}.{table} (empty or fully tombstoned table)"
+            )
+        dim = len(first[0])
         path = _os.path.join(store.base, "ann", vector_field, kind)
         if kind == "lsh":
             idx = LshVectorIndex(path, **params)

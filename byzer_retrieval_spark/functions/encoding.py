@@ -128,3 +128,26 @@ def encode_posting_block(doc_ids: np.ndarray, base: int) -> bytes:
 
 def decode_posting_block(buf: bytes, base: int) -> np.ndarray:
     return delta_decode(varbyte_decode(buf), base)
+
+
+def varbyte_runs_arrow(deltas: np.ndarray, run_starts: np.ndarray):
+    """Encode ONE flat delta stream and slice it into per-run byte
+    strings as a zero-copy Arrow BinaryArray (no per-run Python).
+
+    ``run_starts``: sorted start indices into ``deltas`` (first must be
+    0). Shared by the index builder's stage A and compaction's
+    re-encode pass — per-posting position runs in both cases.
+    """
+    import pyarrow as pa
+
+    n_runs = len(run_starts)
+    enc = varbyte_encode(deltas)
+    nb = varbyte_nbytes(deltas)
+    byte_ends = np.cumsum(nb)
+    off = np.zeros(n_runs + 1, dtype=np.int32)
+    if n_runs > 1:
+        off[1:-1] = byte_ends[np.asarray(run_starts[1:], dtype=np.int64) - 1]
+    off[-1] = len(enc)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n_runs, [None, pa.py_buffer(off.tobytes()), pa.py_buffer(enc)]
+    )

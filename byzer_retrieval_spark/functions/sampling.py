@@ -28,7 +28,15 @@ _SPACE = 1 << 32  # 16^8 coordinates
 
 def _threshold_hex(frac: float) -> str:
     frac = min(max(float(frac), 0.0), 1.0)
-    return format(int(round(frac * _SPACE)), "08x")
+    n = int(round(frac * _SPACE))
+    if n >= _SPACE:
+        # fraction 1.0 must keep EVERYTHING. format(2**32, '08x') is the
+        # NINE-char '100000000', and lexicographically most 8-char hex
+        # coordinates sort ABOVE it ('a…' > '1…'), which would silently
+        # keep only the ~1/16 of rows starting with '0'. 'g' sorts after
+        # every hex digit, so this 8-char sentinel is > all coordinates.
+        return "gggggggg"
+    return format(n, "08x")
 
 
 def sample_coord_expr(id_col: Column, seed: str = "s42") -> Column:

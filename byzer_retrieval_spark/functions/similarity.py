@@ -371,8 +371,13 @@ class IvfVectorIndex:
             *[F.col(c) for c in extra_cols],
         )
         # deterministic init: first num_clusters vectors in id order
-        # (id order, not data order, so re-builds are reproducible)
+        # (id order, not data order, so re-builds are reproducible).
+        # Fewer rows than clusters → shrink k to the row count (every
+        # row its own centroid) instead of crashing in the update step.
         init = base.orderBy("id").limit(self.num_clusters).collect()
+        if not init:
+            raise ValueError("IvfVectorIndex.build: input table is empty")
+        self.num_clusters = min(self.num_clusters, len(init))
         cent = np.asarray([r.vec for r in init], dtype=np.float64)
         cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 

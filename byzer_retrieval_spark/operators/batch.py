@@ -40,14 +40,15 @@ _OUT_SCHEMA = "query_id int, shard_id int, __docid long, score double"
 
 def _make_batch_scorer(
     field_stats: Dict[str, Tuple[float, float]],
-    specs: List[dict],  # per query: {qid, scoring, must, must_not, k}
+    specs: List[dict],  # per query: {qid, fields, scoring, must, must_not, k}
     k1: float,
     b: float,
 ):
-    def score_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        shard_id = int(key[0])
+    def score_shard(pdf: pd.DataFrame, deny: np.ndarray) -> pd.DataFrame:
+        shard_id = int(pdf["shard_id"].iloc[0])
         # ---- decode every (field, term) ONCE --------------------------
-        parts: Dict[Tuple[str, str], Tuple[np.ndarray, np.ndarray]] = {}
+        # keyed per FIELD so each query scores/gates only ITS fields
+        by_term: Dict[str, List[Tuple[str, np.ndarray, np.ndarray]]] = {}
         for (fld, term), g in pdf.groupby(["field", "term"], sort=False):
             g = g.sort_values("first_doc")
             n_docs, avgdl = field_stats[fld]
@@ -57,22 +58,24 @@ def _make_batch_scorer(
                 g["doc_gaps"], g["tfs"], g["dls"], g["first_doc"]
             )
             part = idf * (tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
-            parts[(fld, term)] = (docs, part)
-
-        by_term: Dict[str, List[Tuple[np.ndarray, np.ndarray]]] = {}
-        for (fld, term), v in parts.items():
-            by_term.setdefault(term, []).append(v)
+            by_term.setdefault(term, []).append((fld, docs, part))
 
         out_q, out_d, out_s = [], [], []
         for spec in specs:
+            q_fields = spec["fields"]
             doc_arrs, part_arrs = [], []
             must_doc_sets = []
             for t in spec["scoring"]:
-                for docs, part in by_term.get(t, ()):  # every field
-                    doc_arrs.append(docs)
-                    part_arrs.append(part)
+                for fld, docs, part in by_term.get(t, ()):
+                    if fld in q_fields:
+                        doc_arrs.append(docs)
+                        part_arrs.append(part)
             for t in spec["must"]:
-                hits = [docs for docs, _ in by_term.get(t, ())]
+                hits = [
+                    docs
+                    for fld, docs, _ in by_term.get(t, ())
+                    if fld in q_fields
+                ]
                 must_doc_sets.append(
                     np.unique(np.concatenate(hits))
                     if hits
@@ -88,9 +91,17 @@ def _make_batch_scorer(
             for hits in must_doc_sets:
                 mask &= np.isin(uniq, hits)
             for t in spec["must_not"]:
-                ex = [docs for docs, _ in by_term.get(t, ())]
+                ex = [
+                    docs
+                    for fld, docs, _ in by_term.get(t, ())
+                    if fld in q_fields
+                ]
                 if ex:
                     mask &= ~np.isin(uniq, np.unique(np.concatenate(ex)))
+            if deny.size:
+                # tombstone deny gate BEFORE the top-k cut — a deleted
+                # doc must not displace a live one from the shard top-k
+                mask &= ~np.isin(uniq, deny)
             docs_f, scores_f = uniq[mask], scores[mask]
             k = spec["k"]
             if docs_f.size > k:
@@ -118,7 +129,25 @@ def _make_batch_scorer(
             }
         )
 
-    return score_shard
+    _EMPTY = np.empty(0, dtype=np.int64)
+
+    def grouped(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_shard(pdf, _EMPTY)
+
+    def cogrouped(key, pdf: pd.DataFrame, deny_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                {"query_id": [], "shard_id": [], "__docid": [], "score": []}
+            ).astype(
+                {"query_id": np.int32, "shard_id": np.int32,
+                 "__docid": np.int64, "score": np.float64}
+            )
+        deny = (
+            deny_pdf["__docid"].to_numpy(np.int64) if len(deny_pdf) else _EMPTY
+        )
+        return score_shard(pdf, deny)
+
+    return grouped, cogrouped
 
 
 def batch_search(
@@ -158,6 +187,7 @@ def batch_search(
         specs.append(
             {
                 "qid": qid,
+                "fields": frozenset(flds),
                 "scoring": tuple(parsed.scoring_terms),
                 "must": tuple(set(parsed.must)),
                 "must_not": tuple(set(parsed.must_not)),
@@ -183,11 +213,25 @@ def batch_search(
         .join(F.broadcast(stats), ["field", "term"])
     )
     field_stats = {f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields}
-    scorer = _make_batch_scorer(field_stats, specs, ctx.k1, ctx.b)
-    per_shard = blocks.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
-
-    # tombstones: one anti-join for the whole batch
-    per_shard = ctx.exclude_tombstones(per_shard)
+    grouped, cogrouped = _make_batch_scorer(field_stats, specs, ctx.k1, ctx.b)
+    # tombstones are a deny gate INSIDE the scorer (cogrouped per shard,
+    # applied before the per-shard top-k cut) — a deleted doc must not
+    # displace a live one; same discipline as wand.search_wand
+    tomb = ctx.tombstones_df()
+    if tomb is None:
+        per_shard = blocks.groupBy("shard_id").applyInPandas(
+            grouped, schema=_OUT_SCHEMA
+        )
+    else:
+        deny = tomb.select(
+            F.shiftright("__docid", ctx.doc_bits).cast("int").alias("shard_id"),
+            "__docid",
+        )
+        per_shard = (
+            blocks.groupby("shard_id")
+            .cogroup(deny.groupby("shard_id"))
+            .applyInPandas(cogrouped, schema=_OUT_SCHEMA)
+        )
 
     docs = ctx.docs()
     # per-query global top-k with the engine's (score desc, _id asc)

@@ -392,10 +392,7 @@ def _partial_postings_builder(
         import pyarrow.compute as pc
 
         from byzer_retrieval_spark.functions.bm25 import quantize_dl
-        from byzer_retrieval_spark.functions.encoding import (
-            varbyte_encode,
-            varbyte_nbytes,
-        )
+        from byzer_retrieval_spark.functions.encoding import varbyte_runs_arrow
 
         pa.set_cpu_count(1)
         local_mask = np.int64((1 << DOC_BITS) - 1)
@@ -444,17 +441,7 @@ def _partial_postings_builder(
             pos_deltas[0] = s_pos[0]
             np.subtract(s_pos[1:], s_pos[:-1], out=pos_deltas[1:])
             pos_deltas[p_start] = s_pos[p_start]
-            enc = varbyte_encode(pos_deltas)
-            nb = varbyte_nbytes(pos_deltas)
-            byte_ends = np.cumsum(nb)
-            p_off = np.zeros(np_post + 1, dtype=np.int32)
-            p_off[1:-1] = byte_ends[p_start[1:] - 1]
-            p_off[-1] = len(enc)
-            pos_arr = pa.BinaryArray.from_buffers(
-                pa.binary(),
-                np_post,
-                [None, pa.py_buffer(p_off.tobytes()), pa.py_buffer(enc)],
-            )
+            pos_arr = varbyte_runs_arrow(pos_deltas, p_start)
 
             post_doc_idx = s_doc[p_start]
             post_docid = docids[post_doc_idx]
@@ -804,8 +791,14 @@ def build_index(
         staged = spark.read.parquet(staged_path)
 
         if fingerprints is None and staged.isEmpty():
-            # fresh build over an empty source: nothing to write
+            # fresh build over an empty source: nothing to write — but
+            # restore the session conf, drain the hot-term job and drop
+            # the scratch dir (they must not leak past the early exit)
             fingerprints, pending = {}, []
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            _fut_hot.result()
+            _hot_ex.shutdown()
+            shutil.rmtree(staged_path, ignore_errors=True)
 
     hot_terms: List[str] = []
     if pending or pending is None:

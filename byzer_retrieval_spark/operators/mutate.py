@@ -266,10 +266,7 @@ def _reencode_pos_rows(batches):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from byzer_retrieval_spark.functions.encoding import (
-        varbyte_encode,
-        varbyte_nbytes,
-    )
+    from byzer_retrieval_spark.functions.encoding import varbyte_runs_arrow
 
     pa.set_cpu_count(1)
     for rb in batches:
@@ -288,15 +285,7 @@ def _reencode_pos_rows(batches):
             deltas[0] = flat[0]
             np.subtract(flat[1:], flat[:-1], out=deltas[1:])
             deltas[starts] = flat[starts]
-        enc = varbyte_encode(deltas)
-        nb = varbyte_nbytes(deltas)
-        byte_ends = np.cumsum(nb)
-        p_off = np.zeros(n + 1, dtype=np.int32)
-        p_off[1:-1] = byte_ends[starts[1:] - 1]
-        p_off[-1] = len(enc)
-        pos_arr = pa.BinaryArray.from_buffers(
-            pa.binary(), n, [None, pa.py_buffer(p_off.tobytes()), pa.py_buffer(enc)]
-        )
+        pos_arr = varbyte_runs_arrow(deltas, starts)
         yield pa.RecordBatch.from_arrays(
             [
                 tbl.column("shard_id").chunk(0),

@@ -30,7 +30,10 @@ Scale: per-shard work is bounded by that shard's postings for the query
 terms; shards score in parallel (one Arrow group per shard — same
 scatter-gather as the reference's master→worker fan-out,
 RetrievalMaster.java:141-147, with Spark's scheduler as the master).
-Each shard emits ≤ k rows, so the driver-side merge is O(shards·k).
+Each shard emits its top-k PLUS any equal-score boundary ties (ties are
+never truncated per shard: upsert delta doc_ids break the doc_id==_id
+order, so equal scores at the k boundary must be settled by the global
+(score desc, _id asc) orderBy) — the merge is O(shards·(k + ties)).
 """
 
 from __future__ import annotations
@@ -347,7 +350,15 @@ def _make_shard_scorer(
                     term_docs.setdefault(c["term"], []).append(docs)
             if not doc_parts:
                 z = np.empty(0, dtype=np.int64)
-                return z, np.empty(0), np.empty(0, dtype=np.int64), []
+                # one EMPTY hit-set per must-ANY group (not []): docs
+                # later folded in by merge_extras must still fail the
+                # group gate when none of the group's terms hit the shard
+                return (
+                    z,
+                    np.empty(0),
+                    np.empty(0, dtype=np.int64),
+                    [np.empty(0, dtype=np.int64) for _ in any_groups],
+                )
             all_docs = np.concatenate(doc_parts)
             all_parts = np.concatenate(score_parts)
             uniq, inv = np.unique(all_docs, return_inverse=True)

@@ -61,10 +61,25 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _ms(minutes_str: str) -> int:
-    n, unit = minutes_str.split()
-    mult = {"minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}[unit]
-    return int(n) * mult * 1000
+_UNIT_SECS = {
+    "second": 1, "seconds": 1, "sec": 1, "secs": 1,
+    "minute": 60, "minutes": 60, "min": 60, "mins": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _ms(interval_str: str) -> int:
+    """'<n> <unit>' → milliseconds, accepting the same unit spellings a
+    Spark interval/watermark string does (seconds through days)."""
+    n, unit = interval_str.strip().split()
+    try:
+        return int(n) * _UNIT_SECS[unit.lower()] * 1000
+    except KeyError:
+        raise ValueError(
+            f"unsupported retention interval {interval_str!r}; "
+            f"use '<n> {'|'.join(sorted(set(_UNIT_SECS)))}'"
+        ) from None
 
 
 def occurrence_rank(

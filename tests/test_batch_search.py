@@ -83,3 +83,66 @@ def test_batch_amortizes_scheduling(corpus_engine):
     t_five = time.time() - t0
     est_sequential = t_five * 4  # 20 queries
     assert t_batch < est_sequential, (t_batch, est_sequential)
+
+
+def test_batch_tombstones_do_not_displace_live_docs(spark, corpus_rows, tmp_path):
+    """Delete MOST of the current top-k: the batch result must equal the
+    single-query result exactly — deleted docs must be denied BEFORE the
+    per-shard top-k cut, or live lower-ranked docs get displaced."""
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+
+    eng = RetrievalEngine(spark, str(tmp_path / "idx"))
+    src = spark.createDataFrame(
+        [{k: v for k, v in r.items() if k != "_id"} for r in corpus_rows[:80]]
+    )
+    eng.build(src, cfg=IndexConfig(num_shards=2, hot_term_split_threshold=64), resume=False)
+    q = SearchQuery(keyword="def return", fields=["content"], limit=10)
+    top = [r["_id"] for r in eng.search(q).collect()]
+    eng.delete_by_ids(top[:8])  # kill 8 of the top 10
+    single = [(r["_id"], r["_score"]) for r in eng.search(q).collect()]
+    got = [(r["_id"], r["_score"]) for r in eng.batch_search([q]).collect()]
+    assert len(single) == 10  # corpus has plenty of live matches left
+    assert got == single
+
+
+def test_batch_respects_per_query_fields(spark, tmp_path):
+    """Two queries over DIFFERENT analyzed fields in one batch: each
+    must score and gate only against ITS field."""
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+
+    rows = [
+        {"_id": str(i), "title": t, "body": b}
+        for i, (t, b) in enumerate(
+            [
+                ("alpha beta", "gamma delta"),
+                ("alpha alpha", "delta delta"),
+                ("beta", "alpha alpha alpha"),   # 'alpha' only in body
+                ("gamma", "alpha beta"),
+            ]
+        )
+    ]
+    eng = RetrievalEngine(spark, str(tmp_path / "idx2"))
+    eng.build(
+        spark.createDataFrame(rows),
+        cfg=IndexConfig(
+            num_shards=2,
+            analyzed_fields=("title", "body"),
+            id_columns=(),
+            hot_term_split_threshold=64,
+        ),
+        resume=False,
+    )
+    qt = SearchQuery(keyword="alpha", fields=["title"], limit=10)
+    qb = SearchQuery(keyword="alpha", fields=["body"], limit=10)
+    batched = eng.batch_search([qt, qb]).collect()
+    by_qid = {}
+    for r in batched:
+        by_qid.setdefault(r["query_id"], []).append((r["_id"], r["_score"]))
+    for qid, q in [(0, qt), (1, qb)]:
+        single = [(r["_id"], r["_score"]) for r in eng.search(q).collect()]
+        assert by_qid.get(qid, []) == single, (qid, by_qid.get(qid), single)
+    # doc 2 has 'alpha' only in body: must NOT appear for the title query
+    assert "2" not in [i for i, _ in by_qid[0]]
+    assert "2" in [i for i, _ in by_qid[1]]

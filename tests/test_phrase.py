@@ -90,3 +90,54 @@ def test_phrase_survives_upsert_and_compact(spark, corpus_rows, tmp_path):
     eng.compact()
     ids = [r["_id"] for r in eng.search(q).collect()]
     assert set(ids) == {"2", "3"}
+
+
+def test_group_gate_applies_to_phrase_only_docs(spark, tmp_path):
+    """'+(a b) "x y"' on a corpus where a doc matches the phrase but
+    neither group term: the must-ANY group gate must exclude it even
+    when NO group term has postings in the doc's shard (regression:
+    empty-clause exact() returned group_hits=[] and the gate was
+    skipped for merge_extras docs)."""
+    import hashlib
+
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+    from byzer_retrieval_spark.plans.query import SearchQuery
+
+    rows = [
+        {"_id": str(i), "content": c}
+        for i, c in enumerate(
+            [
+                "x y only phrase here",       # phrase, NO group term
+                "aterm x y together",         # phrase AND group term
+                "bterm without the phrase",   # group term, no phrase
+                "x alone y alone",            # neither (no adjacency)
+            ]
+        )
+    ]
+    eng = RetrievalEngine(spark, str(tmp_path / "idx"))
+    eng.build(
+        spark.createDataFrame(rows),
+        cfg=IndexConfig(
+            num_shards=2,
+            analyzed_fields=("content",),
+            id_columns=(),
+            hot_term_split_threshold=64,
+        ),
+        resume=False,
+    )
+    q = SearchQuery(keyword='+(aterm bterm) "x y"', fields=["content"], limit=10)
+    fast = sorted(r["_id"] for r in eng.search(q).collect())
+    slow = sorted(r["_id"] for r in eng.search_slow(q).collect())
+    # doc 1 (phrase + group term) and doc 2 (group term; bare phrase is
+    # a SHOULD clause) match; doc 0 (phrase only) must NOT
+    assert fast == slow == ["1", "2"], (fast, slow)
+
+    # guaranteed empty-term-clause shard: NO group term exists anywhere,
+    # so the must-ANY group is unsatisfiable → zero results even though
+    # the phrase matches (pre-fix: the phrase doc leaked through)
+    q2 = SearchQuery(
+        keyword='+(nosuchterm othernosuch) "x y"', fields=["content"], limit=10
+    )
+    assert eng.search(q2).count() == 0
+    assert eng.search_slow(q2).count() == 0

@@ -528,3 +528,15 @@ def test_stratified_sample_deterministic_and_monotone(spark):
     en = sum(1 for i in a if i % 2)
     de = sum(1 for i in a if not i % 2)
     assert 200 <= en <= 300 and 20 <= de <= 80
+
+
+def test_stratified_sample_full_fraction_keeps_all(spark):
+    """fraction 1.0 must keep EVERY row of the stratum (regression: the
+    9-char hex threshold silently kept ~1/16)."""
+    from byzer_retrieval_spark.functions.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(400)], ["id", "lang"]
+    )
+    kept = {r["id"] for r in stratified_sample(docs, "id", "lang", {"en": 1.0}, 0.0).collect()}
+    assert kept == {i for i in range(400) if i % 2}
