@@ -54,6 +54,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         nbr = sym.join(
             labels.withColumnRenamed("id", "b"), "b"
@@ -68,6 +69,18 @@ def connected_components(
             F.expr("bit_xor(xxhash64(id, label))").alias("s")
         ).collect()[0]["s"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # the last round still changed labels: a component with diameter
+        # > max_iters (adversarial duplicate chain) is only PARTIALLY
+        # merged — callers must not silently keep extra near-duplicates
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components did not converge within max_iters=%d; "
+            "clusters may be partially merged — raise max_iters",
+            max_iters,
+        )
     return labels.select("id", F.col("label").alias("cluster"))

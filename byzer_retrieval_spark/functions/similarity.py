@@ -167,9 +167,14 @@ class LshVectorIndex:
         persist partitioned by (tbl, bucket). One narrow pass + one
         partitioned write; no shuffle beyond the write repartition.
         ``extra_cols`` ride along into the index rows (e.g. __docid so
-        the engine can partition-prune the stored-field join)."""
+        the engine can partition-prune the stored-field join).
+
+        Rows with a NULL vector are skipped (a table where only some
+        docs carry embeddings is legitimate input — the exact scan
+        ranks such docs last, so the index simply never returns them).
+        """
         reps = []
-        base = df.select(
+        base = df.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<float>").alias("vec"),
             *[F.col(c) for c in extra_cols],
@@ -365,7 +370,9 @@ class IvfVectorIndex:
         dim: int,
         extra_cols: Sequence[str] = (),
     ) -> None:
-        base = df.select(
+        # NULL vectors are skipped (same contract as LshVectorIndex.build:
+        # partial-embedding tables must build, not crash in _assign_udf)
+        base = df.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<float>").alias("vec"),
             *[F.col(c) for c in extra_cols],
@@ -376,7 +383,9 @@ class IvfVectorIndex:
         # row its own centroid) instead of crashing in the update step.
         init = base.orderBy("id").limit(self.num_clusters).collect()
         if not init:
-            raise ValueError("IvfVectorIndex.build: input table is empty")
+            raise ValueError(
+                "IvfVectorIndex.build: no rows with a non-null vector"
+            )
         self.num_clusters = min(self.num_clusters, len(init))
         cent = np.asarray([r.vec for r in init], dtype=np.float64)
         cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)

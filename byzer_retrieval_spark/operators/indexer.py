@@ -742,8 +742,10 @@ def build_index(
     else:
         pending, skipped = None, []  # fresh build: every shard, resolved below
 
+    hot_terms: List[str] = []
     if pending or pending is None:
         import shutil
+        from concurrent.futures import ThreadPoolExecutor
 
         pend = (
             base
@@ -764,162 +766,166 @@ def build_index(
         # pre-staged pending rows on a scheduler thread so it overlaps
         # the stage write (it's off the critical path entirely when the
         # write is slower)
-        from concurrent.futures import ThreadPoolExecutor as _TPE
-
-        _hot_ex = _TPE(max_workers=1)
-        _fut_hot = _hot_ex.submit(_detect_hot_terms, pend, cfg, phase_t)
-
-        staged_path = os.path.join(store.base, "_staged")
-        _pt = time.time()
-        _assign_doc_ids(pend).write.mode("overwrite").parquet(staged_path)
-        phase_t["stage_docids"] = round(time.time() - _pt, 2)
-
-        # size input splits so the narrow postings stage parallelizes
-        # even when the staged parquet is small (local bench: 64 x ~1MB
-        # files would otherwise pack into ONE default-128MB partition
-        # and serialize tokenization); clamps back to the default at
-        # real scale where files exceed it anyway
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(staged_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        staged_bytes = int(fs.getContentSummary(jpath).getLength())
-        par = spark.sparkContext.defaultParallelism
-        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-        spark.conf.set(
-            "spark.sql.files.maxPartitionBytes",
-            str(min(128 << 20, max(1 << 20, staged_bytes // (3 * par) + 1))),
-        )
-        staged = spark.read.parquet(staged_path)
-
-        if fingerprints is None and staged.isEmpty():
-            # fresh build over an empty source: nothing to write — but
-            # restore the session conf, drain the hot-term job and drop
-            # the scratch dir (they must not leak past the early exit)
-            fingerprints, pending = {}, []
-            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
-            _fut_hot.result()
-            _hot_ex.shutdown()
-            shutil.rmtree(staged_path, ignore_errors=True)
-
-    hot_terms: List[str] = []
-    if pending or pending is None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        # ---- pass 1: docs table (stored fields only: analyze ⇒ Store.NO)
-        stored = (
-            list(cfg.stored_fields)
-            if cfg.stored_fields is not None
-            else [
-                c
-                for c in source.columns
-                if c not in cfg.analyzed_fields and c != "_id"
-            ]
-        )
-
-        def _docs_pass() -> None:
-            _pt = time.time()
-            # sha256 columns are already materialized in the staged
-            # parquet (computed once at staging); only dl needs the
-            # tokenizer here
-            docs_out = staged
-            for f_name in cfg.analyzed_fields:
-                docs_out = docs_out.withColumn(
-                    f"dl_{f_name}",
-                    F.size(tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer))
-                    if not cfg.use_arrow_udf_tokenizer
-                    else F.size(tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))),
-                )
-            doc_cols = (
-                ["__docid", "_id", "shard_id"]
-                + stored
-                + [f"dl_{f}" for f in cfg.analyzed_fields]
-                + [f"{f}_sha256" for f in cfg.analyzed_fields]
-            )
-            (
-                docs_out.select(*doc_cols)
-                .repartition("shard_id")
-                .sortWithinPartitions("__docid")
-                .write.partitionBy("shard_id")
-                .mode("overwrite")
-                .parquet(store.docs_path)
-            )
-            phase_t["docs_write"] = round(time.time() - _pt, 2)
-
-        # The docs write, the fresh-build fingerprint agg, and (below)
-        # the postings pipeline are INDEPENDENT jobs over the staged
-        # table — run them on scheduler threads so their latencies
-        # overlap (serial chain → max, not sum; the cluster pipelines
-        # stages of concurrent jobs). Hot-term detection (gates the
-        # postings plan: it parameterizes the salt) has been running
-        # since before the stage write; the other futures are resolved
-        # after the postings write.
+        _hot_ex = ThreadPoolExecutor(max_workers=1)
         _ex = ThreadPoolExecutor(max_workers=2)
-        _fut_fp = _ex.submit(_collect_fps, staged) if fingerprints is None else None
-        _fut_docs = _ex.submit(_docs_pass)
-        hot_terms = _fut_hot.result()
-        _hot_ex.shutdown()
+        staged_path = os.path.join(store.base, "_staged")
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        # everything below mutates shared session state (the split-size
+        # conf) and holds scratch (thread pools, the staged dir): the
+        # finally restores/releases ALL of it on any exit, success or
+        # failure — a failed build must not leave the session planning
+        # every later job with a 1MB split size
+        try:
+            _fut_hot = _hot_ex.submit(_detect_hot_terms, pend, cfg, phase_t)
 
-        # ---- pass 3: two-stage postings build (north_star shape) ---------
-        # Stage A (NARROW): tokenize JVM-side, ship token ARRAYS (flat
-        # string buffer + offsets, not exploded rows) into a mapInArrow
-        # that collapses them to per-(term, doc) posting rows with
-        # positions pre-encoded — the shuffle then moves postings (5.3x
-        # fewer rows than tokens on the code corpus), not occurrences.
-        # Stage B: cluster-by (shard, field, term, split) + in-partition
-        # sort, then a streaming merge re-cuts 128-posting blocks by
-        # concatenating per-posting position byte runs (O(1)/block).
-        partial_frames = []
-        for f_name in cfg.analyzed_fields:
-            toks_col = (
-                tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))
-                if cfg.use_arrow_udf_tokenizer
-                else tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer)
+            _pt = time.time()
+            _assign_doc_ids(pend).write.mode("overwrite").parquet(staged_path)
+            phase_t["stage_docids"] = round(time.time() - _pt, 2)
+
+            # resolve the hot-term job BEFORE lowering the split-size
+            # conf: its full-source sample scan must plan under the
+            # session default (an unsynchronized conf change could
+            # otherwise explode its task count). It overlapped the
+            # stage write, so this wait is normally zero.
+            hot_terms = _fut_hot.result()
+
+            # size input splits so the narrow postings stage parallelizes
+            # even when the staged parquet is small (local bench: 64 x ~1MB
+            # files would otherwise pack into ONE default-128MB partition
+            # and serialize tokenization); clamps back to the default at
+            # real scale where files exceed it anyway
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(staged_path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            staged_bytes = int(fs.getContentSummary(jpath).getLength())
+            par = spark.sparkContext.defaultParallelism
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes",
+                str(min(128 << 20, max(1 << 20, staged_bytes // (3 * par) + 1))),
             )
-            partial_frames.append(
-                staged.select(
-                    "shard_id", "__docid", toks_col.alias("toks")
-                ).mapInArrow(
-                    _partial_postings_builder(
-                        f_name,
-                        hot_terms,
-                        cfg.hot_term_split_threshold,
-                        # blocks carry the byte4-rounded dl when Lucene
-                        # quantization is on; docs table / avgdl stay
-                        # EXACT — exactly Lucene (SURVEY §1.3)
-                        cfg.lucene_dl_quantization,
-                    ),
-                    schema=PARTIAL_POSTING_SCHEMA,
+            staged = spark.read.parquet(staged_path)
+
+            if fingerprints is None and staged.isEmpty():
+                # fresh build over an empty source: nothing to write
+                # (the finally still restores conf / drops scratch)
+                fingerprints, pending = {}, []
+            else:
+                # ---- pass 1: docs table (stored fields only) -----------
+                stored = (
+                    list(cfg.stored_fields)
+                    if cfg.stored_fields is not None
+                    else [
+                        c
+                        for c in source.columns
+                        if c not in cfg.analyzed_fields and c != "_id"
+                    ]
                 )
-            )
-        posting_rows = partial_frames[0]
-        for t in partial_frames[1:]:
-            posting_rows = posting_rows.unionByName(t)
-        blocks = (
-            posting_rows.repartition("shard_id", "field", "term", "split_id")
-            .sortWithinPartitions(
-                "shard_id", "field", "term", "split_id", "__docid"
-            )
-            .mapInArrow(
-                _merge_block_builder(cfg.block_size), schema=POSTING_BLOCK_SCHEMA
-            )
-        )
-        _pt = time.time()
-        (
-            blocks.repartition("shard_id")
-            .sortWithinPartitions("field", "term", "first_doc")
-            .write.partitionBy("shard_id")
-            .mode("overwrite")
-            .parquet(store.postings_path)
-        )
-        phase_t["postings_write"] = round(time.time() - _pt, 2)
-        _fut_docs.result()
-        if _fut_fp is not None:
-            fingerprints = _fut_fp.result()
-            pending = sorted(fingerprints)
-        _ex.shutdown()
-        shutil.rmtree(staged_path, ignore_errors=True)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
-    elif pending is None:
-        pending = []
+
+                def _docs_pass() -> None:
+                    _pt = time.time()
+                    # sha256 columns are already materialized in the staged
+                    # parquet (computed once at staging); only dl needs the
+                    # tokenizer here
+                    docs_out = staged
+                    for f_name in cfg.analyzed_fields:
+                        docs_out = docs_out.withColumn(
+                            f"dl_{f_name}",
+                            F.size(tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer))
+                            if not cfg.use_arrow_udf_tokenizer
+                            else F.size(tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))),
+                        )
+                    doc_cols = (
+                        ["__docid", "_id", "shard_id"]
+                        + stored
+                        + [f"dl_{f}" for f in cfg.analyzed_fields]
+                        + [f"{f}_sha256" for f in cfg.analyzed_fields]
+                    )
+                    (
+                        docs_out.select(*doc_cols)
+                        .repartition("shard_id")
+                        .sortWithinPartitions("__docid")
+                        .write.partitionBy("shard_id")
+                        .mode("overwrite")
+                        .parquet(store.docs_path)
+                    )
+                    phase_t["docs_write"] = round(time.time() - _pt, 2)
+
+                # The docs write, the fresh-build fingerprint agg, and the
+                # postings pipeline are INDEPENDENT jobs over the staged
+                # table — run them on scheduler threads so their latencies
+                # overlap (serial chain → max, not sum; the cluster
+                # pipelines stages of concurrent jobs).
+                _fut_fp = (
+                    _ex.submit(_collect_fps, staged)
+                    if fingerprints is None
+                    else None
+                )
+                _fut_docs = _ex.submit(_docs_pass)
+
+                # ---- pass 3: two-stage postings build (north_star shape)
+                # Stage A (NARROW): tokenize JVM-side, ship token ARRAYS
+                # (flat string buffer + offsets, not exploded rows) into a
+                # mapInArrow that collapses them to per-(term, doc) posting
+                # rows with positions pre-encoded — the shuffle then moves
+                # postings (5.3x fewer rows than tokens on the code
+                # corpus), not occurrences.
+                # Stage B: cluster-by (shard, field, term, split) +
+                # in-partition sort, then a streaming merge re-cuts
+                # 128-posting blocks by concatenating per-posting position
+                # byte runs (O(1)/block).
+                partial_frames = []
+                for f_name in cfg.analyzed_fields:
+                    toks_col = (
+                        tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))
+                        if cfg.use_arrow_udf_tokenizer
+                        else tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer)
+                    )
+                    partial_frames.append(
+                        staged.select(
+                            "shard_id", "__docid", toks_col.alias("toks")
+                        ).mapInArrow(
+                            _partial_postings_builder(
+                                f_name,
+                                hot_terms,
+                                cfg.hot_term_split_threshold,
+                                # blocks carry the byte4-rounded dl when
+                                # Lucene quantization is on; docs table /
+                                # avgdl stay EXACT — exactly Lucene
+                                # (SURVEY §1.3)
+                                cfg.lucene_dl_quantization,
+                            ),
+                            schema=PARTIAL_POSTING_SCHEMA,
+                        )
+                    )
+                posting_rows = partial_frames[0]
+                for t in partial_frames[1:]:
+                    posting_rows = posting_rows.unionByName(t)
+                blocks = (
+                    posting_rows.repartition("shard_id", "field", "term", "split_id")
+                    .sortWithinPartitions(
+                        "shard_id", "field", "term", "split_id", "__docid"
+                    )
+                    .mapInArrow(
+                        _merge_block_builder(cfg.block_size), schema=POSTING_BLOCK_SCHEMA
+                    )
+                )
+                _pt = time.time()
+                (
+                    blocks.repartition("shard_id")
+                    .sortWithinPartitions("field", "term", "first_doc")
+                    .write.partitionBy("shard_id")
+                    .mode("overwrite")
+                    .parquet(store.postings_path)
+                )
+                phase_t["postings_write"] = round(time.time() - _pt, 2)
+                _fut_docs.result()
+                if _fut_fp is not None:
+                    fingerprints = _fut_fp.result()
+                    pending = sorted(fingerprints)
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            _hot_ex.shutdown(wait=False)
+            _ex.shutdown(wait=False)
+            shutil.rmtree(staged_path, ignore_errors=True)
 
     metrics = {
         "num_shards": cfg.num_shards,
@@ -1018,8 +1024,13 @@ def build_index(
             "b": cfg.b,
             "doc_bits": DOC_BITS,
             "lucene_dl_quantization": cfg.lucene_dl_quantization,
+            "hot_term_split_threshold": cfg.hot_term_split_threshold,
         }
     )
+    if pending:
+        # persist the hot-term salt list so compact() can re-derive
+        # split ids (a resumed no-op build keeps the previous list)
+        meta["hot_terms"] = sorted(set(hot_terms) | set(meta.get("hot_terms", [])))
     store.write_meta(meta)
     snapshot = {
         "n_docs": int(n_total),

@@ -239,7 +239,23 @@ def upsert(
     toks = tok_frames[0]
     for t in tok_frames[1:]:
         toks = toks.unionByName(t)
-    tok_rows = toks.withColumn("split_id", F.lit(0))
+    # delta postings reuse the build's hot-term doc-range salt (same rule
+    # as indexer._partial_postings_builder) so a large upsert batch can't
+    # funnel a hot term into one merge group
+    hot_terms = list(meta.get("hot_terms", []))
+    if hot_terms:
+        thr = int(meta.get("hot_term_split_threshold", 1 << 17))
+        local_mask = (1 << DOC_BITS) - 1
+        split_col = F.when(
+            F.col("term").isin(hot_terms),
+            F.floor(
+                F.col("__docid").bitwiseAND(F.lit(local_mask).cast("long"))
+                / F.lit(thr)
+            ).cast("int"),
+        ).otherwise(F.lit(0))
+    else:
+        split_col = F.lit(0)
+    tok_rows = toks.withColumn("split_id", split_col)
     blocks = (
         tok_rows.repartition("shard_id", "field", "term", "split_id")
         .sortWithinPartitions(
@@ -258,47 +274,74 @@ def upsert(
     return {"tombstoned": n_tomb, "snapshot_id": sid}
 
 
-def _reencode_pos_rows(batches):
+def _reencode_pos_rows(hot_terms: Iterable[str], split_threshold: int):
     """Narrow mapInArrow: posting rows with ABSOLUTE positions
     (array<int>) → PARTIAL_POSTING rows with per-posting varbyte delta
     runs, ready for the build-time merge builder. One vectorized varbyte
-    pass per batch, zero-copy BinaryArray construction."""
+    pass per batch, zero-copy BinaryArray construction.
+
+    ``split_id`` is re-derived with the SAME doc-range rule the build
+    uses for hot terms ((docid & mask) // threshold,
+    indexer._partial_postings_builder) — compacting a shard that holds a
+    salted hot term must not funnel its whole posting list into one
+    (shard, field, term, 0) merge group and reintroduce the skew the
+    salt exists to avoid."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from byzer_retrieval_spark.functions.encoding import varbyte_runs_arrow
 
-    pa.set_cpu_count(1)
-    for rb in batches:
-        tbl = pa.Table.from_batches([rb]).combine_chunks()
-        n = tbl.num_rows
-        if n == 0:
-            continue
-        pos_list = tbl.column("positions").chunk(0)
-        counts = pc.list_value_length(pos_list).to_numpy().astype(np.int64)
-        flat = pc.list_flatten(pos_list).to_numpy().astype(np.int64)
-        total = flat.size
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        deltas = np.empty(total, dtype=np.int64)
-        if total:
-            deltas[0] = flat[0]
-            np.subtract(flat[1:], flat[:-1], out=deltas[1:])
-            deltas[starts] = flat[starts]
-        pos_arr = varbyte_runs_arrow(deltas, starts)
-        yield pa.RecordBatch.from_arrays(
-            [
-                tbl.column("shard_id").chunk(0),
-                tbl.column("field").chunk(0),
-                tbl.column("term").chunk(0),
-                pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
-                tbl.column("__docid").chunk(0),
-                tbl.column("dl").chunk(0),
-                tbl.column("tf").chunk(0),
-                pos_arr,
-            ],
-            names=[f.name for f in PARTIAL_POSTING_SCHEMA.fields],
-        )
+    hot = frozenset(hot_terms)
+
+    def gen(batches):
+        pa.set_cpu_count(1)
+        local_mask = np.int64((1 << DOC_BITS) - 1)
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb]).combine_chunks()
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            pos_list = tbl.column("positions").chunk(0)
+            counts = pc.list_value_length(pos_list).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(pos_list).to_numpy().astype(np.int64)
+            total = flat.size
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            deltas = np.empty(total, dtype=np.int64)
+            if total:
+                deltas[0] = flat[0]
+                np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+                deltas[starts] = flat[starts]
+            pos_arr = varbyte_runs_arrow(deltas, starts)
+            if hot:
+                dic = pc.dictionary_encode(tbl.column("term").chunk(0))
+                hot_mask = np.fromiter(
+                    (t in hot for t in dic.dictionary.to_pylist()),
+                    dtype=bool,
+                    count=len(dic.dictionary),
+                )
+                is_hot = hot_mask[dic.indices.to_numpy().astype(np.int64)]
+                docid = tbl.column("__docid").to_numpy().astype(np.int64)
+                split = np.where(
+                    is_hot, (docid & local_mask) // split_threshold, 0
+                ).astype(np.int32)
+            else:
+                split = np.zeros(n, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("shard_id").chunk(0),
+                    tbl.column("field").chunk(0),
+                    tbl.column("term").chunk(0),
+                    pa.array(split, type=pa.int32()),
+                    tbl.column("__docid").chunk(0),
+                    tbl.column("dl").chunk(0),
+                    tbl.column("tf").chunk(0),
+                    pos_arr,
+                ],
+                names=[f.name for f in PARTIAL_POSTING_SCHEMA.fields],
+            )
+
+    return gen
 
 
 def compact(spark: SparkSession, store: IndexStore) -> Dict[str, Any]:
@@ -328,13 +371,19 @@ def compact(spark: SparkSession, store: IndexStore) -> Dict[str, Any]:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     postings = store.postings(spark).filter(F.col("shard_id").isin(shards))
-    block_size = int(store.read_meta().get("block_size", 128))
+    meta = store.read_meta()
+    block_size = int(meta.get("block_size", 128))
+    hot_terms = list(meta.get("hot_terms", []))
+    split_threshold = int(meta.get("hot_term_split_threshold", 1 << 17))
 
     live_rows = flat_postings(postings, with_positions=True).join(
         tomb_ids, "__docid", "left_anti"
     )
     new_blocks = (
-        live_rows.mapInArrow(_reencode_pos_rows, schema=PARTIAL_POSTING_SCHEMA)
+        live_rows.mapInArrow(
+            _reencode_pos_rows(hot_terms, split_threshold),
+            schema=PARTIAL_POSTING_SCHEMA,
+        )
         .repartition("shard_id", "field", "term", "split_id")
         .sortWithinPartitions("shard_id", "field", "term", "split_id", "__docid")
         .mapInArrow(_merge_block_builder(block_size), schema=POSTING_BLOCK_SCHEMA)

@@ -109,3 +109,22 @@ def test_filtered_query_bypasses_ann_and_mutation_staleness(vec_engine, spark):
     q = SearchQuery(vector=_qvec(), vector_field="embedding", limit=10)
     post = [r["_id"] for r in vec_engine.search(q).collect()]
     assert victim not in post and len(post) == 10
+
+
+def test_ann_build_tolerates_null_vectors(spark, tmp_path):
+    """Partial-embedding tables are legitimate: docs without a vector
+    are skipped by BOTH index kinds (the exact scan ranks them last),
+    never crash the build (ADVICE r2: np.stack over None in
+    _assign_udf)."""
+    from byzer_retrieval_spark.functions.similarity import (
+        IvfVectorIndex,
+        LshVectorIndex,
+    )
+
+    rows = [(str(i), [float(i), 1.0, 0.0] if i % 2 == 0 else None) for i in range(20)]
+    df = spark.createDataFrame(rows, "id string, vec array<float>")
+    for cls, kw in ((LshVectorIndex, {"num_planes": 4}), (IvfVectorIndex, {"num_clusters": 2})):
+        idx = cls(str(tmp_path / cls.__name__), **kw)
+        idx.build(df, "id", "vec", dim=3)
+        got = {r["id"] for r in idx.candidates(spark, [1.0, 1.0, 0.0], 99).collect()}
+        assert got == {str(i) for i in range(20) if i % 2 == 0}
