@@ -10,21 +10,32 @@ scorer decodes each term's postings ONCE and then scores every query
 against the in-memory arrays (numpy gather + bincount per query —
 microseconds each). Output: per-query global top-k.
 
+Batchable shapes (reference parity: filter() accepts ANY SearchQuery,
+RetrievalMaster.java:201-250): term clauses (implicit OR, +MUST,
+-MUST_NOT), ``(a b)`` / ``+(a b)`` / ``-(a b)`` groups, ``foo*`` prefix
+and ``foo~N`` fuzzy clauses (constant-score, like the WAND path), and
+per-query FILTER trees — each query's allow set rides the same shard
+cogroup as the posting blocks, tagged by query_id, so filtered and
+unfiltered queries mix freely in one batch. Phrase clauses and
+match-all are the only fallback shapes (api.batch_search runs those
+per-query and unions the results).
+
 Scale: the scan cost is the union of the batch's term postings (shared
 terms decode once); per-shard memory is bounded by those postings; the
-shuffle moves ≤ Σ_q k_q rows per shard. At 10^12 docs this is the only
+shuffle moves ≤ Σ_q k_q rows per shard plus the filtered queries' allow
+sets (partitioned exactly like the postings — no driver round-trip).
+Stored-field materialization is ONE broadcast join of all winners on
+(shard_id, __docid): shard_id is the docs table's partition column, so
+dynamic partition pruning scans only winner shards, and the __docid
+equi-join prunes row groups within them. At 10^12 docs this is the only
 way to serve thousands of queries: throughput scales with executors
 while the scheduling floor is paid once per BATCH, not per query.
-
-Scope: term clauses (implicit OR, +MUST, -MUST_NOT) — the dominant
-query shape; phrase/prefix/fuzzy queries fall back to single execution
-via api.search (documented).
 """
 
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -33,19 +44,63 @@ from pyspark.sql import functions as F
 
 from byzer_retrieval_spark.operators.context import IndexContext
 from byzer_retrieval_spark.operators.decode import decode_rows
-from byzer_retrieval_spark.plans.query import SearchQuery, parse_keyword
+from byzer_retrieval_spark.plans.query import (
+    ParsedKeyword,
+    SearchQuery,
+    parse_keyword,
+)
 
 _OUT_SCHEMA = "query_id int, shard_id int, __docid long, score double"
+
+# gate rows with this query_id are the tombstone DENY set shared by
+# every ungated query (filtered queries' allow sets already exclude
+# tombstones)
+_DENY_QID = -1
+
+
+def is_batchable(parsed: ParsedKeyword, query: SearchQuery) -> bool:
+    """Whether a query fits the one-job batch scorer. Phrases need the
+    positions machinery (WAND path); match-all/empty have no scoring
+    clauses to share."""
+    return not (
+        parsed.match_all
+        or parsed.empty
+        or parsed.all_phrases
+        or not (
+            parsed.scoring_terms
+            or parsed.scoring_prefixes
+            or parsed.scoring_fuzzies
+        )
+    )
 
 
 def _make_batch_scorer(
     field_stats: Dict[str, Tuple[float, float]],
-    specs: List[dict],  # per query: {qid, fields, scoring, must, must_not, k}
+    specs: List[dict],
     k1: float,
     b: float,
 ):
-    def score_shard(pdf: pd.DataFrame, deny: np.ndarray) -> pd.DataFrame:
+    """specs per query: {qid, fields, scoring, must, must_not, k,
+    const_specs: ((kind, matcher_type, matcher), ...), groups, gated}.
+
+    ``const_specs`` are the constant-score multi-term clauses (prefix
+    stems and pre-expanded fuzzy term sets): a matching doc contributes
+    1.0 per matching field-clause — same semantics as the WAND path's
+    prefix/termset handling (Lucene CONSTANT_SCORE rewrite).
+    ``groups`` are +(a b) must-ANY gates. ``gated`` queries only score
+    docs in their allow set (Occur.FILTER in the collector)."""
+
+    def score_shard(pdf: pd.DataFrame, gate_pdf: Optional[pd.DataFrame]) -> pd.DataFrame:
         shard_id = int(pdf["shard_id"].iloc[0])
+        deny = np.empty(0, dtype=np.int64)
+        allow_of: Dict[int, np.ndarray] = {}
+        if gate_pdf is not None and len(gate_pdf):
+            g_qid = gate_pdf["query_id"].to_numpy()
+            g_doc = gate_pdf["__docid"].to_numpy(np.int64)
+            deny = g_doc[g_qid == _DENY_QID]
+            for qid in np.unique(g_qid[g_qid != _DENY_QID]):
+                allow_of[int(qid)] = np.unique(g_doc[g_qid == qid])
+
         # ---- decode every (field, term) ONCE --------------------------
         # keyed per FIELD so each query scores/gates only ITS fields
         by_term: Dict[str, List[Tuple[str, np.ndarray, np.ndarray]]] = {}
@@ -59,12 +114,29 @@ def _make_batch_scorer(
             )
             part = idf * (tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
             by_term.setdefault(term, []).append((fld, docs, part))
+        term_names = list(by_term)
+
+        def clause_docs(matcher_type: str, matcher, q_fields) -> List[np.ndarray]:
+            """per-FIELD matched doc arrays for a const clause."""
+            if matcher_type == "prefix":
+                terms = [t for t in term_names if t.startswith(matcher)]
+            else:
+                terms = [t for t in term_names if t in matcher]
+            per_field: Dict[str, List[np.ndarray]] = {}
+            for t in terms:
+                for fld, docs, _ in by_term.get(t, ()):
+                    if fld in q_fields:
+                        per_field.setdefault(fld, []).append(docs)
+            return [
+                np.unique(np.concatenate(arrs)) for arrs in per_field.values()
+            ]
 
         out_q, out_d, out_s = [], [], []
         for spec in specs:
             q_fields = spec["fields"]
             doc_arrs, part_arrs = [], []
             must_doc_sets = []
+            excl_arrs = []
             for t in spec["scoring"]:
                 for fld, docs, part in by_term.get(t, ()):
                     if fld in q_fields:
@@ -81,6 +153,34 @@ def _make_batch_scorer(
                     if hits
                     else np.empty(0, dtype=np.int64)
                 )
+            for kind, mtype, matcher in spec["const_specs"]:
+                fdocs = clause_docs(mtype, matcher, q_fields)
+                if kind == "not":
+                    excl_arrs.extend(fdocs)
+                    continue
+                # should/must both SCORE: 1.0 per matching field-clause
+                for d in fdocs:
+                    doc_arrs.append(d)
+                    part_arrs.append(np.full(d.size, 1.0))
+                if kind == "must":
+                    must_doc_sets.append(
+                        np.unique(np.concatenate(fdocs))
+                        if fdocs
+                        else np.empty(0, dtype=np.int64)
+                    )
+            group_sets = []
+            for grp in spec["groups"]:
+                hits = [
+                    docs
+                    for t in grp
+                    for fld, docs, _ in by_term.get(t, ())
+                    if fld in q_fields
+                ]
+                group_sets.append(
+                    np.unique(np.concatenate(hits))
+                    if hits
+                    else np.empty(0, dtype=np.int64)
+                )
             if not doc_arrs:
                 continue
             all_docs = np.concatenate(doc_arrs)
@@ -90,6 +190,8 @@ def _make_batch_scorer(
             mask = np.ones(uniq.size, dtype=bool)
             for hits in must_doc_sets:
                 mask &= np.isin(uniq, hits)
+            for hits in group_sets:
+                mask &= np.isin(uniq, hits)
             for t in spec["must_not"]:
                 ex = [
                     docs
@@ -98,7 +200,17 @@ def _make_batch_scorer(
                 ]
                 if ex:
                     mask &= ~np.isin(uniq, np.unique(np.concatenate(ex)))
-            if deny.size:
+            for ex in excl_arrs:
+                mask &= ~np.isin(uniq, ex)
+            if spec["gated"]:
+                allow = allow_of.get(spec["qid"])
+                # allow set empty in this shard → nothing can match
+                mask &= (
+                    np.isin(uniq, allow)
+                    if allow is not None
+                    else np.zeros(uniq.size, dtype=bool)
+                )
+            elif deny.size:
                 # tombstone deny gate BEFORE the top-k cut — a deleted
                 # doc must not displace a live one from the shard top-k
                 mask &= ~np.isin(uniq, deny)
@@ -129,12 +241,10 @@ def _make_batch_scorer(
             }
         )
 
-    _EMPTY = np.empty(0, dtype=np.int64)
-
     def grouped(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return score_shard(pdf, _EMPTY)
+        return score_shard(pdf, None)
 
-    def cogrouped(key, pdf: pd.DataFrame, deny_pdf: pd.DataFrame) -> pd.DataFrame:
+    def cogrouped(key, pdf: pd.DataFrame, gate_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return pd.DataFrame(
                 {"query_id": [], "shard_id": [], "__docid": [], "score": []}
@@ -142,10 +252,7 @@ def _make_batch_scorer(
                 {"query_id": np.int32, "shard_id": np.int32,
                  "__docid": np.int64, "score": np.float64}
             )
-        deny = (
-            deny_pdf["__docid"].to_numpy(np.int64) if len(deny_pdf) else _EMPTY
-        )
-        return score_shard(pdf, deny)
+        return score_shard(pdf, gate_pdf)
 
     return grouped, cogrouped
 
@@ -153,37 +260,71 @@ def _make_batch_scorer(
 def batch_search(
     ctx: IndexContext, queries: List[SearchQuery]
 ) -> DataFrame:
-    """Execute a batch of term-clause keyword queries in ONE job.
+    """Execute a batch of keyword queries in ONE job.
 
     Returns (query_id, _score, stored fields...) — per query the global
     top-k ordered (score desc, _id asc), query_id = position in
     ``queries``. Raises ValueError for queries outside the batchable
-    shape (filters, phrases, prefixes, fuzzies, match-all) — run those
-    through api.search.
+    shape (phrases, match-all) — api.batch_search falls back to
+    api.search for those and merges the results.
     """
+    from byzer_retrieval_spark.operators.filtering import (
+        expand_fuzzy,
+        filtered_docs,
+        gate_frame,
+    )
+
     specs = []
     all_terms: List[str] = []
     fields_used: List[str] = []
+    prefix_stems: List[str] = []
+    gate_parts: List[DataFrame] = []
+    any_ungated = False
     for qid, q in enumerate(queries):
         parsed = parse_keyword(q.keyword, ctx.analyzer)
-        if (
-            parsed.match_all
-            or parsed.empty
-            or q.filters
-            or parsed.all_phrases
-            or parsed.all_prefixes
-            or parsed.all_fuzzies
-            or parsed.must_any_groups
-            or not parsed.scoring_terms
-        ):
+        if not is_batchable(parsed, q):
             raise ValueError(
-                f"query {qid} is not batchable (term clauses only); "
+                f"query {qid} is not batchable (phrase/match-all); "
                 "use api.search for it"
             )
         flds = [
             f for f in (q.fields or ctx.analyzed_fields) if f in ctx.analyzed_fields
         ]
         fields_used.extend(flds)
+        # constant-score clauses: prefixes stay lazy (matched against
+        # the scanned dictionary in-task, like the WAND path); fuzzies
+        # expand against the term dictionary up front (Lucene's
+        # FuzzyQuery automaton walk)
+        const_specs: List[Tuple[str, str, object]] = []
+        for kind, stems in (
+            ("must", parsed.must_prefixes),
+            ("should", parsed.dedup_should_prefixes),
+            ("not", parsed.not_prefixes),
+        ):
+            for stem in dict.fromkeys(stems):
+                const_specs.append((kind, "prefix", stem))
+                prefix_stems.append(stem)
+        for kind, fz in (
+            ("must", parsed.must_fuzzies),
+            ("should", parsed.dedup_should_fuzzies),
+            ("not", parsed.not_fuzzies),
+        ):
+            for w, n in dict.fromkeys(fz):
+                terms = expand_fuzzy(ctx, flds, w, n)
+                const_specs.append((kind, "set", frozenset(terms)))
+                all_terms.extend(terms)
+        gated = bool(q.filters)
+        if gated:
+            allowed = ctx.exclude_tombstones(filtered_docs(ctx, q.filters))
+            gate_parts.append(
+                allowed.select(
+                    F.lit(qid).alias("query_id"),
+                    F.col("shard_id").cast("int").alias("shard_id"),
+                    "__docid",
+                )
+            )
+        else:
+            any_ungated = True
         specs.append(
             {
                 "qid": qid,
@@ -192,20 +333,27 @@ def batch_search(
                 "must": tuple(set(parsed.must)),
                 "must_not": tuple(set(parsed.must_not)),
                 "k": q.limit,
+                "const_specs": tuple(const_specs),
+                "groups": tuple(parsed.must_any_groups),
+                "gated": gated,
             }
         )
         all_terms.extend(parsed.scoring_terms + parsed.must_not)
     all_terms = list(dict.fromkeys(all_terms))
     fields = list(dict.fromkeys(fields_used))
+    prefix_stems = list(dict.fromkeys(prefix_stems))
 
+    term_pred = F.col("term").isin(all_terms) if all_terms else F.lit(False)
+    for stem in prefix_stems:
+        term_pred = term_pred | F.col("term").startswith(stem)
     stats = (
         ctx.stats()
-        .filter(F.col("field").isin(fields) & F.col("term").isin(all_terms))
+        .filter(F.col("field").isin(fields) & term_pred)
         .select("field", "term", "df")
     )
     blocks = (
         ctx.postings()
-        .filter(F.col("field").isin(fields) & F.col("term").isin(all_terms))
+        .filter(F.col("field").isin(fields) & term_pred)
         .select(
             "shard_id", "field", "term", "first_doc",
             "doc_gaps", "tfs", "dls",
@@ -214,38 +362,50 @@ def batch_search(
     )
     field_stats = {f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields}
     grouped, cogrouped = _make_batch_scorer(field_stats, specs, ctx.k1, ctx.b)
-    # tombstones are a deny gate INSIDE the scorer (cogrouped per shard,
-    # applied before the per-shard top-k cut) — a deleted doc must not
-    # displace a live one; same discipline as wand.search_wand
+
+    # gate side: per-query allow sets (tagged query_id) + the shared
+    # tombstone deny set for ungated queries — ONE cogroup on shard_id,
+    # same discipline as wand.search_wand
     tomb = ctx.tombstones_df()
-    if tomb is None:
+    if tomb is not None and any_ungated:
+        gate_parts.append(
+            tomb.select("__docid")
+            .distinct()
+            .select(
+                F.lit(_DENY_QID).alias("query_id"),
+                F.shiftright("__docid", ctx.doc_bits).cast("int").alias("shard_id"),
+                "__docid",
+            )
+        )
+    if gate_parts:
+        gate_df = gate_parts[0]
+        for g in gate_parts[1:]:
+            gate_df = gate_df.unionByName(g)
+        per_shard = (
+            blocks.groupby("shard_id")
+            .cogroup(gate_df.groupby("shard_id"))
+            .applyInPandas(cogrouped, schema=_OUT_SCHEMA)
+        )
+    else:
         per_shard = blocks.groupBy("shard_id").applyInPandas(
             grouped, schema=_OUT_SCHEMA
         )
-    else:
-        deny = tomb.select(
-            F.shiftright("__docid", ctx.doc_bits).cast("int").alias("shard_id"),
-            "__docid",
-        )
-        per_shard = (
-            blocks.groupby("shard_id")
-            .cogroup(deny.groupby("shard_id"))
-            .applyInPandas(cogrouped, schema=_OUT_SCHEMA)
-        )
 
+    # ---- ONE stored-field materialization for the whole batch ---------
+    # broadcast the ≤ Σ_q shards·k winners; shard_id is the docs
+    # table's partition column → dynamic partition pruning scans only
+    # winner shards (captured plan: BENCH/PLANS.md), and the __docid
+    # equi-join prunes row groups within them. The per-query (score
+    # desc, _id asc) tie-break ranks AFTER the join — no second join.
     docs = ctx.docs()
-    # per-query global top-k with the engine's (score desc, _id asc)
-    # tie-break; then one DPP-pruned stored-field materialization
-    ranked = (
-        per_shard.join(docs.select("__docid", "_id"), "__docid")
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("score").desc(), F.col("_id").asc()
-                )
-            ),
-        )
+    joined = docs.join(F.broadcast(per_shard), ["shard_id", "__docid"])
+    ranked = joined.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("_id").asc()
+            )
+        ),
     )
     limits = {s["qid"]: s["k"] for s in specs}
     lim_col = None
@@ -254,12 +414,9 @@ def batch_search(
         lim_col = c if lim_col is None else lim_col.when(
             F.col("query_id") == qid, F.lit(k)
         )
-    topk = ranked.filter(F.col("__rn") <= lim_col).select(
-        "query_id", "shard_id", "__docid", F.col("score").alias("_score")
-    )
-    out = docs.join(F.broadcast(topk), ["shard_id", "__docid"])
     stored = ctx.stored_columns()
     return (
-        out.orderBy("query_id", F.col("_score").desc(), F.col("_id").asc())
-        .select("query_id", "_score", *stored)
+        ranked.filter(F.col("__rn") <= lim_col)
+        .orderBy("query_id", F.col("score").desc(), F.col("_id").asc())
+        .select("query_id", F.col("score").alias("_score"), *stored)
     )

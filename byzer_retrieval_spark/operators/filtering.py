@@ -94,21 +94,40 @@ def filtered_docs(
 
 
 def expand_fuzzy(
-    ctx: IndexContext, fields, word: str, max_edits: int
+    ctx: IndexContext,
+    fields,
+    word: str,
+    max_edits: int,
+    max_expansions: int = 50,
 ) -> Tuple[str, ...]:
     """Terms within classic Levenshtein distance of ``word`` — Lucene's
-    FuzzyQuery dictionary expansion, as a scan of the (tiny, term-sorted)
-    stats table. Deviations, documented: classic Levenshtein (Spark's
-    built-in; Lucene uses Damerau — a transposition counts as 2 edits
-    here) and no 50-term expansion cap."""
+    FuzzyQuery dictionary expansion over the stats table.
+
+    Scale guards (a code corpus at 10^12 docs has 10^8-10^9 distinct
+    terms; Lucene walks an automaton over a sorted dictionary):
+    - a LENGTH band (|len(term) - len(word)| <= n is necessary for
+      distance <= n) prunes the dictionary before the levenshtein
+      evaluation — the expensive comparison runs only on the band;
+    - the ``max_expansions`` cap (Lucene FuzzyQuery default 50) keeps
+      the CLOSEST terms, ties by term order — deterministic.
+
+    Documented deviation: classic Levenshtein (Spark's built-in; Lucene
+    uses Damerau — a transposition counts as 2 edits here). No
+    first-char band: Lucene's default prefixLength is 0, so an edit at
+    position 0 is legal."""
+    n = int(max_edits)
+    lev = F.levenshtein(F.col("term"), F.lit(word))
     rows = (
         ctx.stats()
         .filter(
             F.col("field").isin(list(fields))
-            & (F.levenshtein(F.col("term"), F.lit(word)) <= max_edits)
+            & F.length("term").between(len(word) - n, len(word) + n)
+            & (lev <= n)
         )
-        .select("term")
+        .select("term", lev.alias("__lev"))
         .distinct()
+        .orderBy(F.col("__lev").asc(), F.col("term").asc())
+        .limit(max_expansions)
         .collect()
     )
     return tuple(sorted(r["term"] for r in rows))

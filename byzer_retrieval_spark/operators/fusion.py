@@ -58,6 +58,43 @@ def rrf_fuse(recalls: List[DataFrame], limit: int, k: int = RRF_K) -> DataFrame:
     )
 
 
+def rrf_fuse_keyed(
+    recalls: List[DataFrame], limit: int, k: int = RRF_K
+) -> DataFrame:
+    """RRF over recalls that CARRY the docs table's physical key:
+    each recall has (shard_id, __docid, _id, _score). The fused result
+    keeps (shard_id, __docid) so the caller's stored-field join runs on
+    the docs PARTITION column (dynamic partition pruning + row-group
+    pruning) instead of a full-table ``_id`` equi-join — the 100 TB
+    version of ``rrf_fuse``. Ranks and tie-breaks are identical
+    ((_score desc, _id asc) per recall; shard_id/__docid are functions
+    of _id within one snapshot, so the extra grouping keys change
+    nothing)."""
+    parts = []
+    for r in recalls:
+        w = Window.orderBy(F.col("_score").desc(), F.col("_id").asc())
+        parts.append(
+            r.select("shard_id", "__docid", "_id", "_score")
+            .withColumn("__rank", F.row_number().over(w) - F.lit(1))
+            .select(
+                "shard_id",
+                "__docid",
+                "_id",
+                (F.lit(1.0) / (F.col("__rank") + F.lit(float(k)))).alias("_score"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("shard_id", "__docid", "_id")
+        .agg(F.sum("_score").alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col("_id").asc())
+        .limit(limit)
+        .select("shard_id", "__docid", "_score")
+    )
+
+
 def rrf_fuse_lists(ranked_lists: List[List], k: int = RRF_K) -> dict:
     """Pure-function RRF over already-ranked id lists (unit-test surface,
     FIXTURES §F4 query 14)."""

@@ -50,6 +50,45 @@ def vector_topk(ctx: IndexContext, query: SearchQuery) -> DataFrame:
     )
 
 
+def vector_winners(ctx: IndexContext, query: SearchQuery) -> DataFrame:
+    """Exact-KNN top-k carrying the docs physical key: (shard_id,
+    __docid, _id, _score) — the hybrid-fusion recall frame (see
+    wand.search_winners)."""
+    from byzer_retrieval_spark.operators.filtering import filtered_docs
+
+    cand = filtered_docs(ctx, query.filters)
+    docs = cand if cand is not None else ctx.docs()
+    docs = ctx.exclude_tombstones(docs)
+    scored = docs.withColumn(
+        "_score", _cosine_expr(query.vector_field, [float(x) for x in query.vector])
+    )
+    return (
+        scored.orderBy(F.col("_score").desc(), F.col("_id").asc())
+        .limit(query.limit)
+        .select("shard_id", "__docid", "_id", "_score")
+    )
+
+
+def vector_winners_ann(
+    ctx: IndexContext, query: SearchQuery, index, **probe_kw
+) -> DataFrame:
+    """ANN top-k carrying the docs physical key (see vector_topk_ann
+    for the probe/pruning shape)."""
+    qv = [float(x) for x in query.vector]
+    cand = index.candidates(ctx.spark, qv, **probe_kw)
+    scored = cand.withColumn("_score", _cosine_expr("vec", qv))
+    return (
+        scored.orderBy(F.col("_score").desc(), F.col("id").asc())
+        .limit(query.limit)
+        .select(
+            F.shiftright("__docid", ctx.doc_bits).cast("int").alias("shard_id"),
+            "__docid",
+            F.col("id").alias("_id"),
+            "_score",
+        )
+    )
+
+
 def vector_topk_ann(
     ctx: IndexContext,
     query: SearchQuery,

@@ -609,6 +609,28 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     )
 
 
+def search_winners(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
+    """Global top-k WITH the docs physical key: (shard_id, __docid,
+    _id, _score) — the recall frame hybrid fusion carries through
+    rrf_fuse_keyed so the FINAL stored-field join can be DPP-pruned.
+    The _id fetch here is itself the pruned (shard_id, __docid)
+    broadcast join (column-pruned to the id column). None when the
+    fast path doesn't apply."""
+    per_shard = search_wand(ctx, query)
+    if per_shard is None:
+        return None
+    winners = per_shard.select(
+        "shard_id", "__docid", F.col("score").alias("_score")
+    )
+    out = ctx.docs().select("shard_id", "__docid", "_id").join(
+        F.broadcast(winners), ["shard_id", "__docid"]
+    )
+    return (
+        out.orderBy(F.col("_score").desc(), F.col("_id").asc())
+        .limit(query.limit)
+    )
+
+
 def search_fast(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     """WAND per shard → global (score desc, _id asc) top-k with stored
     fields. None when the fast path doesn't apply."""

@@ -39,15 +39,50 @@ def test_batch_matches_single(corpus_engine):
             )
 
 
-def test_batch_rejects_unbatchable(corpus_engine):
+def test_operator_rejects_phrase(corpus_engine):
+    """The low-level operator still refuses phrase shapes (the engine
+    facade is what falls back)."""
+    from byzer_retrieval_spark.operators.batch import batch_search
+
     with pytest.raises(ValueError, match="not batchable"):
-        corpus_engine.batch_search(
-            [SearchQuery(keyword='"def return"', fields=["content"], limit=5)]
+        batch_search(
+            corpus_engine.query_ctx(),
+            [SearchQuery(keyword='"def return"', fields=["content"], limit=5)],
         )
-    with pytest.raises(ValueError, match="not batchable"):
-        corpus_engine.batch_search(
-            [SearchQuery(keyword="def", filters={"and": [{"field": "lang", "value": "go"}]}, limit=5)]
-        )
+
+
+def test_batch_universal_shapes_match_single(corpus_engine):
+    """Filtered, prefix, fuzzy, group, phrase (fallback) and plain-term
+    queries in ONE batch must each be rank- and score-identical to the
+    single-query path (reference filter() accepts ANY SearchQuery list,
+    RetrievalMaster.java:201-250)."""
+    qs = [
+        SearchQuery(
+            keyword="def return",
+            fields=["content"],
+            filters={"and": [{"field": "lang", "value": "py"}]},
+            limit=10,
+        ),
+        SearchQuery(keyword="sym_1* def", fields=["content"], limit=10),
+        SearchQuery(keyword="impor~1", fields=["content"], limit=10),
+        SearchQuery(keyword="+(def class) lambda", fields=["content"], limit=10),
+        SearchQuery(keyword='"def return"', fields=["content"], limit=10),
+        SearchQuery(keyword="import self", fields=["content"], limit=10),
+    ]
+    rows = corpus_engine.batch_search(qs).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append((r["_id"], r["_score"]))
+    for qid, q in enumerate(qs):
+        single = [
+            (r["_id"], r["_score"]) for r in corpus_engine.search(q).collect()
+        ]
+        got = by_qid.get(qid, [])
+        assert [g[0] for g in got] == [s[0] for s in single], (qid, q.keyword)
+        if got:
+            np.testing.assert_allclose(
+                [g[1] for g in got], [s[1] for s in single], rtol=1e-12
+            )
 
 
 def test_batch_respects_tombstones(spark, corpus_rows, tmp_path):
