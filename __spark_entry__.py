@@ -187,10 +187,12 @@ SELECT doc_id, round(raw_score, 5) AS score FROM scored {filt} {order} {lim}
 """
 
 
-def _bm25_phrase_sql(phrase: list[str], terms: list[str]) -> str:
+def _bm25_phrase_sql(phrase: list[str], terms: list[str], slop: int = 0) -> str:
     """BM25 over (should terms) + (should phrase): phrase tf from a
     position self-join, idf = Σ member idfs — mirrors the engine's
-    PhraseQuery semantics (operators/wand._phrase_match)."""
+    PhraseQuery semantics (operators/wand._phrase_match). ``slop`` > 0
+    is the NEAR variant: member j within [p0+j-slop, p0+j+slop] of the
+    anchor, matches counted by DISTINCT anchor position."""
     from collections import Counter
 
     sc_list = ", ".join(f"'{t}'" for t in terms) or "''"
@@ -198,10 +200,18 @@ def _bm25_phrase_sql(phrase: list[str], terms: list[str]) -> str:
         f"p{j} AS (SELECT doc_id, i FROM tp WHERE toks[i+1] = '{t}')"
         for j, t in enumerate(phrase)
     )
-    joins = " ".join(
-        f"JOIN p{j} ON p{j}.doc_id = p0.doc_id AND p{j}.i = p0.i + {j}"
-        for j in range(1, len(phrase))
-    )
+    if slop == 0:
+        joins = " ".join(
+            f"JOIN p{j} ON p{j}.doc_id = p0.doc_id AND p{j}.i = p0.i + {j}"
+            for j in range(1, len(phrase))
+        )
+    else:
+        joins = " ".join(
+            f"JOIN p{j} ON p{j}.doc_id = p0.doc_id "
+            f"AND p{j}.i BETWEEN p0.i + {j - slop} AND p0.i + {j + slop}"
+            for j in range(1, len(phrase))
+        )
+    ptf_expr = "count(*)" if slop == 0 else "count(DISTINCT p0.i)"
     mult_vals = ", ".join(
         f"('{t}', {c})" for t, c in Counter(phrase).items()
     )
@@ -222,7 +232,7 @@ tscore AS (
 tp AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM base),
 {pos_ctes},
 ptf AS (
-  SELECT p0.doc_id, count(*)::DOUBLE AS ptf FROM p0 {joins} GROUP BY p0.doc_id
+  SELECT p0.doc_id, {ptf_expr}::DOUBLE AS ptf FROM p0 {joins} GROUP BY p0.doc_id
 ),
 idfsum AS (
   SELECT sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * m.mult) AS idf_sum
@@ -366,6 +376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": lambda spark, sf: _bm25_all(
             spark, sf, 'merge "part filter"'
         ),
+        "bm25_phrase_slop": lambda spark, sf: _bm25_all(
+            spark, sf, 'merge "part filter"~2'
+        ),
         "bm25_prefix": lambda spark, sf: _bm25_all(spark, sf, "mer* vector"),
         "bm25_fuzzy": lambda spark, sf: _bm25_all(spark, sf, "merg~1 vector"),
         "bm25_group": lambda spark, sf: _bm25_all(
@@ -436,6 +449,9 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "vector"], doc_filter="d.lang = 'en'"
         ),
         "bm25_phrase": _bm25_phrase_sql(["part", "filter"], ["merge"]),
+        "bm25_phrase_slop": _bm25_phrase_sql(
+            ["part", "filter"], ["merge"], slop=2
+        ),
         "bm25_prefix": _bm25_prefix_sql("mer", ["vector"]),
         "bm25_fuzzy": _bm25_constscore_sql(
             "levenshtein(term, 'merg') <= 1", ["vector"]

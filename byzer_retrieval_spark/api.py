@@ -157,23 +157,40 @@ class RetrievalEngine:
     def upsert(
         self, rows: DataFrame, database: str = "default", table: str = "default"
     ) -> Dict[str, Any]:
-        return mutate.upsert(self.spark, self.store(database, table), rows)
+        store = self.store(database, table)
+        pre_sid = store.current_snapshot_id()
+        out = mutate.upsert(self.spark, store, rows)
+        self._ann_after_upsert(database, table, rows, pre_sid)
+        return out
 
     def delete_by_ids(
         self, ids: Iterable[Any], database: str = "default", table: str = "default"
     ) -> int:
-        return mutate.delete_by_ids(self.spark, self.store(database, table), ids)
+        store = self.store(database, table)
+        pre_sid = store.current_snapshot_id()
+        n = mutate.delete_by_ids(self.spark, store, ids)
+        self._ann_bump(store, pre_sid)
+        return n
 
     def delete_by_filter(
         self, condition: Dict[str, Any], database: str = "default", table: str = "default"
     ) -> int:
-        return mutate.delete_by_filter(self.spark, self.store(database, table), condition)
+        store = self.store(database, table)
+        pre_sid = store.current_snapshot_id()
+        n = mutate.delete_by_filter(self.spark, store, condition)
+        self._ann_bump(store, pre_sid)
+        return n
 
     def compact(self, database: str = "default", table: str = "default") -> Dict[str, Any]:
         return mutate.compact(self.spark, self.store(database, table))
 
     def truncate(self, database: str = "default", table: str = "default") -> None:
-        self.store(database, table).truncate()
+        import os as _os
+        import shutil as _shutil
+
+        store = self.store(database, table)
+        store.truncate()
+        _shutil.rmtree(_os.path.join(store.base, "ann"), ignore_errors=True)
         self._ctx_cache.pop((database, table), None)
 
     def drop(self, database: str = "default", table: str = "default") -> None:
@@ -252,12 +269,15 @@ class RetrievalEngine:
         at index time (SchemaUtils.java:104-110). ``kind`` is "lsh"
         (random-hyperplane buckets) or "ivf" (spherical k-means).
 
-        The index records the table snapshot it was built from; any
-        later mutation makes it stale and vector searches silently fall
-        back to the exact scan until it is rebuilt (an HNSW graph has
-        the same rebuild-on-change lifecycle). ``probe`` overrides the
-        query-time probe width (default: {"probe_hamming": 2} for lsh,
-        {"nprobe": 4} for ivf).
+        Lifecycle: the index records the table snapshot it serves.
+        Upserts APPEND their new vectors into the matching
+        buckets/clusters and deletes ride the probe-time tombstone
+        anti-join, so ordinary mutations keep the index CURRENT (the
+        engine bumps the recorded snapshot). Only a full rebuild or a
+        compact leaves it stale — vector searches then silently fall
+        back to the exact scan until this is re-run. ``probe``
+        overrides the query-time probe width (default:
+        {"probe_hamming": 2} for lsh, {"nprobe": 4} for ivf).
         """
         import json as _json
         import os as _os
@@ -303,6 +323,87 @@ class RetrievalEngine:
         )
         return state
 
+    # ---- incremental ANN maintenance (engine-level lifecycle) -----------
+    # An upsert APPENDS its new vectors into their buckets/clusters (both
+    # are pure functions of the vector — no structure re-learn) and bumps
+    # the state snapshot; deletes only bump (probe-time tombstone
+    # anti-joins hide the rows). A FULL rebuild/compact does NOT bump, so
+    # the strict snapshot check falls back to the exact scan until
+    # build_vector_ann runs again (docids change / tombstones vanish).
+    def _ann_states(self, store: IndexStore):
+        import json as _json
+        import os as _os
+
+        root = _os.path.join(store.base, "ann")
+        if not _os.path.isdir(root):
+            return []
+        out = []
+        for fld in sorted(_os.listdir(root)):
+            p = _os.path.join(root, fld, "state.json")
+            if _os.path.exists(p):
+                with open(p) as f:
+                    out.append((fld, _json.load(f)))
+        return out
+
+    def _ann_index_of(self, store: IndexStore, field: str, state: Dict[str, Any]):
+        import os as _os
+
+        from byzer_retrieval_spark.functions.similarity import (
+            IvfVectorIndex,
+            LshVectorIndex,
+        )
+
+        cls = LshVectorIndex if state["kind"] == "lsh" else IvfVectorIndex
+        return cls(
+            _os.path.join(store.base, "ann", field, state["kind"]),
+            **state.get("params", {}),
+        )
+
+    def _write_ann_state(self, store: IndexStore, field: str, state: Dict[str, Any]):
+        import os as _os
+
+        from byzer_retrieval_spark.sources.storage import _atomic_write_json
+
+        _atomic_write_json(
+            _os.path.join(store.base, "ann", field, "state.json"), state
+        )
+
+    def _ann_bump(self, store: IndexStore, pre_sid: int) -> None:
+        """After a delete: indexes that were CURRENT stay current (the
+        deleted rows are hidden by the probe-time tombstone anti-join)."""
+        for fld, state in self._ann_states(store):
+            if int(state.get("snapshot_id", -2)) == pre_sid:
+                state["snapshot_id"] = store.current_snapshot_id()
+                self._write_ann_state(store, fld, state)
+
+    def _ann_after_upsert(
+        self, database: str, table: str, rows: DataFrame, pre_sid: int
+    ) -> None:
+        """After an upsert: append the fresh doc versions (new __docids)
+        of indexed vector fields, then bump. Old versions are tombstoned
+        → hidden at probe time."""
+        store = self.store(database, table)
+        states = [
+            (fld, st)
+            for fld, st in self._ann_states(store)
+            if int(st.get("snapshot_id", -2)) == pre_sid
+        ]
+        if not states:
+            return
+        from byzer_retrieval_spark.operators.indexer import _derive_ids
+
+        cfg = self.config_from_meta(database, table)
+        ids = _derive_ids(rows, cfg).select("_id").distinct()
+        ctx = self.ctx(database, table)
+        fresh = ctx.exclude_tombstones(
+            ctx.docs().join(F.broadcast(ids), "_id", "left_semi")
+        )
+        for fld, state in states:
+            if fld in fresh.columns:
+                self._ann_index_of(store, fld, state).append(fresh, "_id", fld)
+            state["snapshot_id"] = store.current_snapshot_id()
+            self._write_ann_state(store, fld, state)
+
     def _current_ann(self, store: IndexStore, vector_field: str):
         """(index, probe_kw) when a persisted ANN index exists for the
         field AND matches the CURRENT snapshot; else None."""
@@ -315,7 +416,7 @@ class RetrievalEngine:
         with open(p) as f:
             state = _json.load(f)
         if int(state.get("snapshot_id", -2)) != store.current_snapshot_id():
-            return None  # stale after a mutation → exact fallback
+            return None  # stale after a rebuild/compact → exact fallback
         from byzer_retrieval_spark.functions.similarity import (
             IvfVectorIndex,
             LshVectorIndex,
@@ -386,17 +487,37 @@ class RetrievalEngine:
         self, ctx: IndexContext, database: str, table: str, query: SearchQuery
     ) -> DataFrame:
         """Vector recall dispatch: a CURRENT persisted ANN index serves
-        unfiltered vector queries (like the reference always querying
-        its HNSW graph); filtered queries and stale/absent indexes take
-        the exact filtered scan (strictly better recall)."""
+        vector queries (like the reference always querying its HNSW
+        graph). Filtered queries probe the SAME pruned buckets and gate
+        the candidates on the filter tree; if the gated candidate set
+        can't fill k (selective filter vs approximate probe), the query
+        falls back to the exact filtered scan — recall never drops
+        below the unfiltered ANN's. Stale/absent indexes take the exact
+        scan."""
         from byzer_retrieval_spark.operators.knn import vector_topk, vector_topk_ann
 
-        if not query.filters:
-            ann = self._current_ann(self.store(database, table), query.vector_field)
-            if ann is not None:
-                idx, probe_kw = ann
+        ann = self._current_ann(self.store(database, table), query.vector_field)
+        if ann is not None:
+            idx, probe_kw = ann
+            if not query.filters or self._ann_filter_can_fill(
+                ctx, query, idx, probe_kw
+            ):
                 return vector_topk_ann(ctx, query, idx, **probe_kw)
         return vector_topk(ctx, query)
+
+    def _ann_filter_can_fill(
+        self, ctx: IndexContext, query: SearchQuery, idx, probe_kw
+    ) -> bool:
+        """True when the probed+filtered candidate set has >= k rows
+        (one bounded job over the pruned partitions)."""
+        from byzer_retrieval_spark.operators.knn import ann_candidates
+
+        n = (
+            ann_candidates(ctx, query, idx, **probe_kw)
+            .limit(query.limit)
+            .count()
+        )
+        return n >= query.limit
 
     def _vector_winners(
         self, ctx: IndexContext, database: str, table: str, query: SearchQuery
@@ -409,10 +530,12 @@ class RetrievalEngine:
             vector_winners_ann,
         )
 
-        if not query.filters:
-            ann = self._current_ann(self.store(database, table), query.vector_field)
-            if ann is not None:
-                idx, probe_kw = ann
+        ann = self._current_ann(self.store(database, table), query.vector_field)
+        if ann is not None:
+            idx, probe_kw = ann
+            if not query.filters or self._ann_filter_can_fill(
+                ctx, query, idx, probe_kw
+            ):
                 return vector_winners_ann(ctx, query, idx, **probe_kw)
         return vector_winners(ctx, query)
 

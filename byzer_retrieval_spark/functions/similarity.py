@@ -214,14 +214,50 @@ class LshVectorIndex:
         except FileNotFoundError:
             return []
 
+    def append(self, df: DataFrame, id_col: str, vec_col: str) -> None:
+        """Incrementally add vectors (upsert maintenance): bucket ids
+        are a pure function of the vector, so new rows append straight
+        into their (tbl, bucket) partitions — no rebuild. Old versions
+        of an upserted id stay in the index; the engine's probe-time
+        tombstone anti-join (on __docid) drops them."""
+        with open(self.meta_path) as f:
+            meta = json.load(f)
+        dim = int(meta["dim"])
+        extra = list(meta.get("extra_cols", []))
+        base = df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<float>").alias("vec"),
+            *[F.col(c) for c in extra],
+        )
+        reps = []
+        for t in range(self.num_tables):
+            planes = hyperplanes(dim, self.num_planes, self.seed + t)
+            reps.append(
+                random_hyperplane_buckets(base, "vec", planes, out_col="bucket")
+                .withColumn("tbl", F.lit(t))
+            )
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        (
+            out.repartition("tbl", "bucket")
+            .write.partitionBy("tbl", "bucket")
+            .mode("append")
+            .parquet(self.data_path)
+        )
+
     def candidates(
         self, spark: SparkSession, query: Sequence[float], probe_hamming: int
     ) -> DataFrame:
         """Distinct (id, vec, extras) whose bucket is within
         probe_hamming of the query's bucket in ANY table — via partition
-        filters only."""
+        filters only. The dedup key includes the extra columns so an
+        upserted id's OLD and NEW rows both survive to the caller's
+        tombstone anti-join (dropping on id alone could keep only the
+        dead version)."""
         dim = len(query)
         cols = ["id", "vec"] + self._extra_cols()
+        dedup_cols = ["id"] + self._extra_cols()
         data = spark.read.parquet(self.data_path)
         if probe_hamming >= self.num_planes:
             # exact mode: one full replica (still one num_tables-th of
@@ -235,7 +271,7 @@ class LshVectorIndex:
             cond = cond | (
                 (F.col("tbl") == t) & F.col("bucket").isin([int(x) for x in probes])
             )
-        return data.filter(cond).select(*cols).dropDuplicates(["id"])
+        return data.filter(cond).select(*cols).dropDuplicates(dedup_cols)
 
     def topk(
         self,
@@ -448,6 +484,28 @@ class IvfVectorIndex:
                 return list(json.load(f).get("extra_cols", []))
         except FileNotFoundError:
             return []
+
+    def append(self, df: DataFrame, id_col: str, vec_col: str) -> None:
+        """Incrementally add vectors: assignment against the FROZEN
+        centroids (a pure function of the vector) appends rows into
+        their cluster partitions — no k-means re-run. The engine's
+        probe-time tombstone anti-join drops superseded versions."""
+        with open(self.meta_path) as f:
+            meta = json.load(f)
+        cent = np.asarray(meta["centroids"], dtype=np.float64)
+        extra = list(meta.get("extra_cols", []))
+        base = df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<float>").alias("vec"),
+            *[F.col(c) for c in extra],
+        )
+        out = base.withColumn("cluster", self._assign_udf(cent)(F.col("vec")))
+        (
+            out.repartition("cluster")
+            .write.partitionBy("cluster")
+            .mode("append")
+            .parquet(self.data_path)
+        )
 
     def candidates(
         self, spark: SparkSession, query: Sequence[float], nprobe: int

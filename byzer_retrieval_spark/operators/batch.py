@@ -66,6 +66,7 @@ def is_batchable(parsed: ParsedKeyword, query: SearchQuery) -> bool:
         parsed.match_all
         or parsed.empty
         or parsed.all_phrases
+        or parsed.all_nears
         or not (
             parsed.scoring_terms
             or parsed.scoring_prefixes

@@ -69,13 +69,38 @@ def vector_winners(ctx: IndexContext, query: SearchQuery) -> DataFrame:
     )
 
 
+def ann_candidates(
+    ctx: IndexContext, query: SearchQuery, index, **probe_kw
+) -> DataFrame:
+    """Probed candidate set for an engine ANN search: partition-pruned
+    index read, LIVE rows only (tombstone anti-join BEFORE any top-k
+    cut — an upsert's superseded version or a deleted doc must not
+    occupy a winner slot), and — when the query carries filters — gated
+    to the filter-tree survivors via a DPP-pruned join: candidates
+    derive shard_id from their docid top bits and broadcast into the
+    filtered docs scan, so the filter evaluates only on winner shards
+    with its predicates pushed down."""
+    from byzer_retrieval_spark.operators.filtering import filtered_docs
+
+    qv = [float(x) for x in query.vector]
+    cand = ctx.exclude_tombstones(index.candidates(ctx.spark, qv, **probe_kw))
+    if query.filters:
+        flt = filtered_docs(ctx, query.filters).select("shard_id", "__docid")
+        cand = cand.withColumn(
+            "shard_id",
+            F.shiftright("__docid", ctx.doc_bits).cast("int"),
+        )
+        cand = flt.join(F.broadcast(cand), ["shard_id", "__docid"]).drop("shard_id")
+    return cand
+
+
 def vector_winners_ann(
     ctx: IndexContext, query: SearchQuery, index, **probe_kw
 ) -> DataFrame:
     """ANN top-k carrying the docs physical key (see vector_topk_ann
     for the probe/pruning shape)."""
     qv = [float(x) for x in query.vector]
-    cand = index.candidates(ctx.spark, qv, **probe_kw)
+    cand = ann_candidates(ctx, query, index, **probe_kw)
     scored = cand.withColumn("_score", _cosine_expr("vec", qv))
     return (
         scored.orderBy(F.col("_score").desc(), F.col("id").asc())
@@ -107,12 +132,13 @@ def vector_topk_ann(
     the docid's top bits — so stored-field materialization is partition-
     and row-group-pruned exactly like the WAND path's.
 
-    Engine dispatch guarantees the index snapshot matches the current
-    table snapshot (any mutation makes it stale → exact fallback), so
-    no tombstone handling is needed here.
+    Upserts/deletes keep the index CURRENT (the engine appends new
+    vectors into their buckets/clusters and bumps the state snapshot);
+    superseded and deleted rows are dropped by ann_candidates'
+    tombstone anti-join before the top-k cut.
     """
     qv = [float(x) for x in query.vector]
-    cand = index.candidates(ctx.spark, qv, **probe_kw)
+    cand = ann_candidates(ctx, query, index, **probe_kw)
     scored = cand.withColumn("_score", _cosine_expr("vec", qv))
     win = (
         scored.orderBy(F.col("_score").desc(), F.col("id").asc())

@@ -64,6 +64,7 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         and not parsed.scoring_phrases
         and not parsed.scoring_prefixes
         and not parsed.scoring_fuzzies
+        and not parsed.scoring_nears
     ):
         # no scoring clauses (incl. pure-negative queries): Lucene's
         # BooleanQuery with only prohibited clauses matches nothing
@@ -78,9 +79,12 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
     must = set(parsed.must)
     must_not = set(parsed.must_not)
     phrase_specs = (
-        [(f"__pm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_phrases))]
-        + [(f"__ps{i}", p, "should") for i, p in enumerate(parsed.dedup_should_phrases)]
-        + [(f"__pn{i}", p, "not") for i, p in enumerate(dict.fromkeys(parsed.not_phrases))]
+        [(f"__pm{i}", p, "must", 0) for i, p in enumerate(dict.fromkeys(parsed.must_phrases))]
+        + [(f"__ps{i}", p, "should", 0) for i, p in enumerate(parsed.dedup_should_phrases)]
+        + [(f"__pn{i}", p, "not", 0) for i, p in enumerate(dict.fromkeys(parsed.not_phrases))]
+        + [(f"__nm{i}", p, "must", s) for i, (p, s) in enumerate(dict.fromkeys(parsed.must_near_phrases))]
+        + [(f"__ns{i}", p, "should", s) for i, (p, s) in enumerate(parsed.dedup_should_nears)]
+        + [(f"__nn{i}", p, "not", s) for i, (p, s) in enumerate(dict.fromkeys(parsed.not_near_phrases))]
     )
     prefix_specs = (
         [(f"__xm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_prefixes))]
@@ -100,7 +104,10 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
             + [(f"__zn{i}", p, "not") for i, p in enumerate(dict.fromkeys(parsed.not_fuzzies))]
         )
     ]
-    for pkey, _, kind in phrase_specs + prefix_specs + fuzzy_specs:
+    for pkey, kind in (
+        [(k_, kd) for k_, _, kd, _ in phrase_specs]
+        + [(k_, kd) for k_, _, kd in prefix_specs + fuzzy_specs]
+    ):
         if kind in ("should", "must"):
             scoring.add(pkey)
         if kind == "must":
@@ -161,7 +168,7 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
             ),
             with_positions=True,
         )
-        for pkey, terms, kind in phrase_specs:
+        for pkey, terms, kind, slop in phrase_specs:
             joined = None
             for j, t in enumerate(terms):
                 pj = pos_flat.filter(F.col("term") == t).select(
@@ -170,10 +177,30 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
                     *(["dl"] if j == 0 else []),
                     F.explode("positions").alias("__p"),
                 )
-                pj = pj.withColumn("__p0", F.col("__p") - F.lit(j)).drop("__p")
-                joined = (
-                    pj if j == 0 else joined.join(pj, ["field", "__docid", "__p0"])
-                )
+                if j == 0 or slop == 0:
+                    # exact path: member j's start candidate is __p - j
+                    pj = pj.withColumn("__p0", F.col("__p") - F.lit(j)).drop("__p")
+                    joined = (
+                        pj
+                        if j == 0
+                        else joined.join(pj, ["field", "__docid", "__p0"])
+                    )
+                else:
+                    # NEAR path: member j must land within ±slop of the
+                    # anchor's expected offset; distinct after EACH join
+                    # keeps rows bounded (exists-semantics, no fanout)
+                    pj = pj.withColumnRenamed("__p", "__pj")
+                    joined = (
+                        joined.join(pj, ["field", "__docid"])
+                        .filter(
+                            F.col("__pj").between(
+                                F.col("__p0") + F.lit(j - slop),
+                                F.col("__p0") + F.lit(j + slop),
+                            )
+                        )
+                        .select("field", "__docid", "dl", "__p0")
+                        .distinct()
+                    )
             ptf = joined.groupBy("field", "__docid", "dl").agg(
                 F.count("*").alias("__ptf")
             )

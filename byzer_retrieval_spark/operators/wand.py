@@ -94,15 +94,20 @@ def _overlap_mask(firsts: np.ndarray, lasts: np.ndarray,
 
 
 def _phrase_match(
-    datas: Dict[str, tuple], terms: Tuple[str, ...]
+    datas: Dict[str, tuple], terms: Tuple[str, ...], slop: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact slop-0 phrase occurrences from per-term decoded postings.
+    """Phrase occurrences from per-term decoded postings.
 
     ``datas[t] = (docs, tfs, dls, abs_pos)``. Returns (docs, phrase_tf)
-    for docs with >= 1 occurrence. All-vectorized: occurrence candidates
-    are (doc_rank << 32 | start_pos) keys intersected across the
-    phrase's term sequence — Lucene's exact PhraseQuery semantics
-    (matches counted by distinct start position).
+    for docs with >= 1 occurrence. All-vectorized: candidate start
+    positions are (doc_rank << 32 | start_pos) keys intersected across
+    the phrase's term sequence. slop=0 is Lucene's exact PhraseQuery
+    (matches counted by distinct start position); slop>0 is the NEAR
+    variant: a start position p0 of terms[0] matches when every
+    terms[j] has a position within [p0+j-slop, p0+j+slop] (term j's
+    positions expand into their 2·slop+1 candidate p0 values before the
+    intersection) — identical to Lucene's move-distance matcher for
+    2-term phrases, documented deviation beyond.
     """
     cand = None
     for t in dict.fromkeys(terms):
@@ -116,9 +121,18 @@ def _phrase_match(
         pmask = np.isin(docs, cand)
         tok_mask = np.repeat(pmask, tfs)
         doc_tok = np.repeat(docs, tfs)[tok_mask]
-        p0 = pos[tok_mask] - j
-        ok = p0 >= 0
-        kj = (np.searchsorted(cand, doc_tok[ok]) << np.int64(32)) | p0[ok]
+        base = pos[tok_mask] - j
+        if j == 0 or slop == 0:
+            # terms[0] anchors p0 exactly; slop-0 members too
+            p0s, doc_rep = base, doc_tok
+        else:
+            offs = np.arange(-slop, slop + 1, dtype=np.int64)
+            p0s = (base[:, None] + offs[None, :]).ravel()
+            doc_rep = np.repeat(doc_tok, offs.size)
+        ok = p0s >= 0
+        kj = (np.searchsorted(cand, doc_rep[ok]) << np.int64(32)) | p0s[ok]
+        if j > 0 and slop > 0:
+            kj = np.unique(kj)
         keys = kj if keys is None else np.intersect1d(keys, kj)
         if keys.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -137,7 +151,7 @@ def _make_shard_scorer(
     k1: float,
     b: float,
     gate_mode: str = "none",
-    phrase_specs: Tuple[Tuple[str, Tuple[str, ...], str], ...] = (),
+    phrase_specs: Tuple[Tuple[str, Tuple[str, ...], str, int], ...] = (),
     prefix_specs: Tuple[Tuple[str, str, str], ...] = (),
     termset_specs: Tuple[Tuple[str, Tuple[str, ...], str], ...] = (),
     any_groups: Tuple[Tuple[str, ...], ...] = (),
@@ -151,16 +165,24 @@ def _make_shard_scorer(
     (tombstones); 'none' — ungated (plain groupBy, no cogroup).
     Gating only removes docs, so block-max pruning stays lossless.
 
-    ``phrase_specs``: (key, terms, kind in should|must|not) per phrase
-    clause. Phrases are scored exactly (positions decoded in-task,
-    occurrence-key intersection); block pruning is disabled when phrases
-    are present (a phrase's score isn't bounded by per-block term stats
-    we track per clause — exhaustive per-shard scoring stays vectorized
-    and bounded by the query terms' postings).
+    ``phrase_specs``: (key, terms, kind in should|must|not, slop) per
+    phrase clause (slop=0 exact, slop>0 NEAR — see _phrase_match). Phrases are scored exactly (positions decoded in-task,
+    occurrence-key intersection). SHOULD-kind extras keep block-max
+    pruning ON: a phrase clause's per-block upper bound is derived from
+    its rarest member term's blocks (phrase_tf <= member tf, so
+    idf_sum · tfnorm(member max_tf, min_dl) bounds the phrase score,
+    and every phrase-matching doc lies in that member's postings — the
+    member's block intervals cover the clause), and prefix/fuzzy
+    clauses bound at their constant 1.0. Extras then decode only the
+    blocks overlapping the survivor ranges — a rare-term + hot-phrase
+    query skips the phrase postings outside the candidate ranges
+    entirely. MUST/NOT extras disable pruning (an unverified MUST
+    phrase would inflate the phase-1 threshold; an unapplied NOT would
+    let an excluded doc seed it — both break the θ0 lower-bound proof).
 
     ``prefix_specs``: (key, stem, kind) per ``foo*`` clause — Lucene
     PrefixQuery with the default CONSTANT_SCORE rewrite: a matching doc
-    contributes 1.0 per field-clause. Pruning is likewise disabled.
+    contributes 1.0 per field-clause.
 
     ``termset_specs``: (key, expanded-terms, kind) — pre-expanded
     multi-term clauses (fuzzy ``foo~N`` after its dictionary walk),
@@ -173,9 +195,15 @@ def _make_shard_scorer(
     is complete for every emitted doc; gating only removes docs.
     """
     scoring_set = set(scoring_terms)
-    extra_specs = tuple(phrase_specs) + tuple(prefix_specs) + tuple(termset_specs)
+    # (key, kind) of every extra clause — uniform across the 3-tuple
+    # prefix/termset specs and 4-tuple phrase specs
+    extra_kinds = (
+        tuple((k, kind) for k, _, kind in prefix_specs)
+        + tuple((k, kind) for k, _, kind in termset_specs)
+        + tuple((k, kind) for k, _, kind, _ in phrase_specs)
+    )
     n_must = len(set(must_terms)) + len(
-        {key for key, _, kind in extra_specs if kind == "must"}
+        {key for key, kind in extra_kinds if kind == "must"}
     )
     not_set = set(not_terms)
     _EMPTY = np.empty(0, dtype=np.int64)
@@ -220,26 +248,43 @@ def _make_shard_scorer(
                     dls=g["dls"].tolist(),
                 )
             )
-        if not cl and not extra_specs:
+        if not cl and not extra_kinds:
             return pd.DataFrame({"shard_id": [], "__docid": [], "score": []}).astype(
                 {"shard_id": np.int32, "__docid": np.int64, "score": np.float64}
             )
 
-        def merge_extras(uniq, scores, must_cnt):
+        def merge_extras(uniq, scores, must_cnt, ranges=None):
             """Fold phrase- and prefix-clause matches into the
             term-level result: phrase scores add Σidf·tfnorm(phrase_tf)
             per field (Lucene PhraseWeight: idf summed over member term
             stats); prefix clauses add constant 1.0 per matching
             field-clause (Lucene CONSTANT_SCORE rewrite). MUST clauses
             raise must_cnt once per clause, NOT clauses extend the
-            exclusion set."""
+            exclusion set.
+
+            ``ranges`` = (rf, rl) survivor doc ranges from block-max
+            pruning: extras then decode ONLY the blocks overlapping
+            them (lossless: every doc that can appear in the output
+            lies in the ranges, and each of its blocks overlaps)."""
             from byzer_retrieval_spark.operators.decode import (
                 absolute_positions,
                 decode_position_deltas,
             )
 
+            def in_ranges(g: pd.DataFrame) -> pd.DataFrame:
+                if ranges is None or not len(g):
+                    return g
+                return g[
+                    _overlap_mask(
+                        g["first_doc"].to_numpy(np.int64),
+                        g["last_doc"].to_numpy(np.int64),
+                        ranges[0],
+                        ranges[1],
+                    )
+                ]
+
             nonlocal excl
-            needed = {t for _, terms, _ in phrase_specs for t in terms}
+            needed = {t for _, terms, _, _ in phrase_specs for t in terms}
             per_key_docs: Dict[Tuple[str, str], List[np.ndarray]] = {}
             add_docs: List[np.ndarray] = []
             add_parts: List[np.ndarray] = []
@@ -248,7 +293,9 @@ def _make_shard_scorer(
                 datas: Dict[str, tuple] = {}
                 dfs: Dict[str, float] = {}
                 for t in needed & set(fp["term"]):
-                    g = fp[fp["term"] == t].sort_values("first_doc")
+                    g = in_ranges(fp[fp["term"] == t]).sort_values("first_doc")
+                    if not len(g):
+                        continue
                     docs, tfs, dls, _ = decode_rows(
                         g["doc_gaps"], g["tfs"], g["dls"], g["first_doc"]
                     )
@@ -262,7 +309,7 @@ def _make_shard_scorer(
                     [(pk, ("prefix", st), kd) for pk, st, kd in prefix_specs]
                     + [(pk, ("set", ts), kd) for pk, ts, kd in termset_specs]
                 ):
-                    g = (
+                    g = in_ranges(
                         fp[fp["term"].str.startswith(matcher[1])]
                         if matcher[0] == "prefix"
                         else fp[fp["term"].isin(set(matcher[1]))]
@@ -279,10 +326,10 @@ def _make_shard_scorer(
                     if kind in ("should", "must"):
                         add_docs.append(pdocs)
                         add_parts.append(np.full(pdocs.size, 1.0))
-                for pkey, terms, kind in phrase_specs:
+                for pkey, terms, kind, slop in phrase_specs:
                     if any(t not in datas for t in terms):
                         continue
-                    pdocs, ptf = _phrase_match(datas, terms)
+                    pdocs, ptf = _phrase_match(datas, terms, slop)
                     if pdocs.size == 0:
                         continue
                     per_key_docs.setdefault((pkey, kind), []).append(pdocs)
@@ -393,10 +440,87 @@ def _make_shard_scorer(
         total_blocks = sum(c["firsts"].size for c in cl)
         all_sel = [np.arange(c["firsts"].size) for c in cl]
 
-        if total_blocks > PRUNE_MIN_BLOCKS and not extra_specs:
+        # SHOULD-kind extras join pruning as pseudo-clauses with block
+        # intervals + upper bounds: (firsts, lasts, ub_per_block, cmax)
+        prunable_extras = bool(extra_kinds) and all(
+            kind == "should" for _, kind in extra_kinds
+        )
+        use_prune = (
+            total_blocks > PRUNE_MIN_BLOCKS
+            and bool(cl)
+            and (not extra_kinds or prunable_extras)
+        )
+        extra_cl: List[tuple] = []
+        if use_prune and extra_kinds:
+            for pkey, matcher, kind in (
+                [(pk, ("prefix", st), kd) for pk, st, kd in prefix_specs]
+                + [(pk, ("set", ts), kd) for pk, ts, kd in termset_specs]
+            ):
+                g = (
+                    pdf[pdf["term"].str.startswith(matcher[1])]
+                    if matcher[0] == "prefix"
+                    else pdf[pdf["term"].isin(set(matcher[1]))]
+                )
+                if len(g):
+                    extra_cl.append(
+                        (
+                            g["first_doc"].to_numpy(np.int64),
+                            g["last_doc"].to_numpy(np.int64),
+                            np.full(len(g), 1.0),
+                            1.0,
+                        )
+                    )
+            for pkey, terms, kind, slop in phrase_specs:
+                # per field: the clause's intervals/bounds come from one
+                # member term (every phrase doc lies in every member's
+                # postings, so any member's intervals cover the clause).
+                # slop=0 uses the RAREST member (each exact occurrence
+                # consumes a distinct position of EVERY member, so
+                # phrase_tf <= member tf for all members); slop>0 must
+                # use terms[0] (one position of a later member can serve
+                # several p0 anchors, but p0 anchors are distinct
+                # positions of terms[0], so phrase_tf <= tf(terms[0])).
+                for fld in sorted(set(pdf["field"]) & set(field_stats)):
+                    fp = pdf[pdf["field"] == fld]
+                    n_docs, avgdl = field_stats[fld]
+                    dfs: Dict[str, float] = {}
+                    for t in dict.fromkeys(terms):
+                        tg = fp[fp["term"] == t]
+                        if not len(tg):
+                            break
+                        dfs[t] = float(tg["df"].iloc[0])
+                    else:
+                        idf_sum = sum(
+                            math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                            for t in terms
+                        )
+                        bound_term = (
+                            min(dict.fromkeys(terms), key=lambda t: dfs[t])
+                            if slop == 0
+                            else terms[0]
+                        )
+                        g = fp[fp["term"] == bound_term]
+                        max_tf = g["max_tf"].to_numpy(np.float64)
+                        min_dl = g["min_dl"].to_numpy(np.float64)
+                        ub = idf_sum * (
+                            max_tf
+                            / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
+                        )
+                        extra_cl.append(
+                            (
+                                g["first_doc"].to_numpy(np.int64),
+                                g["last_doc"].to_numpy(np.int64),
+                                ub,
+                                float(ub.max()),
+                            )
+                        )
+
+        if use_prune:
             # ---- phase 0: bounds --------------------------------------
             term_max = np.array([float(c["ub"].max()) for c in cl])
-            others = term_max.sum() - term_max  # Σ other clauses' max ub
+            extra_total = float(sum(cm for *_, cm in extra_cl))
+            # Σ other clauses' max ub (extras included)
+            others = term_max.sum() + extra_total - term_max
             range_ubs = [c["ub"] + others[i] for i, c in enumerate(cl)]
 
             # ---- phase 1: seed threshold from the best few blocks -----
@@ -437,6 +561,13 @@ def _make_shard_scorer(
                     if keep.any():
                         surv_f.append(c["firsts"][keep])
                         surv_l.append(c["lasts"][keep])
+                for ef, el, eub, ecmax in extra_cl:
+                    keep = (
+                        eub + (term_max.sum() + extra_total - ecmax)
+                    ) >= theta0
+                    if keep.any():
+                        surv_f.append(ef[keep])
+                        surv_l.append(el[keep])
                 if surv_f:
                     rf2, rl2 = _merge_intervals(
                         np.concatenate(surv_f), np.concatenate(surv_l)
@@ -448,16 +579,24 @@ def _make_shard_scorer(
                     for c in cl
                 ]
                 uniq, scores, must_cnt, ghits = exact(all_sel)
+                if extra_kinds:
+                    # extras decode ONLY blocks overlapping the
+                    # survivor ranges (the phrase-postings saving)
+                    uniq, scores, must_cnt = merge_extras(
+                        uniq, scores, must_cnt, ranges=(rf2, rl2)
+                    )
                 if uniq.size:
                     mask = gate(uniq, scores, must_cnt, ghits) & _in_intervals(uniq, rf2, rl2)
                 else:
                     mask = np.zeros(0, dtype=bool)
             else:
                 uniq, scores, must_cnt, ghits = exact(all_sel)
+                if extra_kinds:
+                    uniq, scores, must_cnt = merge_extras(uniq, scores, must_cnt)
                 mask = gate(uniq, scores, must_cnt, ghits) if uniq.size else np.zeros(0, dtype=bool)
         else:
             uniq, scores, must_cnt, ghits = exact(all_sel)
-            if extra_specs:
+            if extra_kinds:
                 uniq, scores, must_cnt = merge_extras(uniq, scores, must_cnt)
             mask = gate(uniq, scores, must_cnt, ghits) if uniq.size else np.zeros(0, dtype=bool)
 
@@ -524,6 +663,7 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         and not parsed.scoring_phrases
         and not parsed.scoring_prefixes
         and not parsed.scoring_fuzzies
+        and not parsed.scoring_nears
     ):
         return None
     fields = [f for f in (query.fields or ctx.analyzed_fields) if f in ctx.analyzed_fields]
@@ -532,9 +672,12 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         dict.fromkeys(parsed.scoring_terms + parsed.must_not + parsed.phrase_terms)
     )
     phrase_specs = tuple(
-        [(f"__pm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_phrases))]
-        + [(f"__ps{i}", p, "should") for i, p in enumerate(parsed.dedup_should_phrases)]
-        + [(f"__pn{i}", p, "not") for i, p in enumerate(dict.fromkeys(parsed.not_phrases))]
+        [(f"__pm{i}", p, "must", 0) for i, p in enumerate(dict.fromkeys(parsed.must_phrases))]
+        + [(f"__ps{i}", p, "should", 0) for i, p in enumerate(parsed.dedup_should_phrases)]
+        + [(f"__pn{i}", p, "not", 0) for i, p in enumerate(dict.fromkeys(parsed.not_phrases))]
+        + [(f"__nm{i}", p, "must", s) for i, (p, s) in enumerate(dict.fromkeys(parsed.must_near_phrases))]
+        + [(f"__ns{i}", p, "should", s) for i, (p, s) in enumerate(parsed.dedup_should_nears)]
+        + [(f"__nn{i}", p, "not", s) for i, (p, s) in enumerate(dict.fromkeys(parsed.not_near_phrases))]
     )
     prefix_specs = tuple(
         [(f"__xm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_prefixes))]

@@ -71,6 +71,37 @@ class BM25Oracle:
             if all(toks[s + j] == terms[j] for j in range(m))
         )
 
+    def near_tf(self, i: int, terms: Sequence[str], slop: int) -> int:
+        """``"a b"~N`` NEAR occurrences in doc i: count of positions p0
+        of terms[0] such that every terms[j] occurs within
+        [p0+j-slop, p0+j+slop] (the engine's documented slop semantics,
+        wand._phrase_match)."""
+        toks = self.toks[i]
+        pos: Dict[str, List[int]] = {}
+        for p, t in enumerate(toks):
+            pos.setdefault(t, []).append(p)
+        if any(t not in pos for t in terms):
+            return 0
+        count = 0
+        for p0 in pos[terms[0]]:
+            if all(
+                any(abs(q - (p0 + j)) <= slop for q in pos[t])
+                for j, t in enumerate(terms)
+                if j > 0
+            ):
+                count += 1
+        return count
+
+    def score_near(
+        self, i: int, terms: Sequence[str], slop: int
+    ) -> Optional[float]:
+        ptf = self.near_tf(i, terms, slop)
+        if ptf == 0:
+            return None
+        idf_sum = sum(self.idf(t) for t in terms)
+        dl = float(self.dl[i])
+        return idf_sum * (ptf / (ptf + K1 * (1.0 - B + B * dl / self.avgdl)))
+
     def prefix_match(self, i: int, stem: str) -> bool:
         """PrefixQuery membership: any indexed term starts with stem."""
         return any(t.startswith(stem) for t in self.tf[i])
@@ -128,10 +159,16 @@ class BM25Oracle:
                 continue
             if any(self.phrase_tf(i, p) > 0 for p in parsed.not_phrases):
                 continue
+            if any(self.near_tf(i, p, s) > 0 for p, s in parsed.not_near_phrases):
+                continue
             if parsed.must and not all(self.tf[i].get(t, 0) > 0 for t in parsed.must):
                 continue
             if parsed.must_phrases and not all(
                 self.phrase_tf(i, p) > 0 for p in parsed.must_phrases
+            ):
+                continue
+            if parsed.must_near_phrases and not all(
+                self.near_tf(i, p, s) > 0 for p, s in parsed.must_near_phrases
             ):
                 continue
             if any(self.prefix_match(i, p) for p in parsed.not_prefixes):
@@ -154,10 +191,12 @@ class BM25Oracle:
             if not (
                 parsed.must or parsed.should or parsed.scoring_phrases
                 or parsed.scoring_prefixes or parsed.scoring_fuzzies
+                or parsed.scoring_nears
             ):
                 continue  # pure-negative query matches nothing (Lucene)
             s = self.score_doc(i, parsed.scoring_terms)
             p_parts = [self.score_phrase(i, p) for p in parsed.scoring_phrases]
+            p_parts += [self.score_near(i, p, sl) for p, sl in parsed.scoring_nears]
             p_score = sum(x for x in p_parts if x is not None)
             # prefix/fuzzy clauses: CONSTANT_SCORE rewrite → 1.0 per match
             x_hits = [self.prefix_match(i, p) for p in parsed.scoring_prefixes]

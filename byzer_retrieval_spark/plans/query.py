@@ -111,6 +111,15 @@ class ParsedKeyword:
     # terms also score as ordinary SHOULD clauses — flattening preserves
     # Lucene's nested-BooleanQuery score sum)
     must_any_groups: Tuple[Tuple[str, ...], ...] = ()
+    # ``"a b"~N`` sloppy phrases: ((terms...), slop) per clause.
+    # Semantics (documented deviation from Lucene's move-distance
+    # matcher, identical for the 2-term case): a match is a position p0
+    # of terms[0] such that every terms[j] has a position within
+    # [p0+j-slop, p0+j+slop]; phrase_tf = count of such p0, each match
+    # weighted 1 (Lucene weights 1/(distance+1)).
+    near_phrases: Tuple[Tuple[Tuple[str, ...], int], ...] = ()      # SHOULD
+    must_near_phrases: Tuple[Tuple[Tuple[str, ...], int], ...] = ()
+    not_near_phrases: Tuple[Tuple[Tuple[str, ...], int], ...] = ()
 
     @property
     def scoring_terms(self) -> Tuple[str, ...]:
@@ -130,11 +139,30 @@ class ParsedKeyword:
         )
 
     @property
+    def scoring_nears(self) -> Tuple[Tuple[Tuple[str, ...], int], ...]:
+        return tuple(dict.fromkeys(self.must_near_phrases + self.near_phrases))
+
+    @property
+    def all_nears(self) -> Tuple[Tuple[Tuple[str, ...], int], ...]:
+        return tuple(
+            dict.fromkeys(
+                self.must_near_phrases + self.near_phrases + self.not_near_phrases
+            )
+        )
+
+    @property
+    def dedup_should_nears(self) -> Tuple[Tuple[Tuple[str, ...], int], ...]:
+        m = set(self.must_near_phrases)
+        return tuple(p for p in dict.fromkeys(self.near_phrases) if p not in m)
+
+    @property
     def phrase_terms(self) -> Tuple[str, ...]:
-        """Every distinct term appearing in any phrase (their postings —
-        with positions — must be scanned)."""
+        """Every distinct term appearing in any phrase — exact or
+        sloppy (their postings — with positions — must be scanned)."""
         out: List[str] = []
         for p in self.all_phrases:
+            out.extend(p)
+        for p, _ in self.all_nears:
             out.extend(p)
         return tuple(dict.fromkeys(out))
 
@@ -183,7 +211,7 @@ class ParsedKeyword:
         return not (
             self.should or self.must or self.must_not or self.match_all
             or self.all_phrases or self.all_prefixes or self.all_fuzzies
-            or self.must_any_groups
+            or self.must_any_groups or self.all_nears
         )
 
 
@@ -209,24 +237,31 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
     p_should: List[Tuple[str, ...]] = []
     p_must: List[Tuple[str, ...]] = []
     p_not: List[Tuple[str, ...]] = []
+    n_should: List[Tuple[Tuple[str, ...], int]] = []
+    n_must: List[Tuple[Tuple[str, ...], int]] = []
+    n_not: List[Tuple[Tuple[str, ...], int]] = []
 
     def on_phrase(m: "_re.Match") -> str:
-        prefix, body = m.group(1), m.group(2)
+        prefix, body, slop_s = m.group(1), m.group(2), m.group(3)
         toks = tuple(tokenize_py(body, mode))
+        slop = int(slop_s) if slop_s else 0
         if not toks:
             return " "
-        t_bucket, p_bucket = should, p_should
+        t_bucket, p_bucket, n_bucket = should, p_should, n_should
         if prefix == "+":
-            t_bucket, p_bucket = must, p_must
+            t_bucket, p_bucket, n_bucket = must, p_must, n_must
         elif prefix == "-":
-            t_bucket, p_bucket = must_not, p_not
+            t_bucket, p_bucket, n_bucket = must_not, p_not, n_not
         if len(toks) == 1:
             t_bucket.append(toks[0])
+        elif slop > 0:
+            # `"a b"~N`: sloppy phrase (Lucene SimpleQueryParser NEAR)
+            n_bucket.append((toks, slop))
         else:
             p_bucket.append(toks)
         return " "
 
-    rest = _re.sub(r'([+-]?)"([^"]*)"', on_phrase, keyword)
+    rest = _re.sub(r'([+-]?)"([^"]*)"(?:~(\d+))?', on_phrase, keyword)
 
     # ---- groups: (a b) / +(a b) / -(a b) -----------------------------
     # Lucene nests a BooleanQuery per group; because the outer query is
@@ -302,6 +337,9 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
         must_fuzzies=tuple(z_must),
         not_fuzzies=tuple(z_not),
         must_any_groups=tuple(any_groups),
+        near_phrases=tuple(n_should),
+        must_near_phrases=tuple(n_must),
+        not_near_phrases=tuple(n_not),
     )
 
 

@@ -141,3 +141,43 @@ def test_group_gate_applies_to_phrase_only_docs(spark, tmp_path):
     )
     assert eng.search(q2).count() == 0
     assert eng.search_slow(q2).count() == 0
+
+
+def test_parse_slop_phrases():
+    p = parse_keyword('"a b"~2 +"c d"~1 -"x y"~3 "e f" plain')
+    assert p.near_phrases == ((("a", "b"), 2),)
+    assert p.must_near_phrases == ((("c", "d"), 1),)
+    assert p.not_near_phrases == ((("x", "y"), 3),)
+    assert p.phrases == (("e", "f"),)  # slop-0 stays an exact phrase
+    assert set(p.phrase_terms) >= {"a", "b", "c", "d", "x", "y", "e", "f"}
+
+
+SLOP_QUERIES = [
+    ('"import return"~1', 10),
+    ('"import return"~2 class', 10),     # near + should term
+    ('"def if"~3', 10),
+    ('+"import return"~2 -lambda', 10),  # must near + not term
+    ('self -"import return"~1', 10),     # not near
+    ('"return if public"~1', 10),        # 3-term near
+]
+
+
+@pytest.mark.parametrize("keyword,k", SLOP_QUERIES)
+def test_slop_phrase_rank_identity(corpus_engine, oracle, keyword, k):
+    q = SearchQuery(keyword=keyword, fields=["content"], limit=k)
+    ctx = corpus_engine.ctx()
+    exp = oracle.search(keyword, limit=k)
+    fast = [(r["_id"], r["_score"]) for r in search_fast(ctx, q).collect()]
+    slow = [(r["_id"], r["_score"]) for r in search_df(ctx, q).collect()]
+    assert [f[0] for f in fast] == [e[0] for e in exp] == [s[0] for s in slow]
+    if fast:
+        np.testing.assert_allclose(
+            [f[1] for f in fast], [e[1] for e in exp], rtol=1e-9
+        )
+
+
+def test_slop_zero_via_tilde_equals_exact_phrase(corpus_engine, oracle):
+    """`"a b"~0` must behave exactly like `"a b"` (both parse to the
+    exact-phrase clause)."""
+    p = parse_keyword('"import return"~0')
+    assert p.phrases == (("import", "return"),) and not p.near_phrases

@@ -89,8 +89,10 @@ def test_ann_recall_at_pruned_probe(vec_engine):
     assert recall >= 0.7, f"IVF engine-path recall {recall}"
 
 
-def test_filtered_query_bypasses_ann_and_mutation_staleness(vec_engine, spark):
-    # filters always take the exact path (recall-exact filtered KNN)
+def test_filtered_probe_and_delete_keep_ann_current(vec_engine, spark):
+    # filtered vector queries gate the ANN candidates (round-3: the
+    # probe runs when the gated candidate set can fill k, else exact
+    # fallback) — either way only filter survivors come back
     qf = SearchQuery(
         vector=_qvec(),
         vector_field="embedding",
@@ -100,15 +102,78 @@ def test_filtered_query_bypasses_ann_and_mutation_staleness(vec_engine, spark):
     langs = {r["lang"] for r in vec_engine.search(qf).collect()}
     assert langs <= {"en"}
 
-    # a mutation bumps the snapshot → ANN is stale → exact fallback
+    # a DELETE keeps the ANN current: the deleted row is hidden by the
+    # probe-time tombstone anti-join, no rebuild needed
     victim = vec_engine.search(
         SearchQuery(vector=_qvec(), vector_field="embedding", limit=1)
     ).collect()[0]["_id"]
     vec_engine.delete_by_ids([victim])
-    assert vec_engine._current_ann(vec_engine.store(), "embedding") is None
+    assert vec_engine._current_ann(vec_engine.store(), "embedding") is not None
     q = SearchQuery(vector=_qvec(), vector_field="embedding", limit=10)
     post = [r["_id"] for r in vec_engine.search(q).collect()]
     assert victim not in post and len(post) == 10
+
+
+def test_upsert_appends_to_ann_and_supersedes(vec_engine, spark):
+    """Upserts keep the persisted ANN CURRENT: new vectors append into
+    their buckets (pure function of the vector); the superseded version
+    is hidden by the tombstone anti-join — never a rebuild, never an
+    exact fallback (round-2 verdict #6)."""
+    from pyspark.sql import functions as F
+
+    # exhaustive-probe LSH → ANN results are exactly the brute force
+    vec_engine.build_vector_ann(
+        "embedding", kind="lsh", num_planes=6, num_tables=2,
+        probe={"probe_hamming": 6},
+    )
+    qv = _qvec()
+    existing = vec_engine.search(
+        SearchQuery(vector=qv, vector_field="embedding", limit=5)
+    ).collect()[-1]["_id"]
+    rows = [
+        ("hero_new", 9_990_001, "fresh doc", "en", [float(x) for x in qv]),
+        (existing, 9_990_002, "moved doc", "en", [float(x) for x in qv]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "_id string, doc_id long, text string, lang string, embedding array<float>",
+    )
+    vec_engine.upsert(df)
+    # the index is still CURRENT (no exact fallback)
+    assert vec_engine._current_ann(vec_engine.store(), "embedding") is not None
+    got = vec_engine.search(
+        SearchQuery(vector=qv, vector_field="embedding", limit=4)
+    ).collect()
+    ids = [r["_id"] for r in got]
+    # both upserted docs rank on top with cosine ~1.0, each exactly once
+    assert set(ids[:2]) == {"hero_new", existing}
+    assert ids.count(existing) == 1 and ids.count("hero_new") == 1
+    assert got[0]["_score"] == pytest.approx(1.0, abs=1e-6)
+    assert got[1]["_score"] == pytest.approx(1.0, abs=1e-6)
+    assert {r["doc_id"] for r in got[:2]} == {9_990_001, 9_990_002}
+
+
+def test_ann_path_serves_after_upsert_and_filters(vec_engine, monkeypatch):
+    """Assert the dispatch REALLY takes the ANN path (post-upsert, and
+    for a filtered query whose gated candidates fill k): the exact-scan
+    entry point is patched to explode."""
+    import byzer_retrieval_spark.api as api_mod
+    from byzer_retrieval_spark.operators import knn
+
+    def boom(*a, **kw):  # pragma: no cover
+        raise AssertionError("exact fallback taken — ANN path expected")
+
+    monkeypatch.setattr(knn, "vector_topk", boom)
+    q = SearchQuery(vector=_qvec(), vector_field="embedding", limit=5)
+    assert len(vec_engine.search(q).collect()) == 5
+    qf = SearchQuery(
+        vector=_qvec(),
+        vector_field="embedding",
+        filters={"and": [{"field": "lang", "value": "en"}]},
+        limit=3,
+    )
+    rows = vec_engine.search(qf).collect()
+    assert len(rows) == 3 and {r["lang"] for r in rows} == {"en"}
 
 
 def test_ann_build_tolerates_null_vectors(spark, tmp_path):
