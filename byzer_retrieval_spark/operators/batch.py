@@ -67,6 +67,9 @@ def is_batchable(parsed: ParsedKeyword, query: SearchQuery) -> bool:
         or parsed.empty
         or parsed.all_phrases
         or parsed.all_nears
+        # groups gate on term membership in the batch scorer; a group
+        # with phrase/prefix/fuzzy members needs the WAND machinery
+        or any(any(m[0] != "term" for m in g) for g in parsed.any_groups_ext)
         or not (
             parsed.scoring_terms
             or parsed.scoring_prefixes

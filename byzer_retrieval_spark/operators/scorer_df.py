@@ -96,13 +96,29 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
     # behave as constant-score term-set clauses
     from byzer_retrieval_spark.operators.filtering import expand_fuzzy
 
+    fuzzy_items = (
+        [(f"__zm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_fuzzies))]
+        + [(f"__zs{i}", p, "should") for i, p in enumerate(parsed.dedup_should_fuzzies)]
+        + [(f"__zn{i}", p, "not") for i, p in enumerate(dict.fromkeys(parsed.not_fuzzies))]
+    )
     fuzzy_specs = [
         (key, expand_fuzzy(ctx, fields, w, n), kind)
-        for key, (w, n), kind in (
-            [(f"__zm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_fuzzies))]
-            + [(f"__zs{i}", p, "should") for i, p in enumerate(parsed.dedup_should_fuzzies)]
-            + [(f"__zn{i}", p, "not") for i, p in enumerate(dict.fromkeys(parsed.not_fuzzies))]
-        )
+        for key, (w, n), kind in fuzzy_items
+    ]
+
+    # member-descriptor → clause key (for +(...) group gates whose
+    # members are phrases/prefixes/fuzzies: the gate references the
+    # member CLAUSE's pseudo-term key in the contrib frame)
+    key_of = {}
+    for kkey, p, kind, s in phrase_specs:
+        key_of.setdefault(("phrase", p, s), kkey)
+    for kkey, st, kind in prefix_specs:
+        key_of.setdefault(("prefix", st), kkey)
+    for kkey, (w, n_), kind in fuzzy_items:
+        key_of.setdefault(("fuzzy", w, n_), kkey)
+    group_lists = [
+        [m[1] if m[0] == "term" else key_of[m] for m in g]
+        for g in parsed.any_groups_ext
     ]
     for pkey, kind in (
         [(k_, kd) for k_, _, kd, _ in phrase_specs]
@@ -270,7 +286,7 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         F.max(
             F.when(F.col("term").isin(list(g)), F.lit(1)).otherwise(F.lit(0))
         ).alias(f"__anyg{i}")
-        for i, g in enumerate(parsed.must_any_groups)
+        for i, g in enumerate(group_lists)
     ]
     agg = contrib.groupBy("__docid").agg(
         F.sum(
@@ -294,8 +310,9 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         & (F.col("__has_not") == F.lit(0))
         & (F.col("__has_match") == F.lit(1))
     )
-    for i in range(len(parsed.must_any_groups)):
-        # +(a b) gate: at least one group member matched (must-ANY)
+    for i in range(len(group_lists)):
+        # +(a b) gate: at least one group member matched (must-ANY) —
+        # members may be terms or phrase/prefix/fuzzy clause keys
         gate = gate & (F.col(f"__anyg{i}") == F.lit(1))
     agg = agg.filter(gate)
     agg = ctx.exclude_tombstones(agg)

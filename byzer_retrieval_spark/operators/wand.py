@@ -370,13 +370,24 @@ def _make_shard_scorer(
                     continue
                 u = np.unique(np.concatenate(ds))
                 must2[np.searchsorted(uniq2, u)] += 1
-            return uniq2, scores2, must2
+            # per-clause matched-doc sets for +(...) group gates whose
+            # members are extra clauses
+            key_docs = {
+                pkey: np.unique(np.concatenate(ds))
+                for (pkey, kind), ds in per_key_docs.items()
+                if kind != "not"
+            }
+            return uniq2, scores2, must2, key_docs
 
-        tracked = set(must_terms) | {t for g in any_groups for t in g}
+        # group members are term strings or extra-clause keys ("__ps0"
+        # etc.); term hits come from exact(), key hits from
+        # merge_extras' per-clause doc sets
+        tracked = set(must_terms) | {m for g in any_groups for m in g}
 
         def exact(selections: List[np.ndarray]):
             """Exact scores over selected blocks; returns (docs, scores,
-            must_cnt, group_hits) on the unique doc set."""
+            must_cnt, hit_of) on the unique doc set — hit_of maps each
+            tracked term to its matched doc ids."""
             doc_parts, score_parts = [], []
             term_docs: Dict[str, List[np.ndarray]] = {}
             for c, sel in zip(cl, selections):
@@ -397,15 +408,7 @@ def _make_shard_scorer(
                     term_docs.setdefault(c["term"], []).append(docs)
             if not doc_parts:
                 z = np.empty(0, dtype=np.int64)
-                # one EMPTY hit-set per must-ANY group (not []): docs
-                # later folded in by merge_extras must still fail the
-                # group gate when none of the group's terms hit the shard
-                return (
-                    z,
-                    np.empty(0),
-                    np.empty(0, dtype=np.int64),
-                    [np.empty(0, dtype=np.int64) for _ in any_groups],
-                )
+                return z, np.empty(0), np.empty(0, dtype=np.int64), {}
             all_docs = np.concatenate(doc_parts)
             all_parts = np.concatenate(score_parts)
             uniq, inv = np.unique(all_docs, return_inverse=True)
@@ -417,17 +420,24 @@ def _make_shard_scorer(
             for t in set(must_terms):
                 if t in hit_of:
                     must_cnt += np.isin(uniq, hit_of[t])
-            group_hits = [
-                np.unique(np.concatenate([hit_of[t] for t in g if t in hit_of]))
-                if any(t in hit_of for t in g)
-                else np.empty(0, dtype=np.int64)
-                for g in any_groups
-            ]
-            return uniq, scores, must_cnt, group_hits
+            return uniq, scores, must_cnt, hit_of
 
-        def gate(uniq, scores, must_cnt, group_hits):
+        _NO_KEYS: Dict[str, np.ndarray] = {}
+
+        def gate(uniq, scores, must_cnt, hit_of, key_docs=_NO_KEYS):
             mask = must_cnt == n_must
-            for hits in group_hits:
+            for g in any_groups:
+                # must-ANY: union member hit sets (missing member = no
+                # hits in this shard); an all-miss group gates out every
+                # doc, including ones merge_extras folded in
+                parts = [hit_of[m] for m in g if m in hit_of] + [
+                    key_docs[m] for m in g if m in key_docs
+                ]
+                hits = (
+                    np.unique(np.concatenate(parts))
+                    if parts
+                    else np.empty(0, dtype=np.int64)
+                )
                 mask &= np.isin(uniq, hits)
             if excl.size:
                 mask &= ~np.isin(uniq, excl)
@@ -542,9 +552,9 @@ def _make_shard_scorer(
                 np.nonzero(_overlap_mask(c["firsts"], c["lasts"], rf, rl))[0]
                 for c in cl
             ]
-            u1, s1, mc1, gh1 = exact(sel1)
+            u1, s1, mc1, h1 = exact(sel1)
             if u1.size:
-                m1 = gate(u1, s1, mc1, gh1) & _in_intervals(u1, rf, rl)
+                m1 = gate(u1, s1, mc1, h1) & _in_intervals(u1, rf, rl)
                 vals = s1[m1]
             else:
                 vals = np.empty(0)
@@ -578,27 +588,30 @@ def _make_shard_scorer(
                     np.nonzero(_overlap_mask(c["firsts"], c["lasts"], rf2, rl2))[0]
                     for c in cl
                 ]
-                uniq, scores, must_cnt, ghits = exact(all_sel)
+                uniq, scores, must_cnt, hit_of = exact(all_sel)
+                key_docs = {}
                 if extra_kinds:
                     # extras decode ONLY blocks overlapping the
                     # survivor ranges (the phrase-postings saving)
-                    uniq, scores, must_cnt = merge_extras(
+                    uniq, scores, must_cnt, key_docs = merge_extras(
                         uniq, scores, must_cnt, ranges=(rf2, rl2)
                     )
                 if uniq.size:
-                    mask = gate(uniq, scores, must_cnt, ghits) & _in_intervals(uniq, rf2, rl2)
+                    mask = gate(uniq, scores, must_cnt, hit_of, key_docs) & _in_intervals(uniq, rf2, rl2)
                 else:
                     mask = np.zeros(0, dtype=bool)
             else:
-                uniq, scores, must_cnt, ghits = exact(all_sel)
+                uniq, scores, must_cnt, hit_of = exact(all_sel)
+                key_docs = {}
                 if extra_kinds:
-                    uniq, scores, must_cnt = merge_extras(uniq, scores, must_cnt)
-                mask = gate(uniq, scores, must_cnt, ghits) if uniq.size else np.zeros(0, dtype=bool)
+                    uniq, scores, must_cnt, key_docs = merge_extras(uniq, scores, must_cnt)
+                mask = gate(uniq, scores, must_cnt, hit_of, key_docs) if uniq.size else np.zeros(0, dtype=bool)
         else:
-            uniq, scores, must_cnt, ghits = exact(all_sel)
+            uniq, scores, must_cnt, hit_of = exact(all_sel)
+            key_docs = {}
             if extra_kinds:
-                uniq, scores, must_cnt = merge_extras(uniq, scores, must_cnt)
-            mask = gate(uniq, scores, must_cnt, ghits) if uniq.size else np.zeros(0, dtype=bool)
+                uniq, scores, must_cnt, key_docs = merge_extras(uniq, scores, must_cnt)
+            mask = gate(uniq, scores, must_cnt, hit_of, key_docs) if uniq.size else np.zeros(0, dtype=bool)
 
         docs_f, scores_f = uniq[mask], scores[mask]
         if docs_f.size > k:
@@ -689,13 +702,28 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     # as constant-score term-set clauses
     from byzer_retrieval_spark.operators.filtering import expand_fuzzy
 
+    fuzzy_items = (
+        [(f"__zm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_fuzzies))]
+        + [(f"__zs{i}", p, "should") for i, p in enumerate(parsed.dedup_should_fuzzies)]
+        + [(f"__zn{i}", p, "not") for i, p in enumerate(dict.fromkeys(parsed.not_fuzzies))]
+    )
     termset_specs = tuple(
         (key, expand_fuzzy(ctx, fields, w, n), kind)
-        for key, (w, n), kind in (
-            [(f"__zm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_fuzzies))]
-            + [(f"__zs{i}", p, "should") for i, p in enumerate(parsed.dedup_should_fuzzies)]
-            + [(f"__zn{i}", p, "not") for i, p in enumerate(dict.fromkeys(parsed.not_fuzzies))]
-        )
+        for key, (w, n), kind in fuzzy_items
+    )
+
+    # +(...) group members may be phrases/prefixes/fuzzies: the scorer
+    # gate references their CLAUSE keys (terms stay term strings)
+    key_of = {}
+    for kkey, p, kind, s in phrase_specs:
+        key_of.setdefault(("phrase", p, s), kkey)
+    for kkey, st, kind in prefix_specs:
+        key_of.setdefault(("prefix", st), kkey)
+    for kkey, (w, n_), kind in fuzzy_items:
+        key_of.setdefault(("fuzzy", w, n_), kkey)
+    scorer_groups = tuple(
+        tuple(m[1] if m[0] == "term" else key_of[m] for m in g)
+        for g in parsed.any_groups_ext
     )
 
     # term predicate: exact terms + prefix stems + fuzzy expansions —
@@ -741,7 +769,7 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         phrase_specs,
         prefix_specs,
         termset_specs,
-        parsed.must_any_groups,
+        scorer_groups,
     )
     if gate_mode == "none":
         return blocks.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)

@@ -106,6 +106,19 @@ class BM25Oracle:
         """PrefixQuery membership: any indexed term starts with stem."""
         return any(t.startswith(stem) for t in self.tf[i])
 
+    def _member_match(self, i: int, m: Tuple) -> bool:
+        """+(...) group member match — members may be any clause kind
+        (plans/query.ParsedKeyword.any_groups_ext)."""
+        if m[0] == "term":
+            return self.tf[i].get(m[1], 0) > 0
+        if m[0] == "phrase":
+            return (
+                self.phrase_tf(i, m[1]) if m[2] == 0 else self.near_tf(i, m[1], m[2])
+            ) > 0
+        if m[0] == "prefix":
+            return self.prefix_match(i, m[1])
+        return self.fuzzy_match(i, m[1], m[2])
+
     def fuzzy_match(self, i: int, word: str, max_edits: int) -> bool:
         """FuzzyQuery membership: any indexed term within classic
         Levenshtein distance (matching Spark/DuckDB ``levenshtein``;
@@ -183,9 +196,9 @@ class BM25Oracle:
                 self.fuzzy_match(i, w, n) for w, n in parsed.must_fuzzies
             ):
                 continue
-            if parsed.must_any_groups and not all(
-                any(self.tf[i].get(t, 0) > 0 for t in g)
-                for g in parsed.must_any_groups
+            if parsed.any_groups_ext and not all(
+                any(self._member_match(i, m) for m in g)
+                for g in parsed.any_groups_ext
             ):
                 continue
             if not (

@@ -12,10 +12,14 @@ The reference's whole query language is a JSON ``SearchQuery`` record
   NON-SCORING clauses (reference: Utils.java:258-304, Occur.FILTER at
   Utils.java:303) — filters never affect BM25 scores.
 - ``keyword`` is parsed by Lucene's SimpleQueryParser with every field
-  weighted 1.0 (reference: RetrievalWorker.java:321-343). We implement
-  the subset: implicit OR of terms, ``+term`` (MUST), ``-term``
-  (MUST_NOT), and ``*`` match-all (RetrievalWorker.java:336-338).
-  Phrases/fuzzy/grouping are documented out of v1 scope.
+  weighted 1.0 (reference: RetrievalWorker.java:321-343). Implemented:
+  implicit OR of terms, ``+term`` (MUST), ``-term`` (MUST_NOT), ``*``
+  match-all (RetrievalWorker.java:336-338), ``"phrase"`` (exact) and
+  ``"phrase"~N`` (NEAR), ``stem*`` prefixes, ``word~N`` fuzzies,
+  ``a | b`` OR, and ``(...)`` groups — nesting-aware, any member kind,
+  with ``+(...)`` as a must-ANY gate and ``-(...)`` De-Morganed into
+  NOT clauses. Only ``+``/``-`` INSIDE groups stays out (documented:
+  Lucene would nest a full BooleanQuery).
 - ``sorts`` ``[{"field": "desc"|"asc"}, ...]`` (reference:
   Utils.java:306-329).
 
@@ -108,9 +112,18 @@ class ParsedKeyword:
     must_fuzzies: Tuple[Tuple[str, int], ...] = ()
     not_fuzzies: Tuple[Tuple[str, int], ...] = ()
     # +(a b) groups: doc must match AT LEAST ONE member (the group's
-    # terms also score as ordinary SHOULD clauses — flattening preserves
-    # Lucene's nested-BooleanQuery score sum)
+    # members also score as ordinary SHOULD clauses — flattening
+    # preserves Lucene's nested-BooleanQuery score sum).
+    # ``must_any_groups`` is the TERM projection (back-compat surface);
+    # ``any_groups_ext`` is canonical: each member is a descriptor
+    # ("term", t) | ("phrase", terms, slop) | ("prefix", stem) |
+    # ("fuzzy", word, max_edits) — so +("a b" c*) gates correctly on
+    # phrase and prefix members too. Nested PLAIN groups flatten into
+    # the enclosing group (disjunction of a disjunction); +/- inside
+    # groups remains out of scope (documented — Lucene would nest a
+    # full BooleanQuery).
     must_any_groups: Tuple[Tuple[str, ...], ...] = ()
+    any_groups_ext: Tuple[Tuple[Tuple, ...], ...] = ()
     # ``"a b"~N`` sloppy phrases: ((terms...), slop) per clause.
     # Semantics (documented deviation from Lucene's move-distance
     # matcher, identical for the 2-term case): a match is a position p0
@@ -218,6 +231,101 @@ class ParsedKeyword:
 _PHRASE_RE = None  # compiled lazily (module import order)
 
 
+def _extract_groups(s: str):
+    """Split top-level parenthesized groups (nesting-aware, parens
+    inside quotes ignored) off ``s``. Returns (remainder, [(sign,
+    body)]) where sign is '', '+' or '-'; an unbalanced '(' is left in
+    the remainder untouched."""
+    out: List[str] = []
+    groups: List[Tuple[str, str]] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == '"':
+            j = s.find('"', i + 1)
+            if j == -1:
+                out.append(s[i:])
+                break
+            out.append(s[i : j + 1])
+            i = j + 1
+            continue
+        is_signed = c in "+-" and i + 1 < n and s[i + 1] == "("
+        if c == "(" or is_signed:
+            sign = c if is_signed else ""
+            j = i + 1 if is_signed else i  # position of '('
+            depth, k, end = 0, j, -1
+            while k < n:
+                ch = s[k]
+                if ch == '"':
+                    q = s.find('"', k + 1)
+                    if q == -1:
+                        break
+                    k = q + 1
+                    continue
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = k
+                        break
+                k += 1
+            if end >= 0:
+                groups.append((sign, s[j + 1 : end]))
+                out.append(" ")
+                i = end + 1
+            else:
+                out.append(c)
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out), groups
+
+
+def _group_members(body: str, mode: str) -> List[Tuple]:
+    """Atoms of a group body as member descriptors — ("term", t),
+    ("phrase", toks, slop), ("prefix", stem), ("fuzzy", word, n) —
+    recursively flattening nested PLAIN groups (a disjunction of a
+    disjunction is the flat disjunction, so flattening is exact).
+    +/- inside groups is not interpreted (documented out: Lucene would
+    nest a full BooleanQuery; the sign chars pass to the analyzer as
+    ordinary text)."""
+    import re as _re
+
+    members: List[Tuple] = []
+
+    def on_ph(m: "_re.Match") -> str:
+        toks = tuple(tokenize_py(m.group(1), mode))
+        slop = int(m.group(2) or 0)
+        if len(toks) == 1:
+            members.append(("term", toks[0]))
+        elif toks:
+            members.append(("phrase", toks, slop))
+        return " "
+
+    rest = _re.sub(r'"([^"]*)"(?:~(\d+))?', on_ph, body)
+    rest, inner = _extract_groups(rest)
+    for _sign, b in inner:
+        members.extend(_group_members(b, mode))
+    fuzzy_re = _re.compile(r"^(.+?)~(\d*)$")
+    for raw in (t for t in _WS_RE.split(rest) if t and t != "|"):
+        fz = fuzzy_re.match(raw)
+        if fz:
+            stem = tokenize_py(fz.group(1), mode)
+            if len(stem) == 1:
+                members.append(("fuzzy", stem[0], int(fz.group(2) or 2)))
+                continue
+        if raw.endswith("*") and len(raw) > 1:
+            stem = tokenize_py(raw[:-1], mode)
+            if len(stem) == 1:
+                members.append(("prefix", stem[0]))
+                continue
+        for tok in tokenize_py(raw, mode):
+            members.append(("term", tok))
+    return members
+
+
 def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeyword:
     """Parse the keyword string; terms are run through the same analyzer
     as the index (the reference parses with the same WhitespaceAnalyzer
@@ -240,6 +348,50 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
     n_should: List[Tuple[Tuple[str, ...], int]] = []
     n_must: List[Tuple[Tuple[str, ...], int]] = []
     n_not: List[Tuple[Tuple[str, ...], int]] = []
+    x_should: List[str] = []
+    x_must: List[str] = []
+    x_not: List[str] = []
+    z_should: List[Tuple[str, int]] = []
+    z_must: List[Tuple[str, int]] = []
+    z_not: List[Tuple[str, int]] = []
+
+    # ---- groups first: (a b) / +(a b) / -(a b), balanced + quote-aware
+    # Lucene nests a BooleanQuery per group; because the outer query is
+    # a disjunction-of-clauses sum, FLATTENING member clauses into the
+    # SHOULD buckets preserves scores exactly. The new semantic is the
+    # gate: +(...) requires >= 1 member (must-ANY, any member kind);
+    # -(...) = NOT(m1 OR m2) = -m1 -m2. Groups may contain terms,
+    # phrases (with slop), prefixes, fuzzies, and nested PLAIN groups.
+    any_groups: List[Tuple[str, ...]] = []
+    groups_ext: List[Tuple[Tuple, ...]] = []
+    rest0, sgroups = _extract_groups(keyword)
+    for sign, body in sgroups:
+        members = _group_members(body, mode)
+        if not members:
+            continue
+        if sign == "-":
+            for m in members:
+                if m[0] == "term":
+                    must_not.append(m[1])
+                elif m[0] == "phrase":
+                    (n_not.append((m[1], m[2])) if m[2] > 0 else p_not.append(m[1]))
+                elif m[0] == "prefix":
+                    x_not.append(m[1])
+                else:
+                    z_not.append((m[1], m[2]))
+            continue
+        for m in members:  # members score as ordinary SHOULD clauses
+            if m[0] == "term":
+                should.append(m[1])
+            elif m[0] == "phrase":
+                (n_should.append((m[1], m[2])) if m[2] > 0 else p_should.append(m[1]))
+            elif m[0] == "prefix":
+                x_should.append(m[1])
+            else:
+                z_should.append((m[1], m[2]))
+        if sign == "+":
+            any_groups.append(tuple(m[1] for m in members if m[0] == "term"))
+            groups_ext.append(tuple(members))
 
     def on_phrase(m: "_re.Match") -> str:
         prefix, body, slop_s = m.group(1), m.group(2), m.group(3)
@@ -261,34 +413,8 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
             p_bucket.append(toks)
         return " "
 
-    rest = _re.sub(r'([+-]?)"([^"]*)"(?:~(\d+))?', on_phrase, keyword)
+    rest = _re.sub(r'([+-]?)"([^"]*)"(?:~(\d+))?', on_phrase, rest0)
 
-    # ---- groups: (a b) / +(a b) / -(a b) -----------------------------
-    # Lucene nests a BooleanQuery per group; because the outer query is
-    # a disjunction-of-clauses sum, FLATTENING preserves scores exactly.
-    # The only new semantic is the gate: +(...) requires >= 1 member
-    # (must-ANY); -(...) = NOT(a OR b) = -a -b. Plain terms only inside
-    # groups (nested groups / phrases in groups are out, documented).
-    any_groups: List[Tuple[str, ...]] = []
-
-    def on_group(m: "_re.Match") -> str:
-        prefix, body = m.group(1), m.group(2)
-        toks = tuple(
-            t for raw in (x for x in _WS_RE.split(body) if x and x != "|")
-            for t in tokenize_py(raw, mode)
-        )
-        if not toks:
-            return " "
-        if prefix == "-":
-            must_not.extend(toks)
-        elif prefix == "+":
-            should.extend(toks)
-            any_groups.append(toks)
-        else:
-            should.extend(toks)
-        return " "
-
-    rest = _re.sub(r"([+-]?)\(([^()]*)\)", on_group, rest)
     # `a | b`: SimpleQueryParser's OR operator — with implicit-OR
     # semantics a standalone | is a no-op separator
     rest = _re.sub(r"(?:^|(?<=\s))\|(?=\s|$)", " ", rest)
@@ -296,12 +422,6 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
     # split with the SAME whitespace class the analyzers use (not
     # Python's Unicode str.split), so query-side segmentation can never
     # disagree with index-side tokenization
-    x_should: List[str] = []
-    x_must: List[str] = []
-    x_not: List[str] = []
-    z_should: List[Tuple[str, int]] = []
-    z_must: List[Tuple[str, int]] = []
-    z_not: List[Tuple[str, int]] = []
     _FUZZY_RE = _re.compile(r"^(.+?)~(\d*)$")
     for raw in (t for t in _WS_RE.split(rest) if t):
         bucket, xbucket, zbucket = should, x_should, z_should
@@ -337,6 +457,7 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
         must_fuzzies=tuple(z_must),
         not_fuzzies=tuple(z_not),
         must_any_groups=tuple(any_groups),
+        any_groups_ext=tuple(groups_ext),
         near_phrases=tuple(n_should),
         must_near_phrases=tuple(n_must),
         not_near_phrases=tuple(n_not),
