@@ -89,8 +89,47 @@ def main() -> None:
     qs = [SearchQuery(keyword=f"sym_{i}_0 def", fields=["content"], limit=5) for i in range(10)]
     sections.append(
         ("BATCH fan-out (10 queries, one job) — one postings scan for the "
-         "union of terms, one FlatMapGroupsInPandas, per-query top-k window",
+         "union of terms, one FlatMapGroupsInPandas, ONE docs join on "
+         "(shard_id, __docid) with dynamicpruning, per-query top-k window",
          cap(batch_search(ctx, qs)))
+    )
+
+    qs_mixed = [
+        SearchQuery(
+            keyword="def return", fields=["content"],
+            filters={"and": [{"field": "lang", "value": "java"}]}, limit=5,
+        ),
+        SearchQuery(keyword="sym_1* class", fields=["content"], limit=5),
+    ]
+    sections.append(
+        ("BATCH mixed shapes (filtered + prefix, one job) — the filter "
+         "allow-set rides the shard cogroup tagged by query_id "
+         "(FlatMapCoGroupsInPandas); prefix adds StringStartsWith to the "
+         "postings PushedFilters",
+         cap(batch_search(ctx, qs_mixed)))
+    )
+
+    # hybrid keyword+vector: both recalls carry (shard_id, __docid)
+    # through rrf_fuse_keyed → final docs join is DPP-pruned
+    rows_v = gen_rows(200)
+    for i, r in enumerate(rows_v):
+        r["embedding"] = [float((i * 11 + j) % 17) / 17.0 for j in range(8)]
+    eng2 = RetrievalEngine(spark, "/tmp/plans_idx_vec")
+    shutil.rmtree("/tmp/plans_idx_vec", ignore_errors=True)
+    eng2.build(
+        spark.createDataFrame(rows_v),
+        cfg=IndexConfig(num_shards=4, hot_term_split_threshold=64),
+        resume=False,
+    )
+    qh = SearchQuery(
+        keyword="def return", fields=["content"],
+        vector=[0.4] * 8, vector_field="embedding", limit=10,
+    )
+    sections.append(
+        ("HYBRID keyword+vector RRF — both recalls carry (shard_id, "
+         "__docid) through rrf_fuse_keyed; check dynamicpruning on the "
+         "FINAL stored-field docs scan (no full-table _id join)",
+         cap(eng2.search(qh)))
     )
 
     # LSH probe plan: partition pruning on (tbl, bucket)
@@ -130,6 +169,15 @@ and what the plans show:
 - **LSH vector probes prune partitions**: the probe set appears as
   `PartitionFilters: [(tbl = t) AND bucket IN (...)]` — whole bucket
   directories are skipped, never scanned.
+- **Batch fan-out materializes stored fields ONCE**: a single broadcast
+  join of all queries' winners on (shard_id, __docid) with
+  dynamicpruning — no per-query joins, no full-docs tie-break join
+  (round-2 weak path, fixed r3); filtered batch members ride the shard
+  cogroup as query_id-tagged allow rows.
+- **Hybrid RRF joins on the partition key**: both recalls carry
+  (shard_id, __docid) through the fusion, so the final stored-field
+  scan shows dynamicpruning instead of a full-table `_id` equi-join
+  (round-2 weak path, fixed r3).
 - **AQE on** (`AdaptiveSparkPlan`).
 
 Raw captures below.
