@@ -50,8 +50,13 @@ from byzer_retrieval_spark.operators.context import IndexContext
 from byzer_retrieval_spark.operators.decode import decode_rows
 from byzer_retrieval_spark.plans.query import SearchQuery, parse_keyword
 
-# below this many blocks per shard, exhaustive scoring beats bookkeeping
-PRUNE_MIN_BLOCKS = 32
+# below this many blocks per shard, exhaustive scoring beats
+# bookkeeping. Env override exists for A/B measurement (set huge to
+# force the exhaustive path); read at import so executors see it too
+# (local-mode workers inherit the launch environment).
+import os as _os
+
+PRUNE_MIN_BLOCKS = int(_os.environ.get("BYZER_PRUNE_MIN_BLOCKS", "32"))
 
 _OUT_SCHEMA = "shard_id int, __docid long, score double"
 
@@ -462,24 +467,32 @@ def _make_shard_scorer(
         )
         extra_cl: List[tuple] = []
         if use_prune and extra_kinds:
-            for pkey, matcher, kind in (
-                [(pk, ("prefix", st), kd) for pk, st, kd in prefix_specs]
-                + [(pk, ("set", ts), kd) for pk, ts, kd in termset_specs]
-            ):
-                g = (
-                    pdf[pdf["term"].str.startswith(matcher[1])]
-                    if matcher[0] == "prefix"
-                    else pdf[pdf["term"].isin(set(matcher[1]))]
-                )
-                if len(g):
-                    extra_cl.append(
-                        (
-                            g["first_doc"].to_numpy(np.int64),
-                            g["last_doc"].to_numpy(np.int64),
-                            np.full(len(g), 1.0),
-                            1.0,
-                        )
+            # ONE pruning pseudo-clause PER FIELD per spec — matching
+            # how scoring works (a prefix/fuzzy clause contributes 1.0
+            # per matching FIELD-clause, and term clauses in ``cl`` are
+            # per-(field, term) too); a single per-spec entry would
+            # understate the clause max on multi-field queries and
+            # prune illegally
+            for fld_e in sorted(set(pdf["field"]) & set(field_stats)):
+                fp_e = pdf[pdf["field"] == fld_e]
+                for pkey, matcher, kind in (
+                    [(pk, ("prefix", st), kd) for pk, st, kd in prefix_specs]
+                    + [(pk, ("set", ts), kd) for pk, ts, kd in termset_specs]
+                ):
+                    g = (
+                        fp_e[fp_e["term"].str.startswith(matcher[1])]
+                        if matcher[0] == "prefix"
+                        else fp_e[fp_e["term"].isin(set(matcher[1]))]
                     )
+                    if len(g):
+                        extra_cl.append(
+                            (
+                                g["first_doc"].to_numpy(np.int64),
+                                g["last_doc"].to_numpy(np.int64),
+                                np.full(len(g), 1.0),
+                                1.0,
+                            )
+                        )
             for pkey, terms, kind, slop in phrase_specs:
                 # per field: the clause's intervals/bounds come from one
                 # member term (every phrase doc lies in every member's

@@ -106,3 +106,51 @@ def test_must_not_extras_fall_back_exhaustive(small_block_engine):
     eng, rows = small_block_engine
     for kw in ['+"import return" def if', 'def if -"import return"']:
         _assert_identity(eng, rows, kw)
+
+
+@pytest.fixture(scope="module")
+def two_field_engine(spark, tmp_path_factory):
+    """Two analyzed fields + tiny blocks: multi-field queries must keep
+    pruning lossless (per-FIELD pseudo-clauses for prefix/fuzzy extras
+    — a per-spec entry would understate the clause max and prune
+    illegally)."""
+    import random
+
+    rng = random.Random(7)
+    words = ["def", "return", "if", "class", "lambda", "import", "self"]
+    rows = []
+    for i in range(400):
+        t = " ".join(rng.choice(words) for _ in range(6)) + f" sym_{i%37}_t"
+        b = " ".join(rng.choice(words) for _ in range(30)) + f" sym_{i%37}_b"
+        rows.append({"_id": str(i), "title": t, "body": b})
+    eng = RetrievalEngine(spark, str(tmp_path_factory.mktemp("twofld")))
+    eng.build(
+        spark.createDataFrame(rows),
+        cfg=IndexConfig(
+            num_shards=2, block_size=8,
+            analyzed_fields=("title", "body"), id_columns=(),
+        ),
+        resume=False,
+    )
+    return eng
+
+
+MULTIFIELD_QUERIES = [
+    "def return if",              # hot terms in BOTH fields
+    "sym_1* def return",          # prefix matches in both fields (the r3 fix)
+    "sym_2* sym_3* def if",       # two prefix clauses
+    "retur~1 def class",          # fuzzy across fields
+    '"def return" if class',     # phrase across fields
+]
+
+
+@pytest.mark.parametrize("keyword", MULTIFIELD_QUERIES)
+def test_multifield_pruning_rank_identity(two_field_engine, keyword):
+    """fast (pruned) vs DataFrame path on a 2-field index — the two
+    independent implementations must agree exactly."""
+    q = SearchQuery(keyword=keyword, fields=["title", "body"], limit=10)
+    ctx = two_field_engine.ctx()
+    fast = [(r["_id"], round(r["_score"], 9)) for r in search_fast(ctx, q).collect()]
+    slow = [(r["_id"], round(r["_score"], 9)) for r in search_df(ctx, q).collect()]
+    assert fast == slow, keyword
+    assert fast, keyword  # non-vacuous
