@@ -38,6 +38,7 @@ BENCH_QUERIES = {
     "q_triple_or": "self class lambda",
     "q_hot_pair": "import return",
     "q_phrase": '"def return"',           # position-join verification
+    "q_slop": '"def return"~2 class',     # NEAR window + should term
     "q_prefix": "sym_17* class",          # constant-score expansion
 }
 

@@ -499,25 +499,26 @@ class RetrievalEngine:
         ann = self._current_ann(self.store(database, table), query.vector_field)
         if ann is not None:
             idx, probe_kw = ann
-            if not query.filters or self._ann_filter_can_fill(
-                ctx, query, idx, probe_kw
-            ):
+            if not query.filters:
                 return vector_topk_ann(ctx, query, idx, **probe_kw)
+            cand = self._ann_filtered_cand(ctx, query, idx, probe_kw)
+            if cand is not None:
+                return vector_topk_ann(ctx, query, idx, cand=cand, **probe_kw)
         return vector_topk(ctx, query)
 
-    def _ann_filter_can_fill(
-        self, ctx: IndexContext, query: SearchQuery, idx, probe_kw
-    ) -> bool:
-        """True when the probed+filtered candidate set has >= k rows
-        (one bounded job over the pruned partitions)."""
+    def _ann_filtered_cand(self, ctx: IndexContext, query: SearchQuery, idx, probe_kw):
+        """The probed+filtered candidate frame, MATERIALIZED once
+        (localCheckpoint), when it can fill k — else None (exact
+        fallback). One job total: the can-fill count and the scoring
+        both read the checkpointed partitions."""
         from byzer_retrieval_spark.operators.knn import ann_candidates
 
-        n = (
-            ann_candidates(ctx, query, idx, **probe_kw)
-            .limit(query.limit)
-            .count()
+        cand = ann_candidates(ctx, query, idx, **probe_kw).localCheckpoint(
+            eager=True
         )
-        return n >= query.limit
+        if cand.limit(query.limit).count() >= query.limit:
+            return cand
+        return None
 
     def _vector_winners(
         self, ctx: IndexContext, database: str, table: str, query: SearchQuery
@@ -533,10 +534,11 @@ class RetrievalEngine:
         ann = self._current_ann(self.store(database, table), query.vector_field)
         if ann is not None:
             idx, probe_kw = ann
-            if not query.filters or self._ann_filter_can_fill(
-                ctx, query, idx, probe_kw
-            ):
+            if not query.filters:
                 return vector_winners_ann(ctx, query, idx, **probe_kw)
+            cand = self._ann_filtered_cand(ctx, query, idx, probe_kw)
+            if cand is not None:
+                return vector_winners_ann(ctx, query, idx, cand=cand, **probe_kw)
         return vector_winners(ctx, query)
 
     def _keyword_search(
@@ -583,15 +585,12 @@ class RetrievalEngine:
         from byzer_retrieval_spark.plans.query import parse_keyword
 
         ctx = self.query_ctx(database, table)
-        in_batch = [
-            (qid, q)
-            for qid, q in enumerate(queries)
-            if is_batchable(parse_keyword(q.keyword, ctx.analyzer), q)
-        ]
-        fallback = [
-            (qid, q) for qid, q in enumerate(queries)
-            if qid not in {i for i, _ in in_batch}
-        ]
+        in_batch, fallback = [], []
+        for qid, q in enumerate(queries):
+            if is_batchable(parse_keyword(q.keyword, ctx.analyzer), q):
+                in_batch.append((qid, q))
+            else:
+                fallback.append((qid, q))
         parts: List[DataFrame] = []
         if in_batch:
             batched = batch_search(ctx, [q for _, q in in_batch])

@@ -61,12 +61,15 @@ _DENY_QID = -1
 def is_batchable(parsed: ParsedKeyword, query: SearchQuery) -> bool:
     """Whether a query fits the one-job batch scorer. Phrases need the
     positions machinery (WAND path); match-all/empty have no scoring
-    clauses to share."""
+    clauses to share; vector/hybrid queries need the KNN recall and
+    (for hybrids) RRF fusion — dropping the vector silently would
+    return different rankings than api.search."""
     return not (
         parsed.match_all
         or parsed.empty
         or parsed.all_phrases
         or parsed.all_nears
+        or (bool(query.vector) and query.vector_field)
         # groups gate on term membership in the batch scorer; a group
         # with phrase/prefix/fuzzy members needs the WAND machinery
         or any(any(m[0] != "term" for m in g) for g in parsed.any_groups_ext)
@@ -275,7 +278,6 @@ def batch_search(
     from byzer_retrieval_spark.operators.filtering import (
         expand_fuzzy,
         filtered_docs,
-        gate_frame,
     )
 
     specs = []

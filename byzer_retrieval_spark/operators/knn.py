@@ -95,12 +95,16 @@ def ann_candidates(
 
 
 def vector_winners_ann(
-    ctx: IndexContext, query: SearchQuery, index, **probe_kw
+    ctx: IndexContext, query: SearchQuery, index, cand: Optional[DataFrame] = None, **probe_kw
 ) -> DataFrame:
     """ANN top-k carrying the docs physical key (see vector_topk_ann
-    for the probe/pruning shape)."""
+    for the probe/pruning shape). ``cand`` short-circuits the probe
+    with an already-materialized candidate frame (the engine's
+    filtered-dispatch can-fill check localCheckpoints it so the probe
+    executes once, not twice)."""
     qv = [float(x) for x in query.vector]
-    cand = ann_candidates(ctx, query, index, **probe_kw)
+    if cand is None:
+        cand = ann_candidates(ctx, query, index, **probe_kw)
     scored = cand.withColumn("_score", _cosine_expr("vec", qv))
     return (
         scored.orderBy(F.col("_score").desc(), F.col("id").asc())
@@ -118,6 +122,7 @@ def vector_topk_ann(
     ctx: IndexContext,
     query: SearchQuery,
     index,
+    cand: Optional[DataFrame] = None,
     **probe_kw,
 ) -> DataFrame:
     """ANN vector top-k over a PERSISTED index (LshVectorIndex /
@@ -135,10 +140,12 @@ def vector_topk_ann(
     Upserts/deletes keep the index CURRENT (the engine appends new
     vectors into their buckets/clusters and bumps the state snapshot);
     superseded and deleted rows are dropped by ann_candidates'
-    tombstone anti-join before the top-k cut.
+    tombstone anti-join before the top-k cut. ``cand`` short-circuits
+    the probe with a pre-materialized candidate frame.
     """
     qv = [float(x) for x in query.vector]
-    cand = ann_candidates(ctx, query, index, **probe_kw)
+    if cand is None:
+        cand = ann_candidates(ctx, query, index, **probe_kw)
     scored = cand.withColumn("_score", _cosine_expr("vec", qv))
     win = (
         scored.orderBy(F.col("_score").desc(), F.col("id").asc())

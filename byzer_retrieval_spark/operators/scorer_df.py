@@ -217,6 +217,23 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
                         .select("field", "__docid", "dl", "__p0")
                         .distinct()
                     )
+            if slop > 0:
+                # repeated-term gate: '"a a"~N' requires >= multiplicity
+                # occurrences (matches wand._phrase_match / the oracle)
+                from collections import Counter as _Counter
+
+                for t, m_ in _Counter(terms).items():
+                    if m_ > 1:
+                        enough = (
+                            pos_flat.filter(F.col("term") == t)
+                            .groupBy("field", "__docid")
+                            .agg(F.sum("tf").alias("__t"))
+                            .filter(F.col("__t") >= m_)
+                            .select("field", "__docid")
+                        )
+                        joined = joined.join(
+                            enough, ["field", "__docid"], "left_semi"
+                        )
             ptf = joined.groupBy("field", "__docid", "dl").agg(
                 F.count("*").alias("__ptf")
             )

@@ -112,11 +112,18 @@ def _phrase_match(
     terms[j] has a position within [p0+j-slop, p0+j+slop] (term j's
     positions expand into their 2·slop+1 candidate p0 values before the
     intersection) — identical to Lucene's move-distance matcher for
-    2-term phrases, documented deviation beyond.
+    2-term phrases of DISTINCT terms; repeated terms additionally
+    require >= multiplicity occurrences (a necessary-condition gate —
+    still lenient vs Lucene's distinct-position assignment beyond
+    that), documented deviation beyond.
     """
     cand = None
+    from collections import Counter as _Counter
+
+    mult = _Counter(terms)
     for t in dict.fromkeys(terms):
-        d = datas[t][0]
+        docs_t, tfs_t = datas[t][0], datas[t][1]
+        d = docs_t if slop == 0 or mult[t] == 1 else docs_t[tfs_t >= mult[t]]
         cand = d if cand is None else cand[np.isin(cand, d)]
         if cand.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)

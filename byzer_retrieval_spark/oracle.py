@@ -82,6 +82,11 @@ class BM25Oracle:
             pos.setdefault(t, []).append(p)
         if any(t not in pos for t in terms):
             return 0
+        # repeated-term gate: '"a a"~N' needs >= multiplicity
+        # occurrences (necessary condition; matches the engine)
+        for t, m in Counter(terms).items():
+            if len(pos[t]) < m:
+                return 0
         count = 0
         for p0 in pos[terms[0]]:
             if all(
@@ -119,11 +124,32 @@ class BM25Oracle:
             return self.prefix_match(i, m[1])
         return self.fuzzy_match(i, m[1], m[2])
 
+    def _fuzzy_expansion(
+        self, word: str, max_edits: int, max_expansions: int = 50
+    ) -> frozenset:
+        """The engine's capped dictionary expansion, replicated over
+        the oracle's vocabulary: terms within classic Levenshtein
+        distance, CLOSEST ``max_expansions`` kept (ties by term order)
+        — mirrors operators/filtering.expand_fuzzy exactly so engine
+        and oracle agree on dense fuzzy neighborhoods."""
+        cache = self.__dict__.setdefault("_fz_cache", {})
+        key = (word, max_edits, max_expansions)
+        if key not in cache:
+            cand = sorted(
+                (_lev(t, word), t)
+                for t in self.df
+                if abs(len(t) - len(word)) <= max_edits
+                and _lev(t, word) <= max_edits
+            )
+            cache[key] = frozenset(t for _, t in cand[:max_expansions])
+        return cache[key]
+
     def fuzzy_match(self, i: int, word: str, max_edits: int) -> bool:
-        """FuzzyQuery membership: any indexed term within classic
-        Levenshtein distance (matching Spark/DuckDB ``levenshtein``;
-        Lucene uses Damerau — documented deviation)."""
-        return any(_lev(t, word) <= max_edits for t in self.tf[i])
+        """FuzzyQuery membership against the CAPPED expansion
+        (classic Levenshtein — Lucene uses Damerau, documented
+        deviation; 50-term cap = Lucene's maxExpansions default)."""
+        exp = self._fuzzy_expansion(word, max_edits)
+        return any(t in exp for t in self.tf[i])
 
     def score_phrase(self, i: int, terms: Sequence[str]) -> Optional[float]:
         """PhraseQuery BM25: tf = phrase freq; idf = Σ idf(member) with

@@ -283,17 +283,21 @@ def _extract_groups(s: str):
     return "".join(out), groups
 
 
-def _group_members(body: str, mode: str) -> List[Tuple]:
-    """Atoms of a group body as member descriptors — ("term", t),
-    ("phrase", toks, slop), ("prefix", stem), ("fuzzy", word, n) —
-    recursively flattening nested PLAIN groups (a disjunction of a
-    disjunction is the flat disjunction, so flattening is exact).
-    +/- inside groups is not interpreted (documented out: Lucene would
-    nest a full BooleanQuery; the sign chars pass to the analyzer as
-    ordinary text)."""
+def _group_members(body: str, mode: str) -> Tuple[List[Tuple], List[Tuple]]:
+    """Atoms of a group body as (members, neg_members) — descriptors
+    ("term", t), ("phrase", toks, slop), ("prefix", stem),
+    ("fuzzy", word, n). Nested PLAIN groups flatten into ``members``
+    (a disjunction of a disjunction is the flat disjunction — exact);
+    a nested ``-(...)`` group's atoms land in ``neg_members`` (they
+    must NOT become positive matches — that would invert the query);
+    a nested ``+(...)`` flattens as plain (a must inside a disjunction
+    is out of scope, documented). ``+``/``-`` on bare TERMS inside
+    groups is likewise not interpreted (the sign chars pass to the
+    analyzer as ordinary text — Lucene would nest a BooleanQuery)."""
     import re as _re
 
     members: List[Tuple] = []
+    negs: List[Tuple] = []
 
     def on_ph(m: "_re.Match") -> str:
         toks = tuple(tokenize_py(m.group(1), mode))
@@ -306,8 +310,16 @@ def _group_members(body: str, mode: str) -> List[Tuple]:
 
     rest = _re.sub(r'"([^"]*)"(?:~(\d+))?', on_ph, body)
     rest, inner = _extract_groups(rest)
-    for _sign, b in inner:
-        members.extend(_group_members(b, mode))
+    for sign, b in inner:
+        sub_m, sub_n = _group_members(b, mode)
+        if sign == "-":
+            # NOT(sub-disjunction): every positive atom becomes a NOT;
+            # double negation inside stays out of scope → also NOT
+            # (conservative: never promotes an excluded atom to a match)
+            negs.extend(sub_m + sub_n)
+        else:
+            members.extend(sub_m)
+            negs.extend(sub_n)
     fuzzy_re = _re.compile(r"^(.+?)~(\d*)$")
     for raw in (t for t in _WS_RE.split(rest) if t and t != "|"):
         fz = fuzzy_re.match(raw)
@@ -323,7 +335,7 @@ def _group_members(body: str, mode: str) -> List[Tuple]:
                 continue
         for tok in tokenize_py(raw, mode):
             members.append(("term", tok))
-    return members
+    return members, negs
 
 
 def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeyword:
@@ -365,32 +377,36 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
     any_groups: List[Tuple[str, ...]] = []
     groups_ext: List[Tuple[Tuple, ...]] = []
     rest0, sgroups = _extract_groups(keyword)
-    for sign, body in sgroups:
-        members = _group_members(body, mode)
-        if not members:
-            continue
-        if sign == "-":
-            for m in members:
-                if m[0] == "term":
-                    must_not.append(m[1])
-                elif m[0] == "phrase":
-                    (n_not.append((m[1], m[2])) if m[2] > 0 else p_not.append(m[1]))
-                elif m[0] == "prefix":
-                    x_not.append(m[1])
-                else:
-                    z_not.append((m[1], m[2]))
-            continue
-        for m in members:  # members score as ordinary SHOULD clauses
+
+    def _route_members(ms: List[Tuple], t_b, p_b, nr_b, x_b, z_b) -> None:
+        for m in ms:
             if m[0] == "term":
-                should.append(m[1])
+                t_b.append(m[1])
             elif m[0] == "phrase":
-                (n_should.append((m[1], m[2])) if m[2] > 0 else p_should.append(m[1]))
+                (nr_b.append((m[1], m[2])) if m[2] > 0 else p_b.append(m[1]))
             elif m[0] == "prefix":
-                x_should.append(m[1])
+                x_b.append(m[1])
             else:
-                z_should.append((m[1], m[2]))
-        if sign == "+":
-            any_groups.append(tuple(m[1] for m in members if m[0] == "term"))
+                z_b.append((m[1], m[2]))
+
+    for sign, body in sgroups:
+        members, negs = _group_members(body, mode)
+        if sign == "-":
+            # -(...) = NOT(any member) — De Morgan; nested negs too
+            _route_members(members + negs, must_not, p_not, n_not, x_not, z_not)
+            continue
+        # positive members score as ordinary SHOULD clauses; atoms of a
+        # nested -(...) become top-level NOTs (stricter than Lucene's
+        # group-local MUST_NOT — documented; never inverts)
+        _route_members(members, should, p_should, n_should, x_should, z_should)
+        _route_members(negs, must_not, p_not, n_not, x_not, z_not)
+        if sign == "+" and members:
+            if all(m[0] == "term" for m in members):
+                # the back-compat term projection lists ONLY all-term
+                # groups — a partial (or empty) projection of a group
+                # with phrase/prefix/fuzzy members would read as an
+                # unsatisfiable/stricter gate to legacy consumers
+                any_groups.append(tuple(m[1] for m in members))
             groups_ext.append(tuple(members))
 
     def on_phrase(m: "_re.Match") -> str:

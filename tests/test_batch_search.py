@@ -39,6 +39,18 @@ def test_batch_matches_single(corpus_engine):
             )
 
 
+def test_vector_queries_not_batchable():
+    """A hybrid/vector query must never run through the keyword-only
+    batch scorer (it would silently drop the vector recall)."""
+    from byzer_retrieval_spark.operators.batch import is_batchable
+    from byzer_retrieval_spark.plans.query import parse_keyword
+
+    q = SearchQuery(keyword="merge vector", vector=[0.1, 0.2], vector_field="embedding")
+    assert not is_batchable(parse_keyword(q.keyword, "whitespace"), q)
+    q2 = SearchQuery(keyword="merge vector")
+    assert is_batchable(parse_keyword(q2.keyword, "whitespace"), q2)
+
+
 def test_operator_rejects_phrase(corpus_engine):
     """The low-level operator still refuses phrase shapes (the engine
     facade is what falls back)."""

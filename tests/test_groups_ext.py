@@ -24,6 +24,9 @@ def test_parse_nested_and_member_kinds():
         ("fuzzy", "d", 1),
         ("term", "e"),
     }
+    # the legacy term projection omits mixed groups entirely (a partial
+    # projection would read as a stricter gate)
+    assert p.must_any_groups == ()
     assert p.phrases == (("a", "b"),) and p.prefixes == ("c",)
     p = parse_keyword('-("a b" c) d')
     assert p.not_phrases == (("a", "b"),) and "c" in p.must_not
@@ -33,6 +36,11 @@ def test_parse_nested_and_member_kinds():
     # quotes shield parens; plain groups add no gate
     p = parse_keyword("(a b) c")
     assert p.must_any_groups == () and set(p.should) == {"a", "b", "c"}
+    # a signed NESTED group must never invert: -(...) atoms become NOTs
+    p = parse_keyword("(a -(spam ham)) d")
+    assert set(p.should) == {"a", "d"} and set(p.must_not) == {"spam", "ham"}
+    p = parse_keyword("+(a -(spam)) d")
+    assert p.must_any_groups == (("a",),) and "spam" in p.must_not
 
 
 @pytest.fixture(scope="module")
