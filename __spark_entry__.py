@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_filter": _q_range_filter,
         "one_sided_range_quirk": _q_one_sided_quirk,
         "multi_sort_limit": _q_multi_sort_limit,
+        "multi_filter_fanout": _q_multi_filter_fanout,
         # --- point lookup (G1) ------------------------------------------
         "get_by_ids": _q_get_by_ids,
         # --- fusion (M2/M3) ----------------------------------------------
@@ -507,6 +508,27 @@ def oracle_sql() -> dict[str, str]:
         "get_by_ids": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE doc_id IN (1, 5, 7) ORDER BY CAST(doc_id AS VARCHAR)
+        """,
+        "multi_filter_fanout": """
+            SELECT * FROM (
+              SELECT 0 AS query_id,
+                     row_number() OVER (
+                       ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR) ASC
+                     )::INT AS rank,
+                     doc_id, lang, n_chars
+              FROM documents WHERE lang = 'en'
+              ORDER BY rank LIMIT 25
+            )
+            UNION ALL
+            SELECT * FROM (
+              SELECT 1 AS query_id,
+                     row_number() OVER (
+                       ORDER BY source ASC, CAST(doc_id AS VARCHAR) ASC
+                     )::INT AS rank,
+                     doc_id, lang, n_chars
+              FROM documents WHERE n_chars BETWEEN 100 AND 300
+              ORDER BY rank LIMIT 25
+            )
         """,
         "fusion_score_sum": f"""
             WITH a AS ({_bm25_sql(['merge'])}), b AS ({_bm25_sql(['vector'])}),
@@ -966,6 +988,32 @@ def _q_multi_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
     )
     return eng.filter(q, "db", "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
+    )
+
+
+def _q_multi_filter_fanout(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference filter() LIST parity (L1): two filter-mode queries in
+    ONE collected DataFrame, each with its own filter tree + sort order
+    (api.batch_filter, r3)."""
+    eng = _engine_for(spark, sf)
+    qs = [
+        SearchQuery(
+            filters={"and": [{"field": "lang", "value": "en"}]},
+            sorts=[{"n_chars": "desc"}],
+            limit=25,
+        ),
+        SearchQuery(
+            filters={"and": [{"field": "n_chars", "min": 100, "max": 300}]},
+            sorts=[{"source": "asc"}],
+            limit=25,
+        ),
+    ]
+    return eng.batch_filter(qs, "db", "documents").select(
+        "query_id",
+        F.col("__rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "n_chars",
     )
 
 

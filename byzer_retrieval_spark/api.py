@@ -567,6 +567,38 @@ class RetrievalEngine:
         (limit per shard, concatenated without a global re-limit)."""
         return filter_query(self.query_ctx(database, table), query, per_shard_limit)
 
+    def batch_filter(
+        self,
+        queries: List[SearchQuery],
+        database: str = "default",
+        table: str = "default",
+        per_shard_limit: bool = False,
+    ) -> DataFrame:
+        """The reference ``filter(queryJson)`` LIST surface (L1,
+        RetrievalMaster.java:201-250): every filter-mode query's result
+        tagged with its ``query_id`` plus a deterministic per-query
+        ``__rank`` (the query's own multi-sort order — union ordering
+        alone is not a contract), unioned into ONE DataFrame so a
+        collect pays the job-scheduling floor once per batch. Each
+        branch's docs scan keeps its own pushed-down predicates."""
+        from pyspark.sql import Window
+
+        from byzer_retrieval_spark.plans.query import sorts_to_columns
+
+        ctx = self.query_ctx(database, table)
+        parts = []
+        for qid, q in enumerate(queries):
+            w = Window.orderBy(*(sorts_to_columns(q.sorts) + [F.col("_id").asc()]))
+            parts.append(
+                filter_query(ctx, q, per_shard_limit)
+                .withColumn("query_id", F.lit(qid).cast("int"))
+                .withColumn("__rank", F.row_number().over(w))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select("query_id", "__rank", *ctx.stored_columns())
+
     def batch_search(
         self,
         queries: List[SearchQuery],

@@ -31,17 +31,28 @@ def incremental_index_stream(
     checkpoint_dir: str,
     trigger_available_now: bool = True,
     processing_time: Optional[str] = None,
+    engine=None,
 ) -> StreamingQuery:
     """readStream source of documents → foreachBatch upsert.
 
     ``trigger_available_now=True`` drains what's available and stops
     (test/batch-catchup mode); pass ``processing_time='1 second'`` for
     the reference-like continuous ≤1s-visibility mode.
+
+    Pass the owning ``RetrievalEngine`` as ``engine`` to route batches
+    through ``engine.upsert`` so persisted ANN indexes stay CURRENT
+    (vectors append into their buckets/clusters per batch). Without it,
+    batches go straight to ``mutate.upsert`` and any ANN index goes
+    stale — vector searches then fall back to the exact scan (correct,
+    slower) until build_vector_ann re-runs.
     """
     spark = stream_df.sparkSession
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if engine is not None:
+            engine.upsert(batch_df, store.database, store.table)
             return
         mutate.upsert(
             spark, store, batch_df, source_desc=f"stream batch {batch_id}"

@@ -132,3 +132,31 @@ def test_l4_per_shard_limit_strict_compat(corpus_engine):
     # sorted by the sort spec then _id
     paths = [(r["path"], r["_id"]) for r in strict]
     assert paths == sorted(paths)
+
+
+def test_batch_filter_matches_per_query(corpus_engine):
+    """api.batch_filter (reference filter() LIST surface): every
+    query's tagged slice must equal its individual eng.filter result,
+    in the query's own sort order (via __rank)."""
+    from byzer_retrieval_spark.plans.query import SearchQuery
+
+    qs = [
+        SearchQuery(
+            filters={"and": [{"field": "lang", "value": "python"}]},
+            sorts=[{"path": "desc"}],
+            limit=7,
+        ),
+        SearchQuery(
+            filters={"or": [{"field": "lang", "value": "go"},
+                            {"field": "lang", "value": "java"}]},
+            limit=9,
+        ),
+    ]
+    rows = corpus_engine.batch_filter(qs).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for qid, q in enumerate(qs):
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["__rank"])
+        single = corpus_engine.filter(q).collect()
+        assert [g["_id"] for g in got] == [s["_id"] for s in single], qid

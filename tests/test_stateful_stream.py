@@ -144,3 +144,54 @@ def test_incremental_stream_restart_exactly_once(spark, tmp_path):
     final = eng.search(SearchQuery(keyword="*", fields=["content"], limit=100))
     got = [r["_id"] for r in final.collect()]
     assert len(got) == 60 and len(set(got)) == 60
+
+
+def test_streaming_upsert_keeps_ann_current(spark, tmp_path):
+    """engine-aware streaming: batches route through engine.upsert, so
+    a persisted ANN index stays CURRENT across micro-batches (appended
+    vectors searchable via the ANN path, no exact fallback)."""
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+    from byzer_retrieval_spark.plans.query import SearchQuery
+    from byzer_retrieval_spark.streaming.incremental import incremental_index_stream
+
+    def vec(i):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        return v
+
+    rows = [
+        {"_id": str(i), "doc_id": i, "text": f"doc number {i}", "embedding": vec(i)}
+        for i in range(24)
+    ]
+    schema = "_id string, doc_id long, text string, embedding array<float>"
+    eng = RetrievalEngine(spark, str(tmp_path / "idx"))
+    eng.build(
+        spark.createDataFrame(rows[:12], schema),
+        cfg=IndexConfig(num_shards=2, analyzed_fields=("text",), id_columns=()),
+        resume=False,
+    )
+    eng.build_vector_ann(
+        "embedding", kind="lsh", num_planes=4, num_tables=2,
+        probe={"probe_hamming": 4},  # exhaustive probe = exact results
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(rows[12:], schema).coalesce(1).write.mode("append").parquet(str(src))
+    q = incremental_index_stream(
+        spark.readStream.schema(schema).parquet(str(src)),
+        eng.store(),
+        ckpt,
+        trigger_available_now=True,
+        engine=eng,
+    )
+    q.awaitTermination(120)
+    # index still CURRENT after the streamed batch
+    assert eng._current_ann(eng.store(), "embedding") is not None
+    # a streamed doc is findable through the ANN path with cosine 1.0
+    got = eng.search(
+        SearchQuery(vector=vec(20), vector_field="embedding", limit=3)
+    ).collect()
+    assert "20" in {r["_id"] for r in got}
+    assert got[0]["_score"] == pytest.approx(1.0, abs=1e-6)
