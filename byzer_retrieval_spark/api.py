@@ -663,8 +663,32 @@ class RetrievalEngine:
         limit: Optional[int] = None,
     ) -> DataFrame:
         """Multiple recalls fused (M2/M3): score-sum by default, RRF when
-        ``rrf`` (hybrid semantics, RetrievalMaster.java:162-192,326-342)."""
+        ``rrf`` (hybrid semantics, RetrievalMaster.java:162-192,326-342).
+
+        When every recall is batchable, the recalls run in ONE job via
+        batch_search and fuse from the query_id-tagged result — the
+        multi-recall scheduling floor is paid once; otherwise each
+        recall executes via ``search`` and the list-based fusion
+        applies (identical semantics, tested)."""
+        from byzer_retrieval_spark.operators.batch import is_batchable
+        from byzer_retrieval_spark.operators.fusion import (
+            rrf_fuse_tagged,
+            score_sum_fuse_tagged,
+        )
+        from byzer_retrieval_spark.plans.query import parse_keyword
+
         lim = limit or max(q.limit for q in queries)
+        ctx = self.query_ctx(database, table)
+        if all(
+            is_batchable(parse_keyword(q.keyword, ctx.analyzer), q)
+            for q in queries
+        ):
+            tagged = self.batch_search(queries, database, table)
+            return (
+                rrf_fuse_tagged(tagged, lim)
+                if rrf
+                else score_sum_fuse_tagged(tagged, lim)
+            )
         recalls = [self.search(q, database, table) for q in queries]
         fused = rrf_fuse(recalls, lim) if rrf else score_sum_fuse(recalls, lim)
         return fused

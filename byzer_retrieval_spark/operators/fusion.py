@@ -95,6 +95,41 @@ def rrf_fuse_keyed(
     )
 
 
+def score_sum_fuse_tagged(tagged: DataFrame, limit: int) -> DataFrame:
+    """Score-sum fusion over ONE frame of per-recall results tagged
+    with ``query_id`` (e.g. api.batch_search output) — the one-job
+    variant of ``score_sum_fuse`` (no per-recall DataFrames, no
+    repeated subtree execution)."""
+    return (
+        tagged.select("_id", "_score")
+        .groupBy("_id")
+        .agg(F.sum("_score").alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col("_id").asc())
+        .limit(limit)
+    )
+
+
+def rrf_fuse_tagged(tagged: DataFrame, limit: int, k: int = RRF_K) -> DataFrame:
+    """RRF over one query_id-tagged frame: rank within each recall by
+    (_score desc, _id asc), contribute 1/(rank+k), sum — the one-job
+    variant of ``rrf_fuse``."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("_id").asc()
+    )
+    return (
+        tagged.select("query_id", "_id", "_score")
+        .withColumn("__rank", F.row_number().over(w) - F.lit(1))
+        .select(
+            "_id",
+            (F.lit(1.0) / (F.col("__rank") + F.lit(float(k)))).alias("_score"),
+        )
+        .groupBy("_id")
+        .agg(F.sum("_score").alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col("_id").asc())
+        .limit(limit)
+    )
+
+
 def rrf_fuse_lists(ranked_lists: List[List], k: int = RRF_K) -> dict:
     """Pure-function RRF over already-ranked id lists (unit-test surface,
     FIXTURES §F4 query 14)."""

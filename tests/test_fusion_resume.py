@@ -102,3 +102,48 @@ def test_resume_rebuilds_changed_shard(spark, corpus_rows, tmp_path):
         SearchQuery(keyword="freshterm_xyz", fields=["content"], limit=5)
     ).collect()
     assert len(got) == 1 and got[0]["path"] == rows2[7]["path"]
+
+
+def test_multi_search_one_job_path_matches_per_query(corpus_engine):
+    """multi_search's batched fusion (rrf_fuse_tagged /
+    score_sum_fuse_tagged over ONE batch_search job) must be
+    value-identical to the per-query recalls + list fusion."""
+    from byzer_retrieval_spark.operators.fusion import rrf_fuse, score_sum_fuse
+    from byzer_retrieval_spark.plans.query import SearchQuery
+
+    qs = [
+        SearchQuery(keyword="def return", fields=["content"], limit=15),
+        SearchQuery(keyword="import self", fields=["content"], limit=15),
+        SearchQuery(keyword="+class lambda", fields=["content"], limit=15),
+    ]
+    recalls = [corpus_engine.search(q) for q in qs]
+    for rrf in (False, True):
+        got = [
+            (r["_id"], round(r["_score"], 9))
+            for r in corpus_engine.multi_search(qs, rrf=rrf).collect()
+        ]
+        ref_fuse = rrf_fuse(recalls, 15) if rrf else score_sum_fuse(recalls, 15)
+        exp = [(r["_id"], round(r["_score"], 9)) for r in ref_fuse.collect()]
+        assert got == exp, f"rrf={rrf}"
+
+
+def test_multi_search_falls_back_for_phrase_recall(corpus_engine):
+    """A phrase recall in the list forces the per-query path — results
+    must still match the list fusion."""
+    from byzer_retrieval_spark.operators.fusion import score_sum_fuse
+    from byzer_retrieval_spark.plans.query import SearchQuery
+
+    qs = [
+        SearchQuery(keyword='"def return"', fields=["content"], limit=10),
+        SearchQuery(keyword="import", fields=["content"], limit=10),
+    ]
+    got = [
+        (r["_id"], round(r["_score"], 9))
+        for r in corpus_engine.multi_search(qs).collect()
+    ]
+    recalls = [corpus_engine.search(q) for q in qs]
+    exp = [
+        (r["_id"], round(r["_score"], 9))
+        for r in score_sum_fuse(recalls, 10).collect()
+    ]
+    assert got == exp
