@@ -74,6 +74,18 @@ def _merge_intervals(firsts: np.ndarray, lasts: np.ndarray):
     return np.asarray(keep_f, dtype=np.int64), np.asarray(keep_l, dtype=np.int64)
 
 
+def _point_ranges(points: np.ndarray):
+    """Sorted distinct doc ids → merged [first, last] ranges of
+    CONSECUTIVE runs — vectorized (no Python loop; _merge_intervals is
+    for small block lists, this is for candidate-doc sets)."""
+    if points.size == 0:
+        return points, points
+    breaks = np.nonzero(np.diff(points) > 1)[0]
+    rf = points[np.concatenate(([0], breaks + 1))]
+    rl = points[np.concatenate((breaks, [points.size - 1]))]
+    return rf, rl
+
+
 def _in_intervals(docs: np.ndarray, f: np.ndarray, l: np.ndarray) -> np.ndarray:
     if f.size == 0:
         return np.zeros(docs.shape, dtype=bool)
@@ -302,7 +314,13 @@ def _make_shard_scorer(
             add_parts: List[np.ndarray] = []
             for fld in sorted(set(pdf["field"]) & set(field_stats)):
                 fp = pdf[pdf["field"] == fld]
-                datas: Dict[str, tuple] = {}
+                # pass 1 for phrase members: CHEAP doc-level decode only
+                # (no positions) — the expensive per-occurrence position
+                # decode below is restricted to blocks overlapping the
+                # members' doc intersection, so a phrase with one rarer
+                # member skips the hot members' position payload almost
+                # entirely (positions cost ~tf× the doc-level decode)
+                doc_data: Dict[str, tuple] = {}
                 dfs: Dict[str, float] = {}
                 for t in needed & set(fp["term"]):
                     g = in_ranges(fp[fp["term"] == t]).sort_values("first_doc")
@@ -311,11 +329,56 @@ def _make_shard_scorer(
                     docs, tfs, dls, _ = decode_rows(
                         g["doc_gaps"], g["tfs"], g["dls"], g["first_doc"]
                     )
-                    pos = absolute_positions(
-                        decode_position_deltas(g["positions"]), tfs
-                    )
-                    datas[t] = (docs, tfs, dls, pos)
+                    doc_data[t] = (g, docs, tfs, dls)
                     dfs[t] = float(g["df"].iloc[0])
+
+                def phrase_datas(terms: Tuple[str, ...]):
+                    """Per-member (docs, tfs, dls, pos). When the
+                    member-doc intersection is SELECTIVE (< half the
+                    rarest member), positions decode only for blocks
+                    overlapping it — a phrase with one rarer member
+                    skips the hot members' position payload. Otherwise
+                    (hot-hot phrases) the pass-1 doc arrays are reused
+                    and positions decode for every block — identical
+                    cost to the unrestricted path. None when no doc
+                    holds all members."""
+                    cand = None
+                    for t in dict.fromkeys(terms):
+                        d = doc_data[t][1]
+                        cand = d if cand is None else cand[np.isin(cand, d)]
+                        if cand.size == 0:
+                            return None
+                    min_docs = min(doc_data[t][1].size for t in dict.fromkeys(terms))
+                    out: Dict[str, tuple] = {}
+                    if cand.size * 2 >= min_docs:
+                        for t in dict.fromkeys(terms):
+                            g, docs, tfs, dls = doc_data[t]
+                            pos = absolute_positions(
+                                decode_position_deltas(g["positions"]), tfs
+                            )
+                            out[t] = (docs, tfs, dls, pos)
+                        return out
+                    crf, crl = _point_ranges(cand)
+                    for t in dict.fromkeys(terms):
+                        g, _, _, _ = doc_data[t]
+                        keep = _overlap_mask(
+                            g["first_doc"].to_numpy(np.int64),
+                            g["last_doc"].to_numpy(np.int64),
+                            crf,
+                            crl,
+                        )
+                        g2 = g[keep]
+                        if not len(g2):
+                            return None
+                        docs2, tfs2, dls2, _ = decode_rows(
+                            g2["doc_gaps"], g2["tfs"], g2["dls"], g2["first_doc"]
+                        )
+                        pos2 = absolute_positions(
+                            decode_position_deltas(g2["positions"]), tfs2
+                        )
+                        out[t] = (docs2, tfs2, dls2, pos2)
+                    return out
+
                 n_docs, avgdl = field_stats[fld]
                 for pkey, matcher, kind in (
                     [(pk, ("prefix", st), kd) for pk, st, kd in prefix_specs]
@@ -339,7 +402,10 @@ def _make_shard_scorer(
                         add_docs.append(pdocs)
                         add_parts.append(np.full(pdocs.size, 1.0))
                 for pkey, terms, kind, slop in phrase_specs:
-                    if any(t not in datas for t in terms):
+                    if any(t not in doc_data for t in terms):
+                        continue
+                    datas = phrase_datas(terms)
+                    if datas is None:
                         continue
                     pdocs, ptf = _phrase_match(datas, terms, slop)
                     if pdocs.size == 0:
