@@ -384,6 +384,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_group": lambda spark, sf: _bm25_all(
             spark, sf, "+(merge vector) table"
         ),
+        # round 4: group-local +/- (nested BooleanQuery — the last
+        # SimpleQueryParser gap): the group matches iff merge AND NOT
+        # vector; its score joins ONLY for matching docs
+        "bm25_group_signed": lambda spark, sf: _bm25_all(
+            spark, sf, "(+merge -vector) table"
+        ),
         "bm25_batch_fanout": _q_batch_fanout,
         "bm25_batch_mixed": _q_batch_mixed,
         "term_stats": _q_term_stats,
@@ -455,9 +461,41 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_prefix": _bm25_prefix_sql("mer", ["vector"]),
         "bm25_fuzzy": _bm25_constscore_sql(
-            "levenshtein(term, 'merg') <= 1", ["vector"]
+            # round 4: Damerau parity (Lucene transpositions=true) —
+            # engine computes OSA, equal to DuckDB's DL on this vocab
+            "damerau_levenshtein(term, 'merg') <= 1", ["vector"]
         ),
         "bm25_group": _bm25_sql(["table"], must_any=["merge", "vector"]),
+        "bm25_group_signed": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+parts AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('merge', 'vector', 'table')
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'table' THEN sc ELSE 0 END) AS s_top,
+         max(CASE WHEN term = 'table' THEN 1 ELSE 0 END) AS h_top,
+         sum(CASE WHEN term = 'merge' THEN sc ELSE 0 END) AS s_grp,
+         max(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS h_must,
+         max(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS h_not
+  FROM parts GROUP BY doc_id
+)
+SELECT doc_id,
+       round(s_top + CASE WHEN h_must = 1 AND h_not = 0
+                     THEN s_grp ELSE 0 END, 5) AS score
+FROM agg
+WHERE h_top = 1 OR (h_must = 1 AND h_not = 0)
+""",
         "bm25_batch_fanout": (
             f"SELECT 0 AS query_id, doc_id, score FROM ({_bm25_sql(['merge'])})"
             " UNION ALL "
@@ -472,6 +510,9 @@ def oracle_sql() -> dict[str, str]:
             + ")"
             " UNION ALL "
             f"SELECT 1, doc_id, score FROM ({_bm25_prefix_sql('mer', ['vector'])})"
+            " UNION ALL "
+            f"SELECT 2, doc_id, score FROM ("
+            f"{_bm25_phrase_sql(['part', 'filter'], ['merge'])})"
         ),
         "term_stats": f"""
             WITH toks AS (
@@ -885,10 +926,12 @@ def _q_batch_fanout(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_batch_mixed(spark: SparkSession, sf: str) -> DataFrame:
-    """A FILTERED query and a PREFIX query in the SAME one-job batch
-    (round-3: operators/batch.py batches any non-phrase SearchQuery —
-    per-query filter allow-sets ride the shard cogroup tagged by
-    query_id; reference filter() parity, RetrievalMaster.java:201-250)."""
+    """A FILTERED query, a PREFIX query and a PHRASE query in the SAME
+    one-job batch (round-4: operators/batch.py batches any
+    non-match-all/non-vector SearchQuery — per-query filter allow-sets
+    ride the shard cogroup tagged by query_id, and phrase positions
+    ride the shared postings scan; reference filter() parity,
+    RetrievalMaster.java:201-250)."""
     eng = _engine_for(spark, sf)
     n = _documents(spark, sf).count()
     qs = [
@@ -899,6 +942,7 @@ def _q_batch_mixed(spark: SparkSession, sf: str) -> DataFrame:
             limit=n,
         ),
         SearchQuery(keyword="mer* vector", fields=["text"], limit=n),
+        SearchQuery(keyword='"part filter" merge', fields=["text"], limit=n),
     ]
     out = eng.batch_search(qs, "db", "documents")
     return out.select(

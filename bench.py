@@ -29,6 +29,17 @@ import time
 
 N_QUERY_REPEATS = 3
 
+
+def _loadavg() -> list:
+    """1/5/15-min load — recorded in the output JSON so host co-tenant
+    noise can be adjudicated from the artifact itself (this host swings
+    4-8x on identical jobs; see BENCH/BASELINE.md host-noise section)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
 # reference query set (FIXTURES §F4) re-expressed at bench scale
 BENCH_QUERIES = {
     "q_rare_term": "sym_1717_0",          # df=1 (unique per-doc symbol)
@@ -77,6 +88,7 @@ def main() -> None:
     corpus_df(spark, n_files, partitions=shuffle_parts * 2).write.parquet(corpus_path)
     src = spark.read.parquet(corpus_path)
 
+    load_before = _loadavg()
     timings: dict[str, float] = {}
     eng = RetrievalEngine(spark, os.path.join(work, "idx"))
     cfg = IndexConfig(num_shards=num_shards, hot_term_split_threshold=1 << 17)
@@ -120,6 +132,8 @@ def main() -> None:
         "query_p50_sec": round(statistics.median(q_times), 3),
         "batch_queries_per_sec": round(100.0 / batch_sec, 1),
         "cpus": cpus,
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
     }
     print(json.dumps(out))
 

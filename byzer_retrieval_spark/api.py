@@ -182,7 +182,44 @@ class RetrievalEngine:
         return n
 
     def compact(self, database: str = "default", table: str = "default") -> Dict[str, Any]:
-        return mutate.compact(self.spark, self.store(database, table))
+        """Segment merge + ANN survival (round 4): compact only ERASES
+        tombstoned rows — live ``__docid``s are unchanged — so a
+        CURRENT ANN index stays valid if its dead rows are physically
+        dropped (once the tombstone files are gone, the probe-time
+        anti-join can no longer hide them). The dead-id set is captured
+        (localCheckpoint) BEFORE compact deletes the tombstone files,
+        then anti-joined out of each ANN data dir and the state bumped.
+        Indexes that were already stale stay stale (exact fallback)."""
+        store = self.store(database, table)
+        pre_sid = store.current_snapshot_id()
+        states = [
+            (fld, st)
+            for fld, st in self._ann_states(store)
+            if int(st.get("snapshot_id", -2)) == pre_sid
+        ]
+        dead = None
+        if states:
+            tomb = self.ctx(database, table).tombstones_df()
+            if tomb is not None:
+                dead = (
+                    tomb.select("__docid")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+        out = mutate.compact(self.spark, store)
+        for fld, state in states:
+            if dead is not None:
+                try:
+                    self._ann_index_of(store, fld, state).remove_docids(
+                        self.spark, dead
+                    )
+                except ValueError:
+                    # index has no __docid column: leave it stale so the
+                    # strict snapshot check forces the exact fallback
+                    continue
+            state["snapshot_id"] = store.current_snapshot_id()
+            self._write_ann_state(store, fld, state)
+        return out
 
     def truncate(self, database: str = "default", table: str = "default") -> None:
         import os as _os
@@ -271,11 +308,12 @@ class RetrievalEngine:
 
         Lifecycle: the index records the table snapshot it serves.
         Upserts APPEND their new vectors into the matching
-        buckets/clusters and deletes ride the probe-time tombstone
-        anti-join, so ordinary mutations keep the index CURRENT (the
-        engine bumps the recorded snapshot). Only a full rebuild or a
-        compact leaves it stale — vector searches then silently fall
-        back to the exact scan until this is re-run. ``probe``
+        buckets/clusters, deletes ride the probe-time tombstone
+        anti-join, and a compact drops the dead rows in place (round
+        4), so ordinary mutations keep the index CURRENT (the engine
+        bumps the recorded snapshot). Only a full rebuild leaves it
+        stale — vector searches then silently fall back to the exact
+        scan until this is re-run. ``probe``
         overrides the query-time probe width (default:
         {"probe_hamming": 2} for lsh, {"nprobe": 4} for ivf).
         """
@@ -327,9 +365,11 @@ class RetrievalEngine:
     # An upsert APPENDS its new vectors into their buckets/clusters (both
     # are pure functions of the vector — no structure re-learn) and bumps
     # the state snapshot; deletes only bump (probe-time tombstone
-    # anti-joins hide the rows). A FULL rebuild/compact does NOT bump, so
-    # the strict snapshot check falls back to the exact scan until
-    # build_vector_ann runs again (docids change / tombstones vanish).
+    # anti-joins hide the rows); a compact physically drops the dead
+    # rows and bumps (round 4 — live docids survive a compact). Only a
+    # FULL rebuild does NOT bump, so the strict snapshot check falls
+    # back to the exact scan until build_vector_ann runs again (docids
+    # change on rebuild).
     def _ann_states(self, store: IndexStore):
         import json as _json
         import os as _os
@@ -399,10 +439,31 @@ class RetrievalEngine:
             ctx.docs().join(F.broadcast(ids), "_id", "left_semi")
         )
         for fld, state in states:
-            if fld in fresh.columns:
-                self._ann_index_of(store, fld, state).append(fresh, "_id", fld)
+            if fld not in fresh.columns:
+                # vectors for this field were NOT appended — leave the
+                # index stale so the strict snapshot check forces the
+                # exact-scan fallback (bumping here would silently drop
+                # the upserted docs from ANN results)
+                continue
+            self._ann_index_of(store, fld, state).append(fresh, "_id", fld)
+            state["appends"] = int(state.get("appends", 0)) + 1
             state["snapshot_id"] = store.current_snapshot_id()
             self._write_ann_state(store, fld, state)
+            self._maybe_compact_ann(store, fld, state)
+
+    # every N incremental appends, rewrite the ANN data dir so probe
+    # reads stay one-file-set-per-partition under streamed upserts
+    ANN_COMPACT_EVERY = 32
+
+    def _maybe_compact_ann(
+        self, store: IndexStore, field: str, state: Dict[str, Any]
+    ) -> None:
+        every = int(state.get("compact_every", self.ANN_COMPACT_EVERY))
+        if int(state.get("appends", 0)) < every:
+            return
+        self._ann_index_of(store, field, state).compact(self.spark)
+        state["appends"] = 0
+        self._write_ann_state(store, field, state)
 
     def _current_ann(self, store: IndexStore, vector_field: str):
         """(index, probe_kw) when a persisted ANN index exists for the
@@ -416,7 +477,7 @@ class RetrievalEngine:
         with open(p) as f:
             state = _json.load(f)
         if int(state.get("snapshot_id", -2)) != store.current_snapshot_id():
-            return None  # stale after a rebuild/compact → exact fallback
+            return None  # stale after a full rebuild → exact fallback
         from byzer_retrieval_spark.functions.similarity import (
             IvfVectorIndex,
             LshVectorIndex,
@@ -586,6 +647,14 @@ class RetrievalEngine:
         from byzer_retrieval_spark.plans.query import sorts_to_columns
 
         ctx = self.query_ctx(database, table)
+        if not queries:
+            # empty batch is a legal caller state on the reference's
+            # list surface — an empty result with the output schema
+            return ctx.docs().limit(0).select(
+                F.lit(0).cast("int").alias("query_id"),
+                F.lit(0).cast("int").alias("__rank"),
+                *ctx.stored_columns(),
+            )
         parts = []
         for qid, q in enumerate(queries):
             w = Window.orderBy(*(sorts_to_columns(q.sorts) + [F.col("_id").asc()]))
@@ -609,14 +678,20 @@ class RetrievalEngine:
         is paid once per batch, not per query) — returns (query_id,
         _score, stored...) with per-query global top-k. Accepts ANY
         SearchQuery list (reference filter() parity,
-        RetrievalMaster.java:201-250): term/prefix/fuzzy/group clauses
-        and per-query filters run in the one-job batch scorer
-        (operators/batch.py); the remaining shapes (phrases, match-all)
-        fall back to per-query ``search`` and union in."""
+        RetrievalMaster.java:201-250): term/phrase/prefix/fuzzy/group
+        clauses and per-query filters run in the one-job batch scorer
+        (operators/batch.py); the remaining shapes (match-all,
+        vector/hybrid) fall back to per-query ``search`` and union in."""
         from byzer_retrieval_spark.operators.batch import batch_search, is_batchable
         from byzer_retrieval_spark.plans.query import parse_keyword
 
         ctx = self.query_ctx(database, table)
+        if not queries:
+            return ctx.docs().limit(0).select(
+                F.lit(0).cast("int").alias("query_id"),
+                F.lit(0.0).alias("_score"),
+                *ctx.stored_columns(),
+            )
         in_batch, fallback = [], []
         for qid, q in enumerate(queries):
             if is_batchable(parse_keyword(q.keyword, ctx.analyzer), q):

@@ -33,6 +33,66 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _rewrite_data_dir(
+    spark: SparkSession,
+    data_path: str,
+    partition_cols: Sequence[str],
+    transform=None,
+) -> None:
+    """Rewrite a partitioned ANN data dir down to one file set per
+    partition, optionally transforming the rows first. Used for two
+    maintenance paths: small-file compaction after many incremental
+    ``append``s (each append writes a file set into every touched
+    partition, degrading probe-time reads file-count-wise), and
+    physically dropping dead rows after an index compact.
+
+    Local-FS directory swap (write to ``.compact``, rename over); not
+    safe against concurrent readers mid-swap — the engine calls it
+    synchronously between queries on the write path."""
+    import shutil
+
+    df = spark.read.parquet(data_path)
+    if transform is not None:
+        df = transform(df)
+    tmp = data_path + ".compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    old = data_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(data_path, old)
+    os.rename(tmp, data_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _remove_docids(
+    spark: SparkSession,
+    data_path: str,
+    partition_cols: Sequence[str],
+    dead_ids: DataFrame,
+) -> None:
+    """Drop index rows whose ``__docid`` is in ``dead_ids``. Live
+    docids survive an index compact UNCHANGED (compact only erases
+    tombstoned rows), so after dropping the dead rows the ANN index is
+    exactly current — no rebuild, no re-bucketing."""
+    sample = spark.read.parquet(data_path)
+    if "__docid" not in sample.columns:
+        raise ValueError(
+            "ANN index carries no __docid column — cannot drop dead rows"
+        )
+    dead = dead_ids.select("__docid").distinct()
+    _rewrite_data_dir(
+        spark,
+        data_path,
+        partition_cols,
+        transform=lambda df: df.join(dead, "__docid", "left_anti"),
+    )
+
+
 def _qnorm(q: Sequence[float]) -> float:
     # sequential left-to-right accumulation — the SQL oracle embeds this
     # exact literal so both engines share it bit-for-bit
@@ -245,6 +305,15 @@ class LshVectorIndex:
             .mode("append")
             .parquet(self.data_path)
         )
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold append-generated small files back to one file set per
+        (tbl, bucket) partition — see _rewrite_data_dir."""
+        _rewrite_data_dir(spark, self.data_path, ["tbl", "bucket"])
+
+    def remove_docids(self, spark: SparkSession, dead_ids: DataFrame) -> None:
+        """Physically drop dead rows (post-compact maintenance)."""
+        _remove_docids(spark, self.data_path, ["tbl", "bucket"], dead_ids)
 
     def candidates(
         self, spark: SparkSession, query: Sequence[float], probe_hamming: int
@@ -506,6 +575,15 @@ class IvfVectorIndex:
             .mode("append")
             .parquet(self.data_path)
         )
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold append-generated small files back to one file set per
+        cluster partition — see _rewrite_data_dir."""
+        _rewrite_data_dir(spark, self.data_path, ["cluster"])
+
+    def remove_docids(self, spark: SparkSession, dead_ids: DataFrame) -> None:
+        """Physically drop dead rows (post-compact maintenance)."""
+        _remove_docids(spark, self.data_path, ["cluster"], dead_ids)
 
     def candidates(
         self, spark: SparkSession, query: Sequence[float], nprobe: int

@@ -13,12 +13,16 @@ microseconds each). Output: per-query global top-k.
 Batchable shapes (reference parity: filter() accepts ANY SearchQuery,
 RetrievalMaster.java:201-250): term clauses (implicit OR, +MUST,
 -MUST_NOT), ``(a b)`` / ``+(a b)`` / ``-(a b)`` groups, ``foo*`` prefix
-and ``foo~N`` fuzzy clauses (constant-score, like the WAND path), and
-per-query FILTER trees — each query's allow set rides the same shard
-cogroup as the posting blocks, tagged by query_id, so filtered and
-unfiltered queries mix freely in one batch. Phrase clauses and
-match-all are the only fallback shapes (api.batch_search runs those
-per-query and unions the results).
+and ``foo~N`` fuzzy clauses (constant-score, like the WAND path),
+``"a b"`` exact and ``"a b"~N`` sloppy PHRASES (round-4: the positions
+column rides the same postings scan — read only when the batch has at
+least one phrase — and each phrase's occurrence verification runs on
+the once-decoded member postings via the same ``_phrase_match`` the
+WAND path uses), and per-query FILTER trees — each query's allow set
+rides the same shard cogroup as the posting blocks, tagged by
+query_id, so filtered and unfiltered queries mix freely in one batch.
+Match-all and vector/hybrid queries are the only fallback shapes
+(api.batch_search runs those per-query and unions the results).
 
 Scale: the scan cost is the union of the batch's term postings (shared
 terms decode once); per-shard memory is bounded by those postings; the
@@ -59,24 +63,26 @@ _DENY_QID = -1
 
 
 def is_batchable(parsed: ParsedKeyword, query: SearchQuery) -> bool:
-    """Whether a query fits the one-job batch scorer. Phrases need the
-    positions machinery (WAND path); match-all/empty have no scoring
-    clauses to share; vector/hybrid queries need the KNN recall and
-    (for hybrids) RRF fusion — dropping the vector silently would
-    return different rankings than api.search."""
+    """Whether a query fits the one-job batch scorer. Match-all/empty
+    have no scoring clauses to share; vector/hybrid queries need the
+    KNN recall and (for hybrids) RRF fusion — dropping the vector
+    silently would return different rankings than api.search."""
     return not (
         parsed.match_all
         or parsed.empty
-        or parsed.all_phrases
-        or parsed.all_nears
         or (bool(query.vector) and query.vector_field)
         # groups gate on term membership in the batch scorer; a group
         # with phrase/prefix/fuzzy members needs the WAND machinery
         or any(any(m[0] != "term" for m in g) for g in parsed.any_groups_ext)
+        # group-local +/- (nested BooleanQuery) runs on the declarative
+        # scorer_df path via the per-query fallback
+        or bool(parsed.bool_groups)
         or not (
             parsed.scoring_terms
             or parsed.scoring_prefixes
             or parsed.scoring_fuzzies
+            or parsed.scoring_phrases
+            or parsed.scoring_nears
         )
     )
 
@@ -86,18 +92,30 @@ def _make_batch_scorer(
     specs: List[dict],
     k1: float,
     b: float,
+    phrase_terms: frozenset = frozenset(),
 ):
     """specs per query: {qid, fields, scoring, must, must_not, k,
-    const_specs: ((kind, matcher_type, matcher), ...), groups, gated}.
+    const_specs: ((kind, matcher_type, matcher), ...),
+    phrases: ((kind, terms, slop), ...), groups, gated}.
 
     ``const_specs`` are the constant-score multi-term clauses (prefix
     stems and pre-expanded fuzzy term sets): a matching doc contributes
     1.0 per matching field-clause — same semantics as the WAND path's
     prefix/termset handling (Lucene CONSTANT_SCORE rewrite).
-    ``groups`` are +(a b) must-ANY gates. ``gated`` queries only score
-    docs in their allow set (Occur.FILTER in the collector)."""
+    ``phrases`` are exact (slop=0) / sloppy phrase clauses, verified by
+    the WAND path's ``_phrase_match`` over the once-decoded member
+    positions (``phrase_terms`` = union of member terms across the
+    batch — only those rows pay the position decode). ``groups`` are
+    +(a b) must-ANY gates. ``gated`` queries only score docs in their
+    allow set (Occur.FILTER in the collector)."""
 
     def score_shard(pdf: pd.DataFrame, gate_pdf: Optional[pd.DataFrame]) -> pd.DataFrame:
+        from byzer_retrieval_spark.operators.decode import (
+            absolute_positions,
+            decode_position_deltas,
+        )
+        from byzer_retrieval_spark.operators.wand import _phrase_match
+
         shard_id = int(pdf["shard_id"].iloc[0])
         deny = np.empty(0, dtype=np.int64)
         allow_of: Dict[int, np.ndarray] = {}
@@ -109,8 +127,12 @@ def _make_batch_scorer(
                 allow_of[int(qid)] = np.unique(g_doc[g_qid == qid])
 
         # ---- decode every (field, term) ONCE --------------------------
-        # keyed per FIELD so each query scores/gates only ITS fields
+        # keyed per FIELD so each query scores/gates only ITS fields.
+        # Phrase-member terms additionally decode their positions, ONCE,
+        # shared by every phrase clause in the batch that uses them.
         by_term: Dict[str, List[Tuple[str, np.ndarray, np.ndarray]]] = {}
+        pdata: Dict[str, Dict[str, tuple]] = {}    # fld → term → (docs,tfs,dls,pos)
+        dfs_of: Dict[str, Dict[str, float]] = {}   # fld → term → df
         for (fld, term), g in pdf.groupby(["field", "term"], sort=False):
             g = g.sort_values("first_doc")
             n_docs, avgdl = field_stats[fld]
@@ -121,6 +143,12 @@ def _make_batch_scorer(
             )
             part = idf * (tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
             by_term.setdefault(term, []).append((fld, docs, part))
+            dfs_of.setdefault(fld, {})[term] = df
+            if term in phrase_terms:
+                pos = absolute_positions(
+                    decode_position_deltas(g["positions"]), tfs
+                )
+                pdata.setdefault(fld, {})[term] = (docs, tfs, dls, pos)
         term_names = list(by_term)
 
         def clause_docs(matcher_type: str, matcher, q_fields) -> List[np.ndarray]:
@@ -173,6 +201,46 @@ def _make_batch_scorer(
                     must_doc_sets.append(
                         np.unique(np.concatenate(fdocs))
                         if fdocs
+                        else np.empty(0, dtype=np.int64)
+                    )
+            for kind, terms, slop in spec["phrases"]:
+                # per field: verify occurrences over the shared decoded
+                # positions; score = Σ_members idf · tfnorm(phrase_tf)
+                # (Lucene PhraseWeight — same formula as wand.merge_extras)
+                p_field_docs: List[np.ndarray] = []
+                for fld in spec["fields"]:
+                    d = pdata.get(fld)
+                    if d is None or any(t not in d for t in terms):
+                        continue
+                    pdocs, ptf = _phrase_match(d, terms, slop)
+                    if pdocs.size == 0:
+                        continue
+                    p_field_docs.append(pdocs)
+                    if kind in ("should", "must"):
+                        n_docs, avgdl = field_stats[fld]
+                        dfs = dfs_of[fld]
+                        idf_sum = sum(
+                            math.log(
+                                1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)
+                            )
+                            for t in terms
+                        )
+                        d0 = d[terms[0]]
+                        dl = d0[2][np.searchsorted(d0[0], pdocs)].astype(
+                            np.float64
+                        )
+                        ptff = ptf.astype(np.float64)
+                        doc_arrs.append(pdocs)
+                        part_arrs.append(
+                            idf_sum
+                            * (ptff / (ptff + k1 * (1.0 - b + b * dl / avgdl)))
+                        )
+                if kind == "not":
+                    excl_arrs.extend(p_field_docs)
+                elif kind == "must":
+                    must_doc_sets.append(
+                        np.unique(np.concatenate(p_field_docs))
+                        if p_field_docs
                         else np.empty(0, dtype=np.int64)
                     )
             group_sets = []
@@ -284,6 +352,7 @@ def batch_search(
     all_terms: List[str] = []
     fields_used: List[str] = []
     prefix_stems: List[str] = []
+    phrase_member_terms: List[str] = []
     gate_parts: List[DataFrame] = []
     any_ungated = False
     for qid, q in enumerate(queries):
@@ -319,6 +388,18 @@ def batch_search(
                 terms = expand_fuzzy(ctx, flds, w, n)
                 const_specs.append((kind, "set", frozenset(terms)))
                 all_terms.extend(terms)
+        # phrase clauses (exact slop=0 + sloppy NEAR), deduped the same
+        # way wand.search_wand builds its phrase_specs
+        phrase_specs: List[Tuple[str, Tuple[str, ...], int]] = (
+            [("must", p, 0) for p in dict.fromkeys(parsed.must_phrases)]
+            + [("should", p, 0) for p in parsed.dedup_should_phrases]
+            + [("not", p, 0) for p in dict.fromkeys(parsed.not_phrases)]
+            + [("must", p, s) for p, s in dict.fromkeys(parsed.must_near_phrases)]
+            + [("should", p, s) for p, s in parsed.dedup_should_nears]
+            + [("not", p, s) for p, s in dict.fromkeys(parsed.not_near_phrases)]
+        )
+        phrase_member_terms.extend(parsed.phrase_terms)
+        all_terms.extend(parsed.phrase_terms)
         gated = bool(q.filters)
         if gated:
             allowed = ctx.exclude_tombstones(filtered_docs(ctx, q.filters))
@@ -340,6 +421,7 @@ def batch_search(
                 "must_not": tuple(set(parsed.must_not)),
                 "k": q.limit,
                 "const_specs": tuple(const_specs),
+                "phrases": tuple(phrase_specs),
                 "groups": tuple(parsed.must_any_groups),
                 "gated": gated,
             }
@@ -357,17 +439,24 @@ def batch_search(
         .filter(F.col("field").isin(fields) & term_pred)
         .select("field", "term", "df")
     )
+    phrase_terms = frozenset(phrase_member_terms)
+    block_cols = [
+        "shard_id", "field", "term", "first_doc", "doc_gaps", "tfs", "dls",
+    ]
+    if phrase_terms:
+        # positions read ONLY when the batch contains a phrase clause
+        # (column pruning keeps the varbyte column off phrase-free scans)
+        block_cols.append("positions")
     blocks = (
         ctx.postings()
         .filter(F.col("field").isin(fields) & term_pred)
-        .select(
-            "shard_id", "field", "term", "first_doc",
-            "doc_gaps", "tfs", "dls",
-        )
+        .select(*block_cols)
         .join(F.broadcast(stats), ["field", "term"])
     )
     field_stats = {f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields}
-    grouped, cogrouped = _make_batch_scorer(field_stats, specs, ctx.k1, ctx.b)
+    grouped, cogrouped = _make_batch_scorer(
+        field_stats, specs, ctx.k1, ctx.b, phrase_terms
+    )
 
     # gate side: per-query allow sets (tagged query_id) + the shared
     # tombstone deny set for ungated queries — ONE cogroup on shard_id,

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -100,33 +101,54 @@ def expand_fuzzy(
     max_edits: int,
     max_expansions: int = 50,
 ) -> Tuple[str, ...]:
-    """Terms within classic Levenshtein distance of ``word`` — Lucene's
-    FuzzyQuery dictionary expansion over the stats table.
+    """Terms within Damerau-Levenshtein (OSA) distance of ``word`` —
+    Lucene's FuzzyQuery dictionary expansion over the term dictionary
+    (``transpositions=true`` parity since round 4: ``form``→``from`` is
+    ONE edit).
 
     Scale guards (a code corpus at 10^12 docs has 10^8-10^9 distinct
     terms; Lucene walks an automaton over a sorted dictionary):
     - a LENGTH band (|len(term) - len(word)| <= n is necessary for
-      distance <= n) prunes the dictionary before the levenshtein
-      evaluation — the expensive comparison runs only on the band;
+      distance <= n) prunes the dictionary first;
+    - a JVM-side classic-Levenshtein prefilter ``lev <= 2n`` (each
+      transposition is at most 2 classic edits, so DL <= n implies
+      lev <= 2n) keeps the scan in codegen — the Python OSA UDF runs
+      only on the small banded survivor set;
     - the ``max_expansions`` cap (Lucene FuzzyQuery default 50) keeps
       the CLOSEST terms, ties by term order — deterministic.
 
-    Documented deviation: classic Levenshtein (Spark's built-in; Lucene
-    uses Damerau — a transposition counts as 2 edits here). No
-    first-char band: Lucene's default prefixLength is 0, so an edit at
-    position 0 is legal."""
+    No first-char band: Lucene's default prefixLength is 0, so an edit
+    at position 0 is legal."""
+    from pyspark.sql.functions import pandas_udf
+
     n = int(max_edits)
     lev = F.levenshtein(F.col("term"), F.lit(word))
-    rows = (
-        ctx.stats()
-        .filter(
-            F.col("field").isin(list(fields))
-            & F.length("term").between(len(word) - n, len(word) + n)
-            & (lev <= n)
-        )
-        .select("term", lev.alias("__lev"))
+    stats = ctx.stats()
+    # field + len_bucket are the stats table's PARTITION columns (round
+    # 4): the length band prunes whole directories at plan time — the
+    # expansion never scans the full dictionary. ``length(term)`` is
+    # the fallback for pre-round-4 stats layouts.
+    band = (
+        F.col("len_bucket") if "len_bucket" in stats.columns
+        else F.length("term")
+    ).between(len(word) - n, len(word) + n)
+    cand = (
+        stats
+        .filter(F.col("field").isin(list(fields)) & band & (lev <= 2 * n))
+        .select("term")
         .distinct()
-        .orderBy(F.col("__lev").asc(), F.col("term").asc())
+    )
+
+    @pandas_udf("int")
+    def osa_udf(terms: pd.Series) -> pd.Series:
+        from byzer_retrieval_spark.functions.editdist import osa_distance
+
+        return terms.map(lambda t: osa_distance(t, word))
+
+    rows = (
+        cand.withColumn("__dl", osa_udf(F.col("term")))
+        .filter(F.col("__dl") <= n)
+        .orderBy(F.col("__dl").asc(), F.col("term").asc())
         .limit(max_expansions)
         .collect()
     )

@@ -951,12 +951,7 @@ def build_index(
     )
 
     def _write_stats() -> None:
-        (
-            stats_df.repartitionByRange(F.col("term"))
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(store.stats_path)
-        )
+        store.write_stats(stats_df)
 
     aggs = [F.count("*").alias("__n_total")]
     for f_name in cfg.analyzed_fields:

@@ -69,12 +69,7 @@ def _refresh_stats_and_commit(
     stats_df = postings.groupBy("field", "term").agg(
         F.sum("df_block").alias("df"), F.sum("sum_tf").alias("cf")
     )
-    (
-        stats_df.repartitionByRange(F.col("term"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(store.stats_path)
-    )
+    store.write_stats(stats_df)
     docs = store.docs(spark)
     field_stats = {}
     for f_name in meta["analyzed_fields"]:

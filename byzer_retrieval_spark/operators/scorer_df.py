@@ -65,6 +65,7 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         and not parsed.scoring_prefixes
         and not parsed.scoring_fuzzies
         and not parsed.scoring_nears
+        and not parsed.scoring_bool_groups
     ):
         # no scoring clauses (incl. pure-negative queries): Lucene's
         # BooleanQuery with only prohibited clauses matches nothing
@@ -105,6 +106,46 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         (key, expand_fuzzy(ctx, fields, w, n), kind)
         for key, (w, n), kind in fuzzy_items
     ]
+
+    # ---- nested boolean groups (round 4): group-local +/- members ----
+    # Each member becomes a contrib clause (terms keep their own key;
+    # phrase/prefix/fuzzy members get per-group pseudo-keys with kind
+    # "group" so they are NOT added to the top-level scoring/must/not
+    # sets); the group's match + conditional score are evaluated as
+    # per-group aggregates over the same contrib frame — one groupBy,
+    # no extra shuffle.
+    bg_phrase_terms: List[str] = []
+    bg_term_members: List[str] = []
+    bg_key_lists = []  # (kind, should_keys, must_keys, not_keys)
+    for gi, (gkind, g_sh, g_mu, g_no) in enumerate(parsed.bool_groups):
+        key_lists = {"should": [], "must": [], "not": []}
+        for role, g_members in (("should", g_sh), ("must", g_mu), ("not", g_no)):
+            for mj, m in enumerate(g_members):
+                if m[0] == "term":
+                    key_lists[role].append(m[1])
+                    bg_term_members.append(m[1])
+                elif m[0] == "phrase":
+                    key = f"__bg{gi}{role[0]}p{mj}"
+                    phrase_specs.append((key, m[1], "group", m[2]))
+                    bg_phrase_terms.extend(m[1])
+                    key_lists[role].append(key)
+                elif m[0] == "prefix":
+                    key = f"__bg{gi}{role[0]}x{mj}"
+                    prefix_specs.append((key, m[1], "group"))
+                    key_lists[role].append(key)
+                else:
+                    key = f"__bg{gi}{role[0]}z{mj}"
+                    fuzzy_specs.append(
+                        (key, expand_fuzzy(ctx, fields, m[1], m[2]), "group")
+                    )
+                    key_lists[role].append(key)
+        bg_key_lists.append(
+            (gkind, key_lists["should"], key_lists["must"], key_lists["not"])
+        )
+    if bg_term_members or bg_phrase_terms:
+        all_terms = list(
+            dict.fromkeys(all_terms + bg_term_members + bg_phrase_terms)
+        )
 
     # member-descriptor → clause key (for +(...) group gates whose
     # members are phrases/prefixes/fuzzies: the gate references the
@@ -180,7 +221,9 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         pos_flat = flat_postings(
             ctx.postings().filter(
                 F.col("field").isin(fields)
-                & F.col("term").isin(list(parsed.phrase_terms))
+                & F.col("term").isin(
+                    list(dict.fromkeys(list(parsed.phrase_terms) + bg_phrase_terms))
+                )
             ),
             with_positions=True,
         )
@@ -305,6 +348,32 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
         ).alias(f"__anyg{i}")
         for i, g in enumerate(group_lists)
     ]
+    # nested-boolean-group aggregates: per group, the conditional score
+    # (sum over must+should member clauses), the distinct-must count,
+    # the any-not flag and the any-scoring-member flag — all over the
+    # SAME contrib rows, so a member that is also a top-level clause
+    # scores in both places (exactly Lucene's two separate clauses)
+    bool_aggs = []
+    for gi, (gkind, sh_k, mu_k, no_k) in enumerate(bg_key_lists):
+        sc_k = list(dict.fromkeys(mu_k + sh_k))
+        bool_aggs += [
+            F.sum(
+                F.when(F.col("term").isin(sc_k), F.col("part_score")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias(f"__bg{gi}_score"),
+            F.count_distinct(
+                F.when(F.col("term").isin(list(set(mu_k))), F.col("term"))
+            ).alias(f"__bg{gi}_must"),
+            F.max(
+                F.when(F.col("term").isin(list(set(no_k))), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"__bg{gi}_not"),
+            F.max(
+                F.when(F.col("term").isin(sc_k), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__bg{gi}_has"),
+        ]
     agg = contrib.groupBy("__docid").agg(
         F.sum(
             F.when(F.col("term").isin(list(scoring)), F.col("part_score")).otherwise(
@@ -321,16 +390,47 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
             F.when(F.col("term").isin(list(scoring)), F.lit(1)).otherwise(F.lit(0))
         ).alias("__has_match"),
         *group_aggs,
+        *bool_aggs,
     )
+    # per-bool-group match predicate: all musts, no nots, and (when no
+    # musts) at least one scoring member (Lucene nested BooleanQuery)
+    bg_matched = []
+    for gi, (gkind, sh_k, mu_k, no_k) in enumerate(bg_key_lists):
+        n_mu = len(set(mu_k))
+        m = (F.col(f"__bg{gi}_must") == F.lit(n_mu)) & (
+            F.col(f"__bg{gi}_not") == F.lit(0)
+        )
+        if n_mu == 0:
+            m = m & (F.col(f"__bg{gi}_has") == F.lit(1))
+        bg_matched.append((gkind, m))
+    has_match = F.col("__has_match") == F.lit(1)
+    for gkind, m in bg_matched:
+        if gkind in ("should", "must"):
+            # a doc matching only a nested group matches the query
+            has_match = has_match | m
     gate = (
         (F.col("__must_cnt") == F.lit(len(must)))
         & (F.col("__has_not") == F.lit(0))
-        & (F.col("__has_match") == F.lit(1))
+        & has_match
     )
     for i in range(len(group_lists)):
         # +(a b) gate: at least one group member matched (must-ANY) —
         # members may be terms or phrase/prefix/fuzzy clause keys
         gate = gate & (F.col(f"__anyg{i}") == F.lit(1))
+    for gkind, m in bg_matched:
+        if gkind == "must":
+            gate = gate & m
+        elif gkind == "not":
+            gate = gate & ~m
+    # the group's score joins the sum ONLY when the group matches
+    score_col = F.col("_score")
+    for gi, (gkind, m) in enumerate(bg_matched):
+        if gkind in ("should", "must"):
+            score_col = score_col + F.when(
+                m, F.col(f"__bg{gi}_score")
+            ).otherwise(F.lit(0.0))
+    if bg_matched:
+        agg = agg.withColumn("_score", score_col)
     agg = agg.filter(gate)
     agg = ctx.exclude_tombstones(agg)
 

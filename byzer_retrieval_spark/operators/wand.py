@@ -51,12 +51,18 @@ from byzer_retrieval_spark.operators.decode import decode_rows
 from byzer_retrieval_spark.plans.query import SearchQuery, parse_keyword
 
 # below this many blocks per shard, exhaustive scoring beats
-# bookkeeping. Env override exists for A/B measurement (set huge to
-# force the exhaustive path); read at import so executors see it too
-# (local-mode workers inherit the launch environment).
+# bookkeeping. The BYZER_PRUNE_MIN_BLOCKS env override (set huge to
+# force the exhaustive path for A/B) is resolved ON THE DRIVER at
+# query time and captured into the scorer closure — on a real cluster
+# executors re-import modules against their own environment, so an
+# import-time read would silently ignore the override there.
 import os as _os
 
-PRUNE_MIN_BLOCKS = int(_os.environ.get("BYZER_PRUNE_MIN_BLOCKS", "32"))
+PRUNE_MIN_BLOCKS = 32
+
+
+def _prune_min_blocks() -> int:
+    return int(_os.environ.get("BYZER_PRUNE_MIN_BLOCKS", PRUNE_MIN_BLOCKS))
 
 _OUT_SCHEMA = "shard_id int, __docid long, score double"
 
@@ -72,6 +78,25 @@ def _merge_intervals(firsts: np.ndarray, lasts: np.ndarray):
             keep_f.append(a)
             keep_l.append(b)
     return np.asarray(keep_f, dtype=np.int64), np.asarray(keep_l, dtype=np.int64)
+
+
+def _intersect_intervals(f1: np.ndarray, l1: np.ndarray,
+                         f2: np.ndarray, l2: np.ndarray):
+    """Intersection of two MERGED (sorted, disjoint) interval lists.
+    Python two-pointer over per-shard block lists (≤ thousands)."""
+    out_f, out_l = [], []
+    i = j = 0
+    n1, n2 = len(f1), len(f2)
+    while i < n1 and j < n2:
+        a, b = max(f1[i], f2[j]), min(l1[i], l2[j])
+        if a <= b:
+            out_f.append(a)
+            out_l.append(b)
+        if l1[i] < l2[j]:
+            i += 1
+        else:
+            j += 1
+    return np.asarray(out_f, dtype=np.int64), np.asarray(out_l, dtype=np.int64)
 
 
 def _point_ranges(points: np.ndarray):
@@ -179,6 +204,7 @@ def _make_shard_scorer(
     prefix_specs: Tuple[Tuple[str, str, str], ...] = (),
     termset_specs: Tuple[Tuple[str, Tuple[str, ...], str], ...] = (),
     any_groups: Tuple[Tuple[str, ...], ...] = (),
+    prune_min_blocks: Optional[int] = None,
 ):
     """idf is derived in-task from the broadcast-joined ``df`` column —
     no eager stats collect on the driver, so a whole search is ONE job.
@@ -200,9 +226,15 @@ def _make_shard_scorer(
     clauses bound at their constant 1.0. Extras then decode only the
     blocks overlapping the survivor ranges — a rare-term + hot-phrase
     query skips the phrase postings outside the candidate ranges
-    entirely. MUST/NOT extras disable pruning (an unverified MUST
+    entirely. MUST/NOT extras disable θ0 pruning (an unverified MUST
     phrase would inflate the phase-1 threshold; an unapplied NOT would
-    let an excluded doc seed it — both break the θ0 lower-bound proof).
+    let an excluded doc seed it — both break the θ0 lower-bound proof),
+    but MUST clauses impose an independent lossless *conjunctive* block
+    restriction (round 4): every decode is limited to blocks
+    overlapping the intersection of the MUST clauses' interval unions
+    (a doc outside it fails a MUST clause and is gated out regardless
+    of truncated evidence), so ``+"hot hot"`` no longer decodes the hot
+    members' full doc postings.
 
     ``prefix_specs``: (key, stem, kind) per ``foo*`` clause — Lucene
     PrefixQuery with the default CONSTANT_SCORE rewrite: a matching doc
@@ -218,6 +250,8 @@ def _make_shard_scorer(
     blocks overlapping the candidate doc ranges, so membership evidence
     is complete for every emitted doc; gating only removes docs.
     """
+    if prune_min_blocks is None:
+        prune_min_blocks = _prune_min_blocks()  # driver-resolved
     scoring_set = set(scoring_terms)
     # (key, kind) of every extra clause — uniform across the 3-tuple
     # prefix/termset specs and 4-tuple phrase specs
@@ -276,6 +310,97 @@ def _make_shard_scorer(
             return pd.DataFrame({"shard_id": [], "__docid": [], "score": []}).astype(
                 {"shard_id": np.int32, "__docid": np.int64, "score": np.float64}
             )
+
+        # ---- conjunctive MUST restriction (round 4) -------------------
+        # Any output doc must match EVERY MUST clause, so every decode
+        # can be restricted to blocks overlapping the INTERSECTION of
+        # the MUST clauses' interval unions. Lossless independently of
+        # the θ0 proof: a doc outside the intersection fails some MUST
+        # clause (it lies in none of that clause's postings blocks for
+        # any field), so the gate excludes it — the only docs that lose
+        # score/membership evidence are docs the gate drops anyway.
+        # This is what makes `+"hot hot"` cheap: the doc-level decode of
+        # the hot members collapses to the members' block intersection
+        # (r3 only restricted the POSITION decode).
+        def _union(blks):
+            if not blks:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            return _merge_intervals(
+                np.concatenate([f for f, _ in blks]),
+                np.concatenate([l for _, l in blks]),
+            )
+
+        shard_fields = sorted(set(pdf["field"]) & set(field_stats))
+        restrictions = []  # one (rf, rl) interval union per MUST clause
+        for t in set(must_terms):
+            restrictions.append(
+                _union([(c["firsts"], c["lasts"]) for c in cl if c["term"] == t])
+            )
+        for pkey, matcher, kind in (
+            [(pk, ("prefix", st), kd) for pk, st, kd in prefix_specs]
+            + [(pk, ("set", ts), kd) for pk, ts, kd in termset_specs]
+        ):
+            if kind != "must":
+                continue
+            blks = []
+            for fld_e in shard_fields:
+                fp_e = pdf[pdf["field"] == fld_e]
+                g = (
+                    fp_e[fp_e["term"].str.startswith(matcher[1])]
+                    if matcher[0] == "prefix"
+                    else fp_e[fp_e["term"].isin(set(matcher[1]))]
+                )
+                if len(g):
+                    blks.append(
+                        (
+                            g["first_doc"].to_numpy(np.int64),
+                            g["last_doc"].to_numpy(np.int64),
+                        )
+                    )
+            restrictions.append(_union(blks))
+        for pkey, p_terms, kind, slop in phrase_specs:
+            if kind != "must":
+                continue
+            # a phrase doc lies in EVERY member's intervals (per field);
+            # clause restriction = union over fields of the per-field
+            # member-interval intersection
+            per_field = []
+            for fld in shard_fields:
+                fp = pdf[pdf["field"] == fld]
+                inter = None
+                for t in dict.fromkeys(p_terms):
+                    g = fp[fp["term"] == t]
+                    if not len(g):
+                        inter = (
+                            np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.int64),
+                        )
+                        break
+                    u = _merge_intervals(
+                        g["first_doc"].to_numpy(np.int64),
+                        g["last_doc"].to_numpy(np.int64),
+                    )
+                    inter = (
+                        u if inter is None else _intersect_intervals(*inter, *u)
+                    )
+                    if inter[0].size == 0:
+                        break
+                if inter is not None and inter[0].size:
+                    per_field.append(inter)
+            restrictions.append(_union([(f, l) for f, l in per_field]))
+        conj = None
+        if restrictions:
+            conj = restrictions[0]
+            for r in restrictions[1:]:
+                conj = _intersect_intervals(*conj, *r)
+            if conj[0].size == 0:
+                # some MUST clause matches nothing in this shard
+                return pd.DataFrame(
+                    {"shard_id": [], "__docid": [], "score": []}
+                ).astype(
+                    {"shard_id": np.int32, "__docid": np.int64,
+                     "score": np.float64}
+                )
 
         def merge_extras(uniq, scores, must_cnt, ranges=None):
             """Fold phrase- and prefix-clause matches into the
@@ -526,7 +651,13 @@ def _make_shard_scorer(
             return mask
 
         total_blocks = sum(c["firsts"].size for c in cl)
-        all_sel = [np.arange(c["firsts"].size) for c in cl]
+        if conj is None:
+            all_sel = [np.arange(c["firsts"].size) for c in cl]
+        else:
+            all_sel = [
+                np.nonzero(_overlap_mask(c["firsts"], c["lasts"], *conj))[0]
+                for c in cl
+            ]
 
         # SHOULD-kind extras join pruning as pseudo-clauses with block
         # intervals + upper bounds: (firsts, lasts, ub_per_block, cmax)
@@ -534,7 +665,7 @@ def _make_shard_scorer(
             kind == "should" for _, kind in extra_kinds
         )
         use_prune = (
-            total_blocks > PRUNE_MIN_BLOCKS
+            total_blocks > prune_min_blocks
             and bool(cl)
             and (not extra_kinds or prunable_extras)
         )
@@ -634,6 +765,8 @@ def _make_shard_scorer(
                 [cl[ci]["lasts"][bi : bi + 1] for ci, bi in zip(flat_ci[top_idx], flat_bi[top_idx])]
             )
             rf, rl = _merge_intervals(sf, sl)
+            if conj is not None:
+                rf, rl = _intersect_intervals(rf, rl, *conj)
             sel1 = [
                 np.nonzero(_overlap_mask(c["firsts"], c["lasts"], rf, rl))[0]
                 for c in cl
@@ -668,6 +801,8 @@ def _make_shard_scorer(
                     rf2, rl2 = _merge_intervals(
                         np.concatenate(surv_f), np.concatenate(surv_l)
                     )
+                    if conj is not None:
+                        rf2, rl2 = _intersect_intervals(rf2, rl2, *conj)
                 else:
                     rf2 = rl2 = np.empty(0, dtype=np.int64)
                 all_sel = [
@@ -690,13 +825,19 @@ def _make_shard_scorer(
                 uniq, scores, must_cnt, hit_of = exact(all_sel)
                 key_docs = {}
                 if extra_kinds:
-                    uniq, scores, must_cnt, key_docs = merge_extras(uniq, scores, must_cnt)
+                    uniq, scores, must_cnt, key_docs = merge_extras(
+                        uniq, scores, must_cnt, ranges=conj
+                    )
                 mask = gate(uniq, scores, must_cnt, hit_of, key_docs) if uniq.size else np.zeros(0, dtype=bool)
         else:
             uniq, scores, must_cnt, hit_of = exact(all_sel)
             key_docs = {}
             if extra_kinds:
-                uniq, scores, must_cnt, key_docs = merge_extras(uniq, scores, must_cnt)
+                # extras (incl. MUST/NOT phrases) decode only the blocks
+                # overlapping the conjunctive MUST ranges when present
+                uniq, scores, must_cnt, key_docs = merge_extras(
+                    uniq, scores, must_cnt, ranges=conj
+                )
             mask = gate(uniq, scores, must_cnt, hit_of, key_docs) if uniq.size else np.zeros(0, dtype=bool)
 
         docs_f, scores_f = uniq[mask], scores[mask]
@@ -756,6 +897,11 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
 
     parsed = parse_keyword(query.keyword, ctx.analyzer)
     if parsed.match_all or parsed.empty:
+        return None
+    if parsed.bool_groups:
+        # group-local +/- (nested BooleanQuery): conditional member
+        # scoring — executed by the declarative scorer_df path (rare
+        # syntax; round 4)
         return None
     if (
         not parsed.scoring_terms

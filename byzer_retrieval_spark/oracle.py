@@ -124,30 +124,66 @@ class BM25Oracle:
             return self.prefix_match(i, m[1])
         return self.fuzzy_match(i, m[1], m[2])
 
+    def _member_score(self, i: int, m: Tuple) -> Optional[float]:
+        """A group member's clause score (None = no match): term/phrase
+        members score BM25; prefix/fuzzy members constant 1.0."""
+        if m[0] == "term":
+            return self.score_doc(i, (m[1],))
+        if m[0] == "phrase":
+            return (
+                self.score_phrase(i, m[1])
+                if m[2] == 0
+                else self.score_near(i, m[1], m[2])
+            )
+        if m[0] == "prefix":
+            return 1.0 if self.prefix_match(i, m[1]) else None
+        return 1.0 if self.fuzzy_match(i, m[1], m[2]) else None
+
+    def _bool_group_eval(self, i: int, g: Tuple) -> Tuple[bool, float]:
+        """(matched, score) of a nested BooleanQuery group (round 4,
+        group-local +/-): all musts, no nots, >= 1 should when no
+        musts; score = Σ matching must+should member scores."""
+        _, sh, mu, no = g
+        if any(self._member_match(i, m) for m in no):
+            return False, 0.0
+        if mu:
+            if not all(self._member_match(i, m) for m in mu):
+                return False, 0.0
+        elif not any(self._member_match(i, m) for m in sh):
+            return False, 0.0
+        sc = 0.0
+        for m in dict.fromkeys(mu + sh):
+            x = self._member_score(i, m)
+            if x is not None:
+                sc += x
+        return True, sc
+
     def _fuzzy_expansion(
         self, word: str, max_edits: int, max_expansions: int = 50
     ) -> frozenset:
         """The engine's capped dictionary expansion, replicated over
-        the oracle's vocabulary: terms within classic Levenshtein
+        the oracle's vocabulary: terms within Damerau-Levenshtein (OSA)
         distance, CLOSEST ``max_expansions`` kept (ties by term order)
         — mirrors operators/filtering.expand_fuzzy exactly so engine
         and oracle agree on dense fuzzy neighborhoods."""
+        from byzer_retrieval_spark.functions.editdist import osa_distance
+
         cache = self.__dict__.setdefault("_fz_cache", {})
         key = (word, max_edits, max_expansions)
         if key not in cache:
             cand = sorted(
-                (_lev(t, word), t)
+                (osa_distance(t, word), t)
                 for t in self.df
                 if abs(len(t) - len(word)) <= max_edits
-                and _lev(t, word) <= max_edits
+                and osa_distance(t, word) <= max_edits
             )
             cache[key] = frozenset(t for _, t in cand[:max_expansions])
         return cache[key]
 
     def fuzzy_match(self, i: int, word: str, max_edits: int) -> bool:
         """FuzzyQuery membership against the CAPPED expansion
-        (classic Levenshtein — Lucene uses Damerau, documented
-        deviation; 50-term cap = Lucene's maxExpansions default)."""
+        (Damerau-Levenshtein/OSA — Lucene transpositions=true parity;
+        50-term cap = Lucene's maxExpansions default)."""
         exp = self._fuzzy_expansion(word, max_edits)
         return any(t in exp for t in self.tf[i])
 
@@ -227,10 +263,29 @@ class BM25Oracle:
                 for g in parsed.any_groups_ext
             ):
                 continue
+            # nested boolean groups (group-local +/-)
+            g_score, g_matched, veto = 0.0, False, False
+            for g in parsed.bool_groups:
+                matched, sc = self._bool_group_eval(i, g)
+                if g[0] == "not":
+                    if matched:
+                        veto = True
+                        break
+                elif g[0] == "must":
+                    if not matched:
+                        veto = True
+                        break
+                    g_score += sc
+                    g_matched = True
+                elif matched:
+                    g_score += sc
+                    g_matched = True
+            if veto:
+                continue
             if not (
                 parsed.must or parsed.should or parsed.scoring_phrases
                 or parsed.scoring_prefixes or parsed.scoring_fuzzies
-                or parsed.scoring_nears
+                or parsed.scoring_nears or parsed.scoring_bool_groups
             ):
                 continue  # pure-negative query matches nothing (Lucene)
             s = self.score_doc(i, parsed.scoring_terms)
@@ -242,9 +297,9 @@ class BM25Oracle:
             x_hits += [self.fuzzy_match(i, w, n) for w, n in parsed.scoring_fuzzies]
             p_score += float(sum(x_hits))
             p_matched = any(x is not None for x in p_parts) or any(x_hits)
-            if s is None and not p_matched and not parsed.must:
+            if s is None and not p_matched and not parsed.must and not g_matched:
                 continue
-            out.append((row[self.key_field], (s or 0.0) + p_score))
+            out.append((row[self.key_field], (s or 0.0) + p_score + g_score))
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:limit]
 
@@ -263,18 +318,3 @@ class BM25Oracle:
         return rows[:limit] if limit is not None else rows
 
 
-def _lev(a: str, b: str) -> int:
-    """Classic Levenshtein (insert/delete/substitute), two-row DP."""
-    if a == b:
-        return 0
-    if not a:
-        return len(b)
-    if not b:
-        return len(a)
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]

@@ -17,9 +17,10 @@ The reference's whole query language is a JSON ``SearchQuery`` record
   match-all (RetrievalWorker.java:336-338), ``"phrase"`` (exact) and
   ``"phrase"~N`` (NEAR), ``stem*`` prefixes, ``word~N`` fuzzies,
   ``a | b`` OR, and ``(...)`` groups — nesting-aware, any member kind,
-  with ``+(...)`` as a must-ANY gate and ``-(...)`` De-Morganed into
-  NOT clauses. Only ``+``/``-`` INSIDE groups stays out (documented:
-  Lucene would nest a full BooleanQuery).
+  with ``+(...)`` as a must-ANY gate, ``-(...)`` De-Morganed into
+  NOT clauses, and (round 4) GROUP-LOCAL ``+``/``-`` members compiled
+  to nested-BooleanQuery ``bool_groups`` — the full SimpleQueryParser
+  surface.
 - ``sorts`` ``[{"field": "desc"|"asc"}, ...]`` (reference:
   Utils.java:306-329).
 
@@ -119,11 +120,23 @@ class ParsedKeyword:
     # ("term", t) | ("phrase", terms, slop) | ("prefix", stem) |
     # ("fuzzy", word, max_edits) — so +("a b" c*) gates correctly on
     # phrase and prefix members too. Nested PLAIN groups flatten into
-    # the enclosing group (disjunction of a disjunction); +/- inside
-    # groups remains out of scope (documented — Lucene would nest a
-    # full BooleanQuery).
+    # the enclosing group (disjunction of a disjunction); groups with
+    # group-local +/- members compile to ``bool_groups`` instead
+    # (round 4).
     must_any_groups: Tuple[Tuple[str, ...], ...] = ()
     any_groups_ext: Tuple[Tuple[Tuple, ...], ...] = ()
+    # groups with GROUP-LOCAL ``+``/``-`` members (round 4 — the last
+    # SimpleQueryParser gap): each entry is (kind, should, must, not_)
+    # where kind is the group's top-level sign ('should'|'must'|'not')
+    # and the three member tuples hold descriptors as in
+    # any_groups_ext. Semantics = Lucene's nested BooleanQuery: the
+    # group matches a doc iff all ``must`` members match, no ``not_``
+    # member matches, and (when ``must`` is empty) >= 1 ``should``
+    # member matches; its score is the sum of matching must+should
+    # member scores and is added ONLY for docs the group matches.
+    # Executed by the declarative scorer (scorer_df) — the WAND and
+    # batch paths route such queries there (rare syntax).
+    bool_groups: Tuple[Tuple[str, Tuple[Tuple, ...], Tuple[Tuple, ...], Tuple[Tuple, ...]], ...] = ()
     # ``"a b"~N`` sloppy phrases: ((terms...), slop) per clause.
     # Semantics (documented deviation from Lucene's move-distance
     # matcher, identical for the 2-term case): a match is a position p0
@@ -220,11 +233,21 @@ class ParsedKeyword:
         )
 
     @property
+    def scoring_bool_groups(self) -> bool:
+        """True when some nested-boolean group can contribute matches
+        (a 'not'-kind group only excludes; an all-negative group
+        matches nothing)."""
+        return any(
+            kind in ("should", "must") and (sh or mu)
+            for kind, sh, mu, _ in self.bool_groups
+        )
+
+    @property
     def empty(self) -> bool:
         return not (
             self.should or self.must or self.must_not or self.match_all
             or self.all_phrases or self.all_prefixes or self.all_fuzzies
-            or self.must_any_groups or self.all_nears
+            or self.must_any_groups or self.all_nears or self.bool_groups
         )
 
 
@@ -283,59 +306,72 @@ def _extract_groups(s: str):
     return "".join(out), groups
 
 
-def _group_members(body: str, mode: str) -> Tuple[List[Tuple], List[Tuple]]:
-    """Atoms of a group body as (members, neg_members) — descriptors
+def _group_members(
+    body: str, mode: str
+) -> Tuple[List[Tuple], List[Tuple], List[Tuple]]:
+    """Atoms of a group body as (should, must, not_) — descriptors
     ("term", t), ("phrase", toks, slop), ("prefix", stem),
-    ("fuzzy", word, n). Nested PLAIN groups flatten into ``members``
-    (a disjunction of a disjunction is the flat disjunction — exact);
-    a nested ``-(...)`` group's atoms land in ``neg_members`` (they
-    must NOT become positive matches — that would invert the query);
-    a nested ``+(...)`` flattens as plain (a must inside a disjunction
-    is out of scope, documented). ``+``/``-`` on bare TERMS inside
-    groups is likewise not interpreted (the sign chars pass to the
-    analyzer as ordinary text — Lucene would nest a BooleanQuery)."""
+    ("fuzzy", word, n). ``+atom`` / ``-atom`` INSIDE a group are
+    GROUP-LOCAL MUST / MUST_NOT (round 4 — Lucene nests a full
+    BooleanQuery; any atom kind may carry a sign). Nested PLAIN groups
+    flatten into ``should`` (a disjunction of a disjunction is the flat
+    disjunction — exact); a nested ``-(...)`` group's atoms land in
+    ``not_`` (they must NOT become positive matches — that would
+    invert the query); a nested ``+(...)`` flattens as plain (a must
+    inside a disjunction is out of scope, documented). Signs on atoms
+    of NESTED groups hoist to the ENCLOSING group's buckets (one-level
+    sign flattening — documented deviation for deep nesting)."""
     import re as _re
 
-    members: List[Tuple] = []
+    should: List[Tuple] = []
+    musts: List[Tuple] = []
     negs: List[Tuple] = []
 
+    def _bucket(sign: str) -> List[Tuple]:
+        return musts if sign == "+" else negs if sign == "-" else should
+
     def on_ph(m: "_re.Match") -> str:
-        toks = tuple(tokenize_py(m.group(1), mode))
-        slop = int(m.group(2) or 0)
+        sign = m.group(1)
+        toks = tuple(tokenize_py(m.group(2), mode))
+        slop = int(m.group(3) or 0)
         if len(toks) == 1:
-            members.append(("term", toks[0]))
+            _bucket(sign).append(("term", toks[0]))
         elif toks:
-            members.append(("phrase", toks, slop))
+            _bucket(sign).append(("phrase", toks, slop))
         return " "
 
-    rest = _re.sub(r'"([^"]*)"(?:~(\d+))?', on_ph, body)
+    rest = _re.sub(r'([+-]?)"([^"]*)"(?:~(\d+))?', on_ph, body)
     rest, inner = _extract_groups(rest)
     for sign, b in inner:
-        sub_m, sub_n = _group_members(b, mode)
+        sub_sh, sub_mu, sub_no = _group_members(b, mode)
         if sign == "-":
             # NOT(sub-disjunction): every positive atom becomes a NOT;
             # double negation inside stays out of scope → also NOT
             # (conservative: never promotes an excluded atom to a match)
-            negs.extend(sub_m + sub_n)
+            negs.extend(sub_sh + sub_mu + sub_no)
         else:
-            members.extend(sub_m)
-            negs.extend(sub_n)
+            should.extend(sub_sh)
+            musts.extend(sub_mu)
+            negs.extend(sub_no)
     fuzzy_re = _re.compile(r"^(.+?)~(\d*)$")
     for raw in (t for t in _WS_RE.split(rest) if t and t != "|"):
+        bucket = should
+        if raw[0] in "+-" and len(raw) > 1:
+            bucket, raw = _bucket(raw[0]), raw[1:]
         fz = fuzzy_re.match(raw)
         if fz:
             stem = tokenize_py(fz.group(1), mode)
             if len(stem) == 1:
-                members.append(("fuzzy", stem[0], int(fz.group(2) or 2)))
+                bucket.append(("fuzzy", stem[0], int(fz.group(2) or 2)))
                 continue
         if raw.endswith("*") and len(raw) > 1:
             stem = tokenize_py(raw[:-1], mode)
             if len(stem) == 1:
-                members.append(("prefix", stem[0]))
+                bucket.append(("prefix", stem[0]))
                 continue
         for tok in tokenize_py(raw, mode):
-            members.append(("term", tok))
-    return members, negs
+            bucket.append(("term", tok))
+    return should, musts, negs
 
 
 def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeyword:
@@ -376,6 +412,7 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
     # phrases (with slop), prefixes, fuzzies, and nested PLAIN groups.
     any_groups: List[Tuple[str, ...]] = []
     groups_ext: List[Tuple[Tuple, ...]] = []
+    bgroups: List[Tuple[str, Tuple, Tuple, Tuple]] = []
     rest0, sgroups = _extract_groups(keyword)
 
     def _route_members(ms: List[Tuple], t_b, p_b, nr_b, x_b, z_b) -> None:
@@ -390,16 +427,23 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
                 z_b.append((m[1], m[2]))
 
     for sign, body in sgroups:
-        members, negs = _group_members(body, mode)
+        g_sh, g_mu, g_no = _group_members(body, mode)
+        if g_mu or g_no:
+            # group-local +/- present (round 4): the group is a
+            # self-contained nested BooleanQuery — its members do NOT
+            # flatten into the top-level buckets (membership and score
+            # are conditional on the whole group matching). Executed by
+            # the declarative scorer; WAND/batch route there.
+            kind = "must" if sign == "+" else ("not" if sign == "-" else "should")
+            bgroups.append((kind, tuple(g_sh), tuple(g_mu), tuple(g_no)))
+            continue
+        members, negs = g_sh, g_no  # sign-free group: exact flattening
         if sign == "-":
             # -(...) = NOT(any member) — De Morgan; nested negs too
             _route_members(members + negs, must_not, p_not, n_not, x_not, z_not)
             continue
-        # positive members score as ordinary SHOULD clauses; atoms of a
-        # nested -(...) become top-level NOTs (stricter than Lucene's
-        # group-local MUST_NOT — documented; never inverts)
+        # positive members score as ordinary SHOULD clauses
         _route_members(members, should, p_should, n_should, x_should, z_should)
-        _route_members(negs, must_not, p_not, n_not, x_not, z_not)
         if sign == "+" and members:
             if all(m[0] == "term" for m in members):
                 # the back-compat term projection lists ONLY all-term
@@ -474,6 +518,7 @@ def parse_keyword(keyword: Optional[str], mode: str = WHITESPACE) -> ParsedKeywo
         not_fuzzies=tuple(z_not),
         must_any_groups=tuple(any_groups),
         any_groups_ext=tuple(groups_ext),
+        bool_groups=tuple(bgroups),
         near_phrases=tuple(n_should),
         must_near_phrases=tuple(n_must),
         not_near_phrases=tuple(n_not),

@@ -51,16 +51,50 @@ def test_vector_queries_not_batchable():
     assert is_batchable(parse_keyword(q2.keyword, "whitespace"), q2)
 
 
-def test_operator_rejects_phrase(corpus_engine):
-    """The low-level operator still refuses phrase shapes (the engine
-    facade is what falls back)."""
+def test_operator_rejects_match_all(corpus_engine):
+    """The low-level operator still refuses match-all (no scoring
+    clauses to share — the engine facade is what falls back); phrases
+    are batchable since round 4."""
     from byzer_retrieval_spark.operators.batch import batch_search
 
     with pytest.raises(ValueError, match="not batchable"):
         batch_search(
             corpus_engine.query_ctx(),
-            [SearchQuery(keyword='"def return"', fields=["content"], limit=5)],
+            [SearchQuery(keyword="*", fields=["content"], limit=5)],
         )
+
+
+def test_batch_phrases_match_single(corpus_engine):
+    """Exact and sloppy phrase clauses (should/must/not kinds) run IN
+    the one-job batch scorer (round 4) and must stay rank- and
+    score-identical to the per-query WAND path."""
+    from byzer_retrieval_spark.operators.batch import is_batchable
+    from byzer_retrieval_spark.plans.query import parse_keyword
+
+    kws = [
+        '"def return"',
+        '"def return"~2 class',
+        '+"def return" import',
+        '-"def return" import',
+        '"return def"~3',
+    ]
+    qs = [SearchQuery(keyword=k, fields=["content"], limit=10) for k in kws]
+    for q in qs:
+        assert is_batchable(parse_keyword(q.keyword, "whitespace"), q), q.keyword
+    rows = corpus_engine.batch_search(qs).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append((r["_id"], r["_score"]))
+    for qid, q in enumerate(qs):
+        single = [
+            (r["_id"], r["_score"]) for r in corpus_engine.search(q).collect()
+        ]
+        got = by_qid.get(qid, [])
+        assert [g[0] for g in got] == [s[0] for s in single], (qid, q.keyword)
+        if got:
+            np.testing.assert_allclose(
+                [g[1] for g in got], [s[1] for s in single], rtol=1e-12
+            )
 
 
 def test_batch_universal_shapes_match_single(corpus_engine):

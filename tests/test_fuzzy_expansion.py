@@ -48,3 +48,37 @@ def test_uncapped_and_band(fuzz_engine):
     assert set(got1) == (
         {f"zw0{i}" for i in range(1, 10)} | {f"zw{i}0" for i in range(1, 10)}
     )
+
+
+def test_transposition_is_one_edit(spark, tmp_path):
+    """Damerau parity (round 4, Lucene transpositions=true): 'form' is
+    ONE edit from 'from' (classic Levenshtein says two), so form~1 must
+    match docs containing 'from' — and the search path must agree with
+    both the expansion and the python oracle."""
+    from byzer_retrieval_spark.functions.editdist import osa_distance
+    from byzer_retrieval_spark.plans.query import SearchQuery
+
+    assert osa_distance("form", "from") == 1
+    assert osa_distance("abcd", "abcd") == 0
+    assert osa_distance("ca", "abc") == 3  # OSA (restricted) semantics
+
+    rows = [
+        {"_id": "1", "content": "from x import y"},
+        {"_id": "2", "content": "form submitted"},
+        {"_id": "3", "content": "wholly unrelated words"},
+    ]
+    eng = RetrievalEngine(spark, str(tmp_path / "dlx"))
+    eng.build(
+        spark.createDataFrame(rows),
+        cfg=IndexConfig(num_shards=2, analyzed_fields=("content",), id_columns=()),
+        resume=False,
+    )
+    got = expand_fuzzy(eng.ctx(), ["content"], "form", 1)
+    assert "from" in got and "form" in got
+    hits = [
+        r["_id"]
+        for r in eng.search(
+            SearchQuery(keyword="form~1", fields=["content"], limit=10)
+        ).collect()
+    ]
+    assert set(hits) == {"1", "2"}

@@ -36,11 +36,48 @@ def test_parse_nested_and_member_kinds():
     # quotes shield parens; plain groups add no gate
     p = parse_keyword("(a b) c")
     assert p.must_any_groups == () and set(p.should) == {"a", "b", "c"}
-    # a signed NESTED group must never invert: -(...) atoms become NOTs
+    # round 4: a nested -(...) is now the GROUP's local MUST_NOT (the
+    # true nested-BooleanQuery semantics; r3 hoisted it to a top-level
+    # NOT, which was stricter) — the group compiles to bool_groups
     p = parse_keyword("(a -(spam ham)) d")
-    assert set(p.should) == {"a", "d"} and set(p.must_not) == {"spam", "ham"}
+    assert p.bool_groups == (
+        (
+            "should",
+            (("term", "a"),),
+            (),
+            (("term", "spam"), ("term", "ham")),
+        ),
+    )
+    assert set(p.should) == {"d"} and p.must_not == ()
     p = parse_keyword("+(a -(spam)) d")
-    assert p.must_any_groups == (("a",),) and "spam" in p.must_not
+    assert p.bool_groups[0][0] == "must"
+    assert p.bool_groups[0][3] == (("term", "spam"),)
+
+
+def test_parse_group_local_signs():
+    """Round 4 — the last SimpleQueryParser gap: ``+``/``-`` on atoms
+    INSIDE a group compile to nested-BooleanQuery bool_groups."""
+    p = parse_keyword("(+a b) c")
+    assert p.bool_groups == (
+        ("should", (("term", "b"),), (("term", "a"),), ()),
+    )
+    assert set(p.should) == {"c"}
+    p = parse_keyword("(a -b) c")
+    assert p.bool_groups == (
+        ("should", (("term", "a"),), (), (("term", "b"),)),
+    )
+    p = parse_keyword('+(+"a b" c* -d~1)')
+    assert p.bool_groups == (
+        (
+            "must",
+            (("prefix", "c"),),
+            (("phrase", ("a", "b"), 0),),
+            (("fuzzy", "d", 1),),
+        ),
+    )
+    # sign-free groups keep the exact flattening path
+    p = parse_keyword("(a b) c")
+    assert p.bool_groups == () and set(p.should) == {"a", "b", "c"}
 
 
 @pytest.fixture(scope="module")
@@ -79,3 +116,48 @@ def test_group_gate_actually_gates(corpus_engine, oracle):
     q = SearchQuery(keyword=kw, fields=["content"], limit=10)
     assert corpus_engine.search(q).count() == 0
     assert oracle.search(kw, limit=10) == []
+
+
+BOOL_GROUP_QUERIES = [
+    "(+def return) lambda",        # group-local MUST + should member
+    "(def -return) lambda",        # group-local NOT
+    "(+def +class) if",            # two group-local MUSTs
+    "+(+class -lambda def) return",  # MUST group with local +/-
+    "-(+def class) return",        # NOT group with a local MUST
+    '(+"def return" class) if',    # phrase as group-local MUST
+    "(sym_1* -def) return",        # prefix should + local NOT
+    "(a -(spam ham)) def",         # nested -(...) = group-local NOT
+]
+
+
+@pytest.mark.parametrize("keyword", BOOL_GROUP_QUERIES)
+def test_bool_group_rank_identity(corpus_engine, oracle, keyword):
+    """Group-local +/- (round 4): the engine dispatch (WAND refuses →
+    declarative path) must be rank- AND score-identical to the
+    brute-force oracle."""
+    q = SearchQuery(keyword=keyword, fields=["content"], limit=10)
+    exp = oracle.search(keyword, limit=10)
+    got = [
+        (r["_id"], r["_score"])
+        for r in corpus_engine.search(q).collect()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in exp], keyword
+    if got:
+        np.testing.assert_allclose(
+            [g[1] for g in got], [e[1] for e in exp], rtol=1e-9
+        )
+
+
+def test_bool_group_conditional_score(corpus_engine, oracle):
+    """The group's member scores must NOT leak into docs the group does
+    not match: with '(def -return) lambda', a doc containing def AND
+    return scores ONLY lambda."""
+    kw = "(def -return) lambda"
+    got = {
+        r["_id"]: r["_score"]
+        for r in corpus_engine.search(
+            SearchQuery(keyword=kw, fields=["content"], limit=1000)
+        ).collect()
+    }
+    exp = dict(oracle.search(kw, limit=10**6))
+    assert got == pytest.approx(exp)

@@ -193,3 +193,93 @@ def test_ann_build_tolerates_null_vectors(spark, tmp_path):
         idx.build(df, "id", "vec", dim=3)
         got = {r["id"] for r in idx.candidates(spark, [1.0, 1.0, 0.0], 99).collect()}
         assert got == {str(i) for i in range(20) if i % 2 == 0}
+
+
+def test_compact_keeps_ann_current(spark, tmp_path):
+    """Round 4: compact physically drops the dead rows from the ANN
+    tables (live docids survive a compact unchanged), so the index
+    stays CURRENT — vector search takes the ANN path after compact and
+    matches brute force exactly at exhaustive probe width."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    src = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").cast("string").alias("_id"),
+        "doc_id", "text", "lang", "embedding",
+    )
+    eng = RetrievalEngine(spark, str(tmp_path / "annc"))
+    eng.build(
+        src,
+        cfg=IndexConfig(num_shards=4, analyzed_fields=("text",), id_columns=()),
+        resume=False,
+    )
+    eng.build_vector_ann(
+        "embedding", kind="lsh", num_planes=6, num_tables=2,
+        probe={"probe_hamming": 6},  # exhaustive → equals exact scan
+    )
+    qv = _qvec()
+    q = SearchQuery(vector=qv, vector_field="embedding", limit=10)
+    victims = [r["_id"] for r in eng.search(q).collect()[:3]]
+    eng.delete_by_ids(victims)
+    out = eng.compact()
+    assert out["compacted_shards"] > 0
+    # the index must still be CURRENT (no exact-scan fallback)...
+    assert eng._current_ann(eng.store(), "embedding") is not None
+    got = [(r["_id"], round(r["_score"], 6)) for r in eng.search(q).collect()]
+    # ...serve no deleted doc, and match the exact scan post-compact
+    assert not (set(v for v, _ in got) & set(victims))
+    import shutil
+    shutil.rmtree(str(tmp_path / "annc" / "default" / "default" / "ann"))
+    eng._ctx_cache.clear()
+    exact = [(r["_id"], round(r["_score"], 6)) for r in eng.search(q).collect()]
+    assert got == exact
+
+
+def test_ann_append_compaction_threshold(spark, tmp_path):
+    """After ANN_COMPACT_EVERY incremental appends the engine rewrites
+    the ANN data dir back to one file set per partition (small-file
+    control for streamed upserts)."""
+    import glob
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    src = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").cast("string").alias("_id"),
+        "doc_id", "text", "lang", "embedding",
+    )
+    eng = RetrievalEngine(spark, str(tmp_path / "annf"))
+    eng.ANN_COMPACT_EVERY = 2
+    eng.build(
+        src,
+        cfg=IndexConfig(num_shards=2, analyzed_fields=("text",), id_columns=()),
+        resume=False,
+    )
+    eng.build_vector_ann(
+        "embedding", kind="lsh", num_planes=4, num_tables=1,
+        probe={"probe_hamming": 4},
+    )
+    base = src.limit(1).collect()[0]
+    for i in range(2):  # two upserts → hits the threshold → compact
+        eng.upsert(
+            spark.createDataFrame(
+                [(f"up_{i}", 8_000_000 + i, "t", "en", list(base["embedding"]))],
+                "  _id string, doc_id long, text string, lang string,"
+                "  embedding array<float>",
+            )
+        )
+    import json, os
+
+    state_p = os.path.join(
+        str(tmp_path / "annf"), "default", "default", "ann", "embedding",
+        "state.json",
+    )
+    with open(state_p) as f:
+        st = json.load(f)
+    assert st["appends"] == 0  # reset by the threshold compact
+    # compacted layout: no partition dir holds more than one file set
+    data = os.path.join(
+        str(tmp_path / "annf"), "default", "default", "ann", "embedding",
+        "lsh", "data",
+    )
+    q = SearchQuery(vector=_qvec(), vector_field="embedding", limit=5)
+    assert eng._current_ann(eng.store(), "embedding") is not None
+    assert len(eng.search(q).collect()) == 5
