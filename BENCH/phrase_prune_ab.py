@@ -1,11 +1,14 @@
-"""A/B: phrase-aware block pruning (r3) vs forced-exhaustive scoring.
+"""A/B: phrase-aware block pruning (r3) + conjunctive MUST restriction
+(r4) vs forced-exhaustive scoring.
 
-Builds one large index, then times phrase-bearing queries twice in
-SEPARATE subprocesses: BYZER_PRUNE_MIN_BLOCKS=32 (default, pruning on)
-vs 10^9 (exhaustive) — the knob is read at import time so executors
-see it. The interesting shapes pair a rare/selective term with a
-hot-term phrase: pruning should skip the phrase postings outside the
-survivor ranges.
+Builds one large index, then times phrase-bearing queries in SEPARATE
+subprocesses per mode: BYZER_PRUNE_MIN_BLOCKS=32 (default, θ0 pruning
+on) vs 10^9 (exhaustive); BYZER_CONJ_RESTRICT=1 (default) vs 0 for the
+MUST-kind queries (θ0 is off for MUST extras either way, so that pair
+isolates the round-4 conjunctive restriction). Both knobs resolve on
+the driver and ride the scorer closure. The interesting shapes pair a
+rare/selective term with a hot-term phrase: pruning should skip the
+phrase postings outside the survivor/conjunctive ranges.
 
 Run: PYTHONPATH=. python BENCH/phrase_prune_ab.py [n_files]
 """
@@ -25,6 +28,16 @@ QUERIES = {
     "hot_phrase_plus_terms": '"import return" def if',
     "rare_plus_hot_slop": 'sym_1717_0 "import return"~2',
     "term_only_control": "def return if",
+}
+
+# MUST-kind shapes (θ0 pruning is OFF for these both ways — the r4
+# conjunctive restriction is the only lever): +rare-term next to a hot
+# phrase, and a MUST hot phrase next to should terms
+MUST_QUERIES = {
+    "must_rare_hot_phrase": '+sym_1717_0 "import return"',
+    "must_hot_phrase": '+"import return" def if',
+    "must_hot_slop": '+"import return"~2 def',
+    "must_rare_term_hot_terms": "+sym_1717_0 import return",
 }
 
 _CHILD = """
@@ -52,10 +65,15 @@ print("RESULT " + json.dumps(out))
 """
 
 
-def run_mode(prune_min: int) -> dict:
-    env = dict(os.environ, BYZER_PRUNE_MIN_BLOCKS=str(prune_min), PYTHONPATH=REPO)
+def run_mode(prune_min: int, conj: int = 1, queries: dict = None) -> dict:
+    env = dict(
+        os.environ,
+        BYZER_PRUNE_MIN_BLOCKS=str(prune_min),
+        BYZER_CONJ_RESTRICT=str(conj),
+        PYTHONPATH=REPO,
+    )
     code = _CHILD.format(
-        repo=REPO, work=WORK, queries_json=json.dumps(QUERIES)
+        repo=REPO, work=WORK, queries_json=json.dumps(queries or QUERIES)
     )
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,
@@ -103,7 +121,27 @@ print("built")
         }
         for name in QUERIES
     }
-    print(json.dumps({"n_files": n_files, "queries": report}, indent=2))
+    conj_on = run_mode(32, conj=1, queries=MUST_QUERIES)
+    conj_off = run_mode(32, conj=0, queries=MUST_QUERIES)
+    conj_report = {
+        name: {
+            "conj_sec": conj_on[name]["sec"],
+            "no_conj_sec": conj_off[name]["sec"],
+            "speedup": round(conj_off[name]["sec"] / conj_on[name]["sec"], 2),
+            "rows_equal": conj_on[name]["rows"] == conj_off[name]["rows"],
+        }
+        for name in MUST_QUERIES
+    }
+    print(
+        json.dumps(
+            {
+                "n_files": n_files,
+                "queries": report,
+                "must_conjunctive": conj_report,
+            },
+            indent=2,
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -191,8 +191,10 @@ def _bm25_phrase_sql(phrase: list[str], terms: list[str], slop: int = 0) -> str:
     """BM25 over (should terms) + (should phrase): phrase tf from a
     position self-join, idf = Σ member idfs — mirrors the engine's
     PhraseQuery semantics (operators/wand._phrase_match). ``slop`` > 0
-    is the NEAR variant: member j within [p0+j-slop, p0+j+slop] of the
-    anchor, matches counted by DISTINCT anchor position."""
+    is the NEAR variant (round 4, Lucene minimal-match): an anchor
+    matches when SOME length-slop window of offset-adjusted positions
+    covers it and one position of every member (for 2-term phrases this
+    equals the ±slop band); matches counted by DISTINCT anchor."""
     from collections import Counter
 
     sc_list = ", ".join(f"'{t}'" for t in terms) or "''"
@@ -201,17 +203,26 @@ def _bm25_phrase_sql(phrase: list[str], terms: list[str], slop: int = 0) -> str:
         for j, t in enumerate(phrase)
     )
     if slop == 0:
+        anchor = "p0"
         joins = " ".join(
             f"JOIN p{j} ON p{j}.doc_id = p0.doc_id AND p{j}.i = p0.i + {j}"
             for j in range(1, len(phrase))
         )
+        ptf_expr = "count(*)"
     else:
+        # window starts w ∈ [anchor - slop, anchor] over ADJUSTED
+        # positions; each member's i - j must land in [w, w + slop]
+        pos_ctes += (
+            f",\np0w AS (SELECT doc_id, i, i - d AS w FROM p0,"
+            f" (SELECT unnest(range({slop + 1})) AS d))"
+        )
+        anchor = "p0w"
         joins = " ".join(
             f"JOIN p{j} ON p{j}.doc_id = p0.doc_id "
-            f"AND p{j}.i BETWEEN p0.i + {j - slop} AND p0.i + {j + slop}"
+            f"AND p{j}.i - {j} BETWEEN p0.w AND p0.w + {slop}"
             for j in range(1, len(phrase))
         )
-    ptf_expr = "count(*)" if slop == 0 else "count(DISTINCT p0.i)"
+        ptf_expr = "count(DISTINCT p0.i)"
     mult_vals = ", ".join(
         f"('{t}', {c})" for t, c in Counter(phrase).items()
     )
@@ -232,7 +243,8 @@ tscore AS (
 tp AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM base),
 {pos_ctes},
 ptf AS (
-  SELECT p0.doc_id, {ptf_expr}::DOUBLE AS ptf FROM p0 {joins} GROUP BY p0.doc_id
+  SELECT p0.doc_id, {ptf_expr}::DOUBLE AS ptf
+  FROM {anchor} p0 {joins} GROUP BY p0.doc_id
 ),
 idfsum AS (
   SELECT sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * m.mult) AS idf_sum

@@ -236,30 +236,47 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
                     *(["dl"] if j == 0 else []),
                     F.explode("positions").alias("__p"),
                 )
-                if j == 0 or slop == 0:
+                if j == 0:
+                    pj = pj.withColumn("__p0", F.col("__p") - F.lit(j)).drop("__p")
+                    if slop > 0:
+                        # NEAR (round 4, Lucene minimal-match): a match
+                        # is a WINDOW [w, w+slop] of offset-adjusted
+                        # positions covering the anchor and one position
+                        # of every member — enumerate the slop+1 window
+                        # starts that cover the anchor
+                        pj = pj.withColumn(
+                            "__w",
+                            F.explode(
+                                F.sequence(
+                                    F.col("__p0") - F.lit(slop), F.col("__p0")
+                                )
+                            ),
+                        )
+                    joined = pj
+                elif slop == 0:
                     # exact path: member j's start candidate is __p - j
                     pj = pj.withColumn("__p0", F.col("__p") - F.lit(j)).drop("__p")
-                    joined = (
-                        pj
-                        if j == 0
-                        else joined.join(pj, ["field", "__docid", "__p0"])
-                    )
+                    joined = joined.join(pj, ["field", "__docid", "__p0"])
                 else:
-                    # NEAR path: member j must land within ±slop of the
-                    # anchor's expected offset; distinct after EACH join
-                    # keeps rows bounded (exists-semantics, no fanout)
+                    # member j's adjusted position must land in the
+                    # window; distinct after EACH join keeps rows
+                    # bounded (exists-semantics, no fanout)
                     pj = pj.withColumnRenamed("__p", "__pj")
                     joined = (
                         joined.join(pj, ["field", "__docid"])
                         .filter(
-                            F.col("__pj").between(
-                                F.col("__p0") + F.lit(j - slop),
-                                F.col("__p0") + F.lit(j + slop),
+                            (F.col("__pj") - F.lit(j)).between(
+                                F.col("__w"), F.col("__w") + F.lit(slop)
                             )
                         )
-                        .select("field", "__docid", "dl", "__p0")
+                        .select("field", "__docid", "dl", "__p0", "__w")
                         .distinct()
                     )
+            if slop > 0:
+                # ∃ window per anchor: collapse the window dimension
+                joined = joined.select(
+                    "field", "__docid", "dl", "__p0"
+                ).distinct()
             if slop > 0:
                 # repeated-term gate: '"a a"~N' requires >= multiplicity
                 # occurrences (matches wand._phrase_match / the oracle)

@@ -64,6 +64,12 @@ PRUNE_MIN_BLOCKS = 32
 def _prune_min_blocks() -> int:
     return int(_os.environ.get("BYZER_PRUNE_MIN_BLOCKS", PRUNE_MIN_BLOCKS))
 
+
+def _conj_enabled() -> bool:
+    """A/B switch for the conjunctive MUST block restriction (round 4)
+    — driver-resolved like _prune_min_blocks. Lossless either way."""
+    return _os.environ.get("BYZER_CONJ_RESTRICT", "1") != "0"
+
 _OUT_SCHEMA = "shard_id int, __docid long, score double"
 
 
@@ -145,14 +151,17 @@ def _phrase_match(
     positions are (doc_rank << 32 | start_pos) keys intersected across
     the phrase's term sequence. slop=0 is Lucene's exact PhraseQuery
     (matches counted by distinct start position); slop>0 is the NEAR
-    variant: a start position p0 of terms[0] matches when every
-    terms[j] has a position within [p0+j-slop, p0+j+slop] (term j's
-    positions expand into their 2·slop+1 candidate p0 values before the
-    intersection) — identical to Lucene's move-distance matcher for
-    2-term phrases of DISTINCT terms; repeated terms additionally
-    require >= multiplicity occurrences (a necessary-condition gate —
-    still lenient vs Lucene's distinct-position assignment beyond
-    that), documented deviation beyond.
+    variant (round 4 — Lucene SloppyPhraseMatcher parity for phrases
+    of DISTINCT terms): an anchor position p0 of terms[0] matches when
+    some length-``slop`` window of offset-adjusted positions covers p0
+    and one position of EVERY member, i.e. ∃ a choice of one position
+    per term with max(pos_j - j) - min(pos_j - j) <= slop — exactly
+    Lucene's minimal-match condition for any arity (the r3 matcher was
+    per-member ±slop around the anchor, lenient beyond 2 terms).
+    phrase_tf counts matching anchors, each weighted 1 (Lucene weights
+    1/(matchLength+1) — documented deviation); repeated terms require
+    >= multiplicity occurrences (a necessary-condition gate — still
+    lenient vs Lucene's distinct-position assignment), documented.
     """
     cand = None
     from collections import Counter as _Counter
@@ -164,28 +173,55 @@ def _phrase_match(
         cand = d if cand is None else cand[np.isin(cand, d)]
         if cand.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-    keys = None
-    for j, t in enumerate(terms):
+
+    def _adjusted(j: int, t: str):
+        """(doc_rank keys, offset-adjusted positions) of term t at
+        phrase slot j, restricted to candidate docs."""
         docs, tfs, dls, pos = datas[t]
         pmask = np.isin(docs, cand)
         tok_mask = np.repeat(pmask, tfs)
         doc_tok = np.repeat(docs, tfs)[tok_mask]
-        base = pos[tok_mask] - j
-        if j == 0 or slop == 0:
-            # terms[0] anchors p0 exactly; slop-0 members too
-            p0s, doc_rep = base, doc_tok
-        else:
-            offs = np.arange(-slop, slop + 1, dtype=np.int64)
-            p0s = (base[:, None] + offs[None, :]).ravel()
-            doc_rep = np.repeat(doc_tok, offs.size)
-        ok = p0s >= 0
-        kj = (np.searchsorted(cand, doc_rep[ok]) << np.int64(32)) | p0s[ok]
-        if j > 0 and slop > 0:
-            kj = np.unique(kj)
-        keys = kj if keys is None else np.intersect1d(keys, kj)
-        if keys.size == 0:
+        return np.searchsorted(cand, doc_tok).astype(np.int64), pos[tok_mask] - j
+
+    if slop == 0:
+        keys = None
+        for j, t in enumerate(terms):
+            dr, base = _adjusted(j, t)
+            ok = base >= 0
+            kj = (dr[ok] << np.int64(32)) | base[ok]
+            keys = kj if keys is None else np.intersect1d(keys, kj)
+            if keys.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        didx = (keys >> np.int64(32)).astype(np.int64)
+        ptf = np.bincount(didx, minlength=cand.size)
+        hit = ptf > 0
+        return cand[hit], ptf[hit]
+
+    # sloppy path: windows are keyed by their START w (shifted by OFF so
+    # packing stays non-negative: adjusted positions are >= -(len-1))
+    OFF = np.int64(slop + len(terms))
+    wset = None  # windows satisfied by EVERY member slot j >= 1
+    offs = np.arange(-slop, 1, dtype=np.int64)  # w in [adj-slop, adj]
+    for j, t in enumerate(terms):
+        if j == 0:
+            continue
+        dr, adj = _adjusted(j, t)
+        ws = ((adj + OFF)[:, None] + offs[None, :]).ravel()
+        doc_rep = np.repeat(dr, offs.size)
+        kj = np.unique((doc_rep << np.int64(32)) | ws)
+        wset = kj if wset is None else np.intersect1d(wset, kj)
+        if wset.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-    didx = (keys >> np.int64(32)).astype(np.int64)
+    dr0, adj0 = _adjusted(0, terms[0])
+    a = adj0 + OFF
+    dk = dr0 << np.int64(32)
+    # anchor matches iff some satisfied window starts in [a-slop, a]
+    # (that window then contains a and one position of every member)
+    lo = np.searchsorted(wset, dk | (a - slop), side="left")
+    safe = np.minimum(lo, wset.size - 1)
+    hit_a = (lo < wset.size) & (wset[safe] <= (dk | a))
+    anchor_keys = np.unique((dk | a)[hit_a])
+    didx = (anchor_keys >> np.int64(32)).astype(np.int64)
     ptf = np.bincount(didx, minlength=cand.size)
     hit = ptf > 0
     return cand[hit], ptf[hit]
@@ -205,6 +241,7 @@ def _make_shard_scorer(
     termset_specs: Tuple[Tuple[str, Tuple[str, ...], str], ...] = (),
     any_groups: Tuple[Tuple[str, ...], ...] = (),
     prune_min_blocks: Optional[int] = None,
+    conj_restrict: Optional[bool] = None,
 ):
     """idf is derived in-task from the broadcast-joined ``df`` column —
     no eager stats collect on the driver, so a whole search is ONE job.
@@ -252,6 +289,8 @@ def _make_shard_scorer(
     """
     if prune_min_blocks is None:
         prune_min_blocks = _prune_min_blocks()  # driver-resolved
+    if conj_restrict is None:
+        conj_restrict = _conj_enabled()
     scoring_set = set(scoring_terms)
     # (key, kind) of every extra clause — uniform across the 3-tuple
     # prefix/termset specs and 4-tuple phrase specs
@@ -332,7 +371,7 @@ def _make_shard_scorer(
 
         shard_fields = sorted(set(pdf["field"]) & set(field_stats))
         restrictions = []  # one (rf, rl) interval union per MUST clause
-        for t in set(must_terms):
+        for t in set(must_terms) if conj_restrict else ():
             restrictions.append(
                 _union([(c["firsts"], c["lasts"]) for c in cl if c["term"] == t])
             )
@@ -340,7 +379,7 @@ def _make_shard_scorer(
             [(pk, ("prefix", st), kd) for pk, st, kd in prefix_specs]
             + [(pk, ("set", ts), kd) for pk, ts, kd in termset_specs]
         ):
-            if kind != "must":
+            if kind != "must" or not conj_restrict:
                 continue
             blks = []
             for fld_e in shard_fields:
@@ -359,7 +398,7 @@ def _make_shard_scorer(
                     )
             restrictions.append(_union(blks))
         for pkey, p_terms, kind, slop in phrase_specs:
-            if kind != "must":
+            if kind != "must" or not conj_restrict:
                 continue
             # a phrase doc lies in EVERY member's intervals (per field);
             # clause restriction = union over fields of the per-field

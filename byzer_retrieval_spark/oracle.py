@@ -72,10 +72,13 @@ class BM25Oracle:
         )
 
     def near_tf(self, i: int, terms: Sequence[str], slop: int) -> int:
-        """``"a b"~N`` NEAR occurrences in doc i: count of positions p0
-        of terms[0] such that every terms[j] occurs within
-        [p0+j-slop, p0+j+slop] (the engine's documented slop semantics,
-        wand._phrase_match)."""
+        """``"a b"~N`` NEAR occurrences in doc i: count of anchor
+        positions p0 of terms[0] for which SOME length-``slop`` window
+        of offset-adjusted positions covers p0 and one position of
+        every member — i.e. a selection with max(pos_j - j) -
+        min(pos_j - j) <= slop exists (round 4, Lucene
+        SloppyPhraseMatcher minimal-match condition for any arity;
+        mirrors wand._phrase_match)."""
         toks = self.toks[i]
         pos: Dict[str, List[int]] = {}
         for p, t in enumerate(toks):
@@ -87,12 +90,17 @@ class BM25Oracle:
         for t, m in Counter(terms).items():
             if len(pos[t]) < m:
                 return 0
+        adj = [
+            {q - j for q in pos[t]} for j, t in enumerate(terms)
+        ]
         count = 0
-        for p0 in pos[terms[0]]:
-            if all(
-                any(abs(q - (p0 + j)) <= slop for q in pos[t])
-                for j, t in enumerate(terms)
-                if j > 0
+        for p0 in adj[0]:
+            if any(
+                all(
+                    any(w <= x <= w + slop for x in adj[j])
+                    for j in range(1, len(terms))
+                )
+                for w in range(p0 - slop, p0 + 1)
             ):
                 count += 1
         return count

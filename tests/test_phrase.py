@@ -181,3 +181,44 @@ def test_slop_zero_via_tilde_equals_exact_phrase(corpus_engine, oracle):
     exact-phrase clause)."""
     p = parse_keyword('"import return"~0')
     assert p.phrases == (("import", "return"),) and not p.near_phrases
+
+
+def test_three_term_slop_minimal_match_parity(spark, tmp_path):
+    """Round 4: the NEAR matcher uses Lucene's minimal-match condition
+    for ANY arity — a selection of one position per term with adjusted
+    spread <= slop must exist. 'a c b' vs "a b c"~1 has minimal spread
+    2 (the classic transposition-needs-slop-2 case), so it must NOT
+    match at slop 1 (the r3 per-member ±slop matcher wrongly accepted
+    it); 'a b x c' has spread 1 and must match. Engine fast path, the
+    declarative path and the python oracle must all agree."""
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+
+    rows = [
+        {"_id": "swap", "content": "a c b"},
+        {"_id": "gap", "content": "a b x c"},
+        {"_id": "exact", "content": "a b c"},
+        {"_id": "far", "content": "a x x x b x x c"},
+    ]
+    eng = RetrievalEngine(spark, str(tmp_path / "slop3"))
+    eng.build(
+        spark.createDataFrame(rows),
+        cfg=IndexConfig(num_shards=2, analyzed_fields=("content",), id_columns=()),
+        resume=False,
+    )
+    oracle = BM25Oracle(rows, text_field="content", key_field="_id")
+    for kw, expected in [
+        ('"a b c"~1', {"gap", "exact"}),
+        ('"a b c"~2', {"swap", "gap", "exact"}),
+        ('"a b c"~0', {"exact"}),
+    ]:
+        q = SearchQuery(keyword=kw, fields=["content"], limit=10)
+        ctx = eng.ctx()
+        fast = [(r["_id"], r["_score"]) for r in search_fast(ctx, q).collect()]
+        slow = [(r["_id"], r["_score"]) for r in search_df(ctx, q).collect()]
+        exp = oracle.search(kw, limit=10)
+        assert {f[0] for f in fast} == expected, kw
+        assert [f[0] for f in fast] == [e[0] for e in exp] == [s[0] for s in slow], kw
+        np.testing.assert_allclose(
+            [f[1] for f in fast], [e[1] for e in exp], rtol=1e-9
+        )
