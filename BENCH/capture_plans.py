@@ -109,6 +109,35 @@ def main() -> None:
          cap(batch_search(ctx, qs_mixed)))
     )
 
+    qs_phrase = [
+        SearchQuery(keyword='"def return" import', fields=["content"], limit=5),
+        SearchQuery(keyword="sym_2_0 class", fields=["content"], limit=5),
+    ]
+    sections.append(
+        ("BATCH with a PHRASE member (round 4, one job) — positions ride "
+         "the shared postings scan (ReadSchema includes positions) only "
+         "because the batch contains a phrase",
+         cap(batch_search(ctx, qs_phrase)))
+    )
+
+    # fuzzy dictionary expansion: the length band is a PARTITION filter
+    # on the (field, len_bucket)-partitioned stats table (round 4)
+    from pyspark.sql import functions as F
+
+    stats = ctx.stats()
+    lev = F.levenshtein(F.col("term"), F.lit("retur"))
+    exp_scan = stats.filter(
+        F.col("field").isin(["content"])
+        & F.col("len_bucket").between(4, 6)
+        & (lev <= 2)
+    ).select("term")
+    sections.append(
+        ("FUZZY dictionary expansion scan (round 4) — check "
+         "PartitionFilters carry field AND len_bucket (the length band "
+         "prunes directories; only the banded rows reach the OSA UDF)",
+         cap(exp_scan))
+    )
+
     # hybrid keyword+vector: both recalls carry (shard_id, __docid)
     # through rrf_fuse_keyed → final docs join is DPP-pruned
     rows_v = gen_rows(200)

@@ -138,11 +138,14 @@ class ParsedKeyword:
     # batch paths route such queries there (rare syntax).
     bool_groups: Tuple[Tuple[str, Tuple[Tuple, ...], Tuple[Tuple, ...], Tuple[Tuple, ...]], ...] = ()
     # ``"a b"~N`` sloppy phrases: ((terms...), slop) per clause.
-    # Semantics (documented deviation from Lucene's move-distance
-    # matcher, identical for the 2-term case): a match is a position p0
-    # of terms[0] such that every terms[j] has a position within
-    # [p0+j-slop, p0+j+slop]; phrase_tf = count of such p0, each match
-    # weighted 1 (Lucene weights 1/(distance+1)).
+    # Semantics (round 4 — Lucene SloppyPhraseMatcher minimal-match
+    # condition for ANY arity of distinct terms): an anchor position p0
+    # of terms[0] matches when a selection of one position per term
+    # exists with max(pos_j - j) - min(pos_j - j) <= slop; phrase_tf =
+    # count of such anchors, each weighted 1 (Lucene weights
+    # 1/(matchLength+1) — documented deviation); repeated terms require
+    # >= multiplicity occurrences (necessary-condition gate, lenient
+    # beyond — documented).
     near_phrases: Tuple[Tuple[Tuple[str, ...], int], ...] = ()      # SHOULD
     must_near_phrases: Tuple[Tuple[Tuple[str, ...], int], ...] = ()
     not_near_phrases: Tuple[Tuple[Tuple[str, ...], int], ...] = ()
