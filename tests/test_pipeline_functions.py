@@ -285,6 +285,7 @@ def test_cosine_topk_matches_duckdb(embeddings):
 def test_multimodal_stub_pipeline(spark):
     from byzer_retrieval_spark.functions.multimodal import (
         FEATURE_DIM,
+        HAS_PIL,
         decode_image_features,
         frame_sample_plan,
         synth_media_df,
@@ -299,10 +300,29 @@ def test_multimodal_stub_pipeline(spark):
     # determinism: same payload → same features
     again = decode_image_features(media, fake=True).collect()
     assert [r["features"] for r in feats] == [r["features"] for r in again]
-    # real decode is explicitly stubbed
+    # real decode raises either way on this table: NotImplementedError
+    # without Pillow, undecodable-payload/non-image errors with it
     with pytest.raises(Exception) as ei:
         decode_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "not present" in str(ei.value)
+    if not HAS_PIL:
+        assert "NotImplementedError" in str(ei.value) or "not present" in str(ei.value)
+
+
+def test_multimodal_real_decode_with_pillow(spark):
+    from byzer_retrieval_spark.functions import multimodal as mm
+
+    if not mm.HAS_PIL:
+        pytest.skip("Pillow not installed — real decode unavailable here")
+    media = mm.synth_png_media_df(spark, n=12)
+    feats = {r["media_id"]: r for r in mm.decode_image_features(media).collect()}
+    assert len(feats) == 12
+    for r in feats.values():
+        arr = np.asarray(r["features"], dtype=np.float32)
+        assert arr.shape == (mm.FEATURE_DIM,)
+        assert abs(float(arr.sum()) - 1.0) < 1e-3  # L1-normalized histogram
+    # determinism across runs
+    again = {r["media_id"]: r for r in mm.decode_image_features(media).collect()}
+    assert all(feats[k]["features"] == again[k]["features"] for k in feats)
 
     plan = frame_sample_plan(media, every_ms=400).collect()
     assert all(r["frame_ts_ms"][1] - r["frame_ts_ms"][0] == 400 for r in plan if len(r["frame_ts_ms"]) > 1)
