@@ -66,8 +66,11 @@ def main() -> None:
     from byzer_retrieval_spark.session import get_spark
     from byzer_retrieval_spark.sources.corpus import corpus_df
 
+    cpus = int(os.environ.get("QS_CPUS", "32"))
     spark = get_spark(
-        app_name="query_scale", master="local[32]", shuffle_partitions=64
+        app_name="query_scale",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 8),
     )
     spark.sparkContext.setLogLevel("ERROR")
     eng = RetrievalEngine(spark, WORK + "/idx")
@@ -110,7 +113,7 @@ def main() -> None:
         "amortized_ms_per_query": round(1000.0 * batch_sec / n_queries, 1),
         "loadavg_before": load0,
         "loadavg_after": loadavg(),
-        "cpus": 32,
+        "cpus": cpus,
     }
     print(json.dumps(out))
 

@@ -522,6 +522,35 @@ class RetrievalEngine:
             from byzer_retrieval_spark.operators.wand import search_winners
 
             kw_w = search_winners(ctx, query) if use_fast_path else None
+            if kw_w is None and use_fast_path:
+                # match-all / empty keyword recall (round 4): build the
+                # keyed winners frame directly — constant score 1.0,
+                # _id-ordered top-k over the filtered candidates, same
+                # ranking as search_df's match-all branch — so the
+                # hybrid stays on the DPP-pruned (shard_id, __docid)
+                # stored-field join instead of the full-table _id join
+                from byzer_retrieval_spark.plans.query import parse_keyword
+
+                parsed = parse_keyword(query.keyword, ctx.analyzer)
+                if parsed.match_all or parsed.empty:
+                    from byzer_retrieval_spark.operators.scorer_df import (
+                        _candidate_docs,
+                    )
+
+                    base = _candidate_docs(ctx, query)
+                    base = ctx.exclude_tombstones(
+                        base if base is not None else ctx.docs()
+                    )
+                    kw_w = (
+                        base.orderBy(F.col("_id").asc())
+                        .limit(query.limit)
+                        .select(
+                            "shard_id",
+                            "__docid",
+                            "_id",
+                            F.lit(1.0).alias("_score"),
+                        )
+                    )
             if kw_w is not None:
                 vec_w = self._vector_winners(ctx, database, table, query)
                 fused = rrf_fuse_keyed([kw_w, vec_w], query.limit)
@@ -530,13 +559,17 @@ class RetrievalEngine:
                     out.orderBy(F.col("_score").desc(), F.col("_id").asc())
                     .select("_score", *ctx.stored_columns())
                 )
-            # keyword shape outside the fast path (match-all etc.):
+            # keyword shape outside the fast path AND outside the
+            # match-all branch above (group-local +/- hybrids — rare):
             # oracle-grade DataFrame recalls fused by _id (disclosed
             # slow path)
             vec_recall = self._vector_recall(ctx, database, table, query)
             kw_recall = self._keyword_search(ctx, query, use_fast_path)
             fused = rrf_fuse([kw_recall, vec_recall], query.limit)
-            docs = ctx.docs()
+            # tombstone exclusion is required here: the _id join would
+            # otherwise also match a superseded version still present
+            # in the docs parquet (upsert appends, never rewrites)
+            docs = ctx.exclude_tombstones(ctx.docs())
             out = docs.join(F.broadcast(fused), "_id")
             return (
                 out.orderBy(F.col("_score").desc(), F.col("_id").asc())

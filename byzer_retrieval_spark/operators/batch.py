@@ -93,6 +93,7 @@ def _make_batch_scorer(
     k1: float,
     b: float,
     phrase_terms: frozenset = frozenset(),
+    docid_id_order: bool = False,
 ):
     """specs per query: {qid, fields, scoring, must, must_not, k,
     const_specs: ((kind, matcher_type, matcher), ...),
@@ -110,6 +111,7 @@ def _make_batch_scorer(
     allow set (Occur.FILTER in the collector)."""
 
     def score_shard(pdf: pd.DataFrame, gate_pdf: Optional[pd.DataFrame]) -> pd.DataFrame:
+        from byzer_retrieval_spark.functions.encoding import varbyte_decode
         from byzer_retrieval_spark.operators.decode import (
             absolute_positions,
             decode_position_deltas,
@@ -130,6 +132,66 @@ def _make_batch_scorer(
         # keyed per FIELD so each query scores/gates only ITS fields.
         # Phrase-member terms additionally decode their positions, ONCE,
         # shared by every phrase clause in the batch that uses them.
+        #
+        # Terms a query references EXACTLY (scoring / MUST / NOT /
+        # groups / phrase members) take the per-term BM25 decode loop.
+        # Every OTHER scanned row reached the scan only through a
+        # prefix stem or a fuzzy expansion — constant-score MEMBERSHIP
+        # is all any clause needs from those, so they take one
+        # fully-vectorized bulk decode (single varbyte pass over the
+        # joined gap blobs, term-sorted token index) instead: a hot
+        # stem like `sym_1*` can match 10^5 distinct terms and the
+        # per-term groupby loop was the round-4 batch bottleneck
+        # (59 s for 50 prefix queries at a 600k corpus → sub-second).
+        needed_exact = set(phrase_terms)
+        for spec in specs:
+            needed_exact.update(spec["scoring"])
+            needed_exact.update(spec["must"])
+            needed_exact.update(spec["must_not"])
+            for grp in spec["groups"]:
+                needed_exact.update(grp)
+        em = pdf["term"].isin(needed_exact)
+        cpdf = pdf[~em]
+        pdf = pdf[em]
+
+        # fld → (sorted unique terms, token-range starts, flat doc ids):
+        # a clause's members are a binary-search range (prefix) or a
+        # searchsorted membership probe (fuzzy set) over the term index,
+        # and its docs a contiguous slice of the flat token array.
+        const_idx: Dict[str, tuple] = {}
+        for fld, g in cpdf.groupby("field", sort=False):
+            g = g.sort_values("term", kind="stable")
+            blobs = g["doc_gaps"].tolist()
+            blens = np.fromiter(
+                (len(x) for x in blobs), dtype=np.int64, count=len(blobs)
+            )
+            big = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            vals = varbyte_decode(big.tobytes()).astype(np.int64)
+            if vals.size == 0:
+                continue
+            cum_term = np.concatenate(
+                ([0], np.cumsum((big & 0x80) == 0))
+            )
+            ends = np.cumsum(blens)
+            row_n = cum_term[ends] - cum_term[ends - blens]
+            starts = np.concatenate(([0], np.cumsum(row_n[:-1])))
+            c = np.cumsum(vals)
+            base = c[starts] - vals[starts]
+            docs_flat = (c - np.repeat(base, row_n)) + np.repeat(
+                g["first_doc"].to_numpy(np.int64), row_n
+            )
+            uterms, row_tidx = np.unique(
+                g["term"].to_numpy(), return_inverse=True
+            )
+            tok_per_term = np.bincount(
+                row_tidx, weights=row_n, minlength=uterms.size
+            ).astype(np.int64)
+            const_idx[fld] = (
+                uterms,
+                np.concatenate(([0], np.cumsum(tok_per_term))),
+                docs_flat,
+            )
+
         by_term: Dict[str, List[Tuple[str, np.ndarray, np.ndarray]]] = {}
         pdata: Dict[str, Dict[str, tuple]] = {}    # fld → term → (docs,tfs,dls,pos)
         dfs_of: Dict[str, Dict[str, float]] = {}   # fld → term → df
@@ -151,8 +213,16 @@ def _make_batch_scorer(
                 pdata.setdefault(fld, {})[term] = (docs, tfs, dls, pos)
         term_names = list(by_term)
 
+        clause_cache: Dict[tuple, List[np.ndarray]] = {}
+
         def clause_docs(matcher_type: str, matcher, q_fields) -> List[np.ndarray]:
-            """per-FIELD matched doc arrays for a const clause."""
+            """per-FIELD matched doc arrays for a const clause — exact
+            bucket (by_term) plus the vectorized const index; memoized,
+            so a stem repeated across the batch resolves once."""
+            ck = (matcher_type, matcher, q_fields)
+            hit = clause_cache.get(ck)
+            if hit is not None:
+                return hit
             if matcher_type == "prefix":
                 terms = [t for t in term_names if t.startswith(matcher)]
             else:
@@ -162,9 +232,39 @@ def _make_batch_scorer(
                 for fld, docs, _ in by_term.get(t, ()):
                     if fld in q_fields:
                         per_field.setdefault(fld, []).append(docs)
-            return [
+            for fld in q_fields:
+                entry = const_idx.get(fld)
+                if entry is None:
+                    continue
+                uterms, tok_starts, docs_flat = entry
+                if matcher_type == "prefix":
+                    lo = np.searchsorted(uterms, matcher)
+                    hi = np.searchsorted(uterms, matcher + "\uffff")
+                    if hi > lo:
+                        per_field.setdefault(fld, []).append(
+                            docs_flat[tok_starts[lo] : tok_starts[hi]]
+                        )
+                else:
+                    ms = np.asarray(sorted(matcher))
+                    if ms.size:
+                        ix = np.searchsorted(uterms, ms)
+                        ok = ix < uterms.size
+                        ok[ok] &= uterms[ix[ok]] == ms[ok]
+                        for i in ix[ok]:
+                            per_field.setdefault(fld, []).append(
+                                docs_flat[tok_starts[i] : tok_starts[i + 1]]
+                            )
+            out = [
                 np.unique(np.concatenate(arrs)) for arrs in per_field.values()
             ]
+            clause_cache[ck] = out
+            return out
+
+        # (fld, terms, slop) → (pdocs, ptf): a phrase clause shared by
+        # many queries in the batch verifies its occurrences ONCE per
+        # shard — hot-term phrases were ~1 s per _phrase_match call at
+        # a 600k corpus, paid per QUERY before this cache (round 4)
+        pm_cache: Dict[tuple, tuple] = {}
 
         out_q, out_d, out_s = [], [], []
         for spec in specs:
@@ -212,7 +312,13 @@ def _make_batch_scorer(
                     d = pdata.get(fld)
                     if d is None or any(t not in d for t in terms):
                         continue
-                    pdocs, ptf = _phrase_match(d, terms, slop)
+                    pm_key = (fld, terms, slop)
+                    pm_hit = pm_cache.get(pm_key)
+                    if pm_hit is None:
+                        pm_hit = pm_cache[pm_key] = _phrase_match(
+                            d, terms, slop
+                        )
+                    pdocs, ptf = pm_hit
                     if pdocs.size == 0:
                         continue
                     p_field_docs.append(pdocs)
@@ -292,10 +398,28 @@ def _make_batch_scorer(
             docs_f, scores_f = uniq[mask], scores[mask]
             k = spec["k"]
             if docs_f.size > k:
-                sel = np.argpartition(-scores_f, k - 1)[:k]
-                kth = scores_f[sel].min()
-                keep = scores_f >= kth  # keep boundary ties for global sort
-                docs_f, scores_f = docs_f[keep], scores_f[keep]
+                if docid_id_order:
+                    # __docid asc == _id asc in every shard (fresh
+                    # build): per-shard top-k by (score desc, __docid
+                    # asc) is EXACTLY the shard's possible global
+                    # winners — no boundary-tie keep. Without this a
+                    # constant-score clause (prefix/fuzzy) ties
+                    # thousands of docs at the k-th score and every one
+                    # of them rode the shuffle + broadcast join (the
+                    # round-4 fuzzy-batch bottleneck: 40 s for 50
+                    # queries → ~3 s).
+                    sel = np.argpartition(-scores_f, k - 1)[:k]
+                    kth = scores_f[sel].min()
+                    keep = np.nonzero(scores_f >= kth)[0]
+                    order = np.lexsort((docs_f[keep], -scores_f[keep]))
+                    sel = keep[order[:k]]
+                    docs_f, scores_f = docs_f[sel], scores_f[sel]
+                else:
+                    sel = np.argpartition(-scores_f, k - 1)[:k]
+                    kth = scores_f[sel].min()
+                    # keep boundary ties for the global (score, _id) sort
+                    keep = scores_f >= kth
+                    docs_f, scores_f = docs_f[keep], scores_f[keep]
             out_q.append(np.full(docs_f.size, spec["qid"], dtype=np.int32))
             out_d.append(docs_f)
             out_s.append(scores_f)
@@ -349,6 +473,7 @@ def batch_search(
     )
 
     specs = []
+    fuzzy_memo: Dict[tuple, frozenset] = {}
     all_terms: List[str] = []
     fields_used: List[str] = []
     prefix_stems: List[str] = []
@@ -385,9 +510,17 @@ def batch_search(
             ("not", parsed.not_fuzzies),
         ):
             for w, n in dict.fromkeys(fz):
-                terms = expand_fuzzy(ctx, flds, w, n)
-                const_specs.append((kind, "set", frozenset(terms)))
-                all_terms.extend(terms)
+                # memoized across the batch: each DISTINCT (fields,
+                # term, edits) dictionary walk is one driver-side job —
+                # without this a 1,000-query batch repeating `foo~1`
+                # paid 1,000 expansion jobs (the round-4 fuzzy-batch
+                # bottleneck: ~2 s/query at a 600k corpus)
+                ek = (tuple(flds), w, n)
+                if ek not in fuzzy_memo:
+                    fuzzy_memo[ek] = frozenset(expand_fuzzy(ctx, flds, w, n))
+                terms = fuzzy_memo[ek]
+                const_specs.append((kind, "set", terms))
+                all_terms.extend(sorted(terms))
         # phrase clauses (exact slop=0 + sloppy NEAR), deduped the same
         # way wand.search_wand builds its phrase_specs
         phrase_specs: List[Tuple[str, Tuple[str, ...], int]] = (
@@ -455,7 +588,7 @@ def batch_search(
     )
     field_stats = {f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields}
     grouped, cogrouped = _make_batch_scorer(
-        field_stats, specs, ctx.k1, ctx.b, phrase_terms
+        field_stats, specs, ctx.k1, ctx.b, phrase_terms, ctx.docid_id_order
     )
 
     # gate side: per-query allow sets (tagged query_id) + the shared

@@ -94,6 +94,15 @@ class IndexContext:
     def doc_bits(self) -> int:
         return int(self.meta.get("doc_bits", 40))
 
+    @property
+    def docid_id_order(self) -> bool:
+        """True when __docid asc == _id asc within every shard (fresh
+        build; cleared by upsert) — lets scorers cut per-shard top-k
+        exactly by (score desc, __docid asc) instead of keeping every
+        boundary-score tie (constant-score clauses tie by the
+        thousands). Missing key (pre-r4 snapshots) → False (safe)."""
+        return bool(self.snapshot.get("docid_id_order", False))
+
     def field_stat(self, field: str) -> Dict[str, Any]:
         return self.snapshot["field_stats"][field]
 

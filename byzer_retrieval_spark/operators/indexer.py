@@ -1032,6 +1032,13 @@ def build_index(
         "field_stats": field_stats,
         "shards": {str(s): fingerprints[s] for s in fingerprints},
         "build_metrics": metrics,
+        # fresh builds assign __docid = row_number over (shard, _id), so
+        # within every shard __docid asc == _id asc; scorers exploit
+        # this to cut per-shard top-k EXACTLY (no boundary-tie keep —
+        # constant-score clauses would otherwise return every tied doc
+        # per shard). Upserts append above the high-water mark and
+        # clear the flag (operators/mutate._refresh_stats_and_commit).
+        "docid_id_order": True,
     }
     sid = store.commit(snapshot)
 

@@ -62,8 +62,16 @@ def _cfg_from_meta(meta: Dict[str, Any]) -> IndexConfig:
 
 
 def _refresh_stats_and_commit(
-    spark: SparkSession, store: IndexStore, note: str
+    spark: SparkSession,
+    store: IndexStore,
+    note: str,
+    docid_id_order: "Optional[bool]" = None,
 ) -> int:
+    """``docid_id_order``: None carries the current snapshot's value
+    forward (deletes/compact never reorder doc ids); upsert passes
+    False — delta docs get ids above the shard high-water mark, so
+    __docid asc stops implying _id asc and scorers must keep
+    boundary-score ties per shard (see indexer's snapshot note)."""
     meta = store.read_meta()
     postings = store.postings(spark)
     stats_df = postings.groupBy("field", "term").agg(
@@ -82,10 +90,14 @@ def _refresh_stats_and_commit(
             "sum_dl": int(row.sum_dl or 0),
             "avgdl": (float(row.sum_dl) / n) if n else 0.0,
         }
+    if docid_id_order is None:
+        cur = store.current_snapshot() or {}
+        docid_id_order = bool(cur.get("docid_id_order", False))
     snap = {
         "n_docs": int(docs.count()),
         "field_stats": field_stats,
         "note": note,
+        "docid_id_order": bool(docid_id_order),
     }
     return store.commit(snap)
 
@@ -265,7 +277,9 @@ def upsert(
     for s in [int(r.shard_id) for r in base.select("shard_id").distinct().collect()]:
         store.clear_shard_manifest(s)
 
-    sid = _refresh_stats_and_commit(spark, store, source_desc)
+    sid = _refresh_stats_and_commit(
+        spark, store, source_desc, docid_id_order=False
+    )
     return {"tombstoned": n_tomb, "snapshot_id": sid}
 
 

@@ -22,12 +22,55 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from byzer_retrieval_spark.operators.context import IndexContext
 from byzer_retrieval_spark.operators.decode import flat_postings
 from byzer_retrieval_spark.plans.query import SearchQuery, parse_keyword
+
+
+def _repeated_sloppy_ptf(pos_flat: DataFrame, terms, slop: int) -> DataFrame:
+    """phrase_tf for a REPEATED-TERM sloppy phrase — the shape the
+    window-join chain cannot express (it would let one physical
+    position serve two slots of the repeated term; Lucene
+    SloppyPhraseMatcher requires distinct positions per slot,
+    advanceRepeats). Collects each candidate doc's per-term position
+    arrays (rows already bounded by the term filter — one row per
+    (field, doc, term)) and counts valid anchors with the engine's
+    injective greedy checker in one Arrow-batched pandas UDF. Returns
+    DataFrame(field, __docid, dl, __ptf > 0)."""
+    uniq = list(dict.fromkeys(terms))
+    terms_t, slop_c = tuple(terms), int(slop)
+
+    @F.pandas_udf("long")
+    def _ptf_rep(tp: pd.Series) -> pd.Series:
+        from byzer_retrieval_spark.operators.wand import _sloppy_anchor_ok
+
+        out = []
+        for entries in tp:
+            pbt = {
+                e["term"]: sorted(int(p) for p in e["positions"])
+                for e in entries
+            }
+            out.append(
+                sum(
+                    1
+                    for p0 in pbt.get(terms_t[0], ())
+                    if _sloppy_anchor_ok(terms_t, pbt, p0, slop_c)
+                )
+            )
+        return pd.Series(out, dtype="int64")
+
+    return (
+        pos_flat.filter(F.col("term").isin(uniq))
+        .groupBy("field", "__docid", "dl")
+        .agg(F.collect_list(F.struct("term", "positions")).alias("__tp"))
+        .filter(F.size("__tp") == F.lit(len(uniq)))
+        .select("field", "__docid", "dl", _ptf_rep("__tp").alias("__ptf"))
+        .filter(F.col("__ptf") > 0)
+    )
 
 
 def _candidate_docs(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
@@ -228,8 +271,16 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
             with_positions=True,
         )
         for pkey, terms, kind, slop in phrase_specs:
+            # repeated-term sloppy phrase (round 4): exists-joins cannot
+            # express the injective (distinct-position) assignment
+            # Lucene requires — see wand._sloppy_anchor_ok — so that
+            # shape verifies per-doc position arrays in ONE
+            # Arrow-batched pandas UDF instead of the window-join chain.
+            rep = slop > 0 and len(set(terms)) < len(terms)
+            if rep:
+                ptf = _repeated_sloppy_ptf(pos_flat, terms, slop)
             joined = None
-            for j, t in enumerate(terms):
+            for j, t in [] if rep else list(enumerate(terms)):
                 pj = pos_flat.filter(F.col("term") == t).select(
                     "field",
                     "__docid",
@@ -272,31 +323,15 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
                         .select("field", "__docid", "dl", "__p0", "__w")
                         .distinct()
                     )
-            if slop > 0:
+            if slop > 0 and not rep:
                 # ∃ window per anchor: collapse the window dimension
                 joined = joined.select(
                     "field", "__docid", "dl", "__p0"
                 ).distinct()
-            if slop > 0:
-                # repeated-term gate: '"a a"~N' requires >= multiplicity
-                # occurrences (matches wand._phrase_match / the oracle)
-                from collections import Counter as _Counter
-
-                for t, m_ in _Counter(terms).items():
-                    if m_ > 1:
-                        enough = (
-                            pos_flat.filter(F.col("term") == t)
-                            .groupBy("field", "__docid")
-                            .agg(F.sum("tf").alias("__t"))
-                            .filter(F.col("__t") >= m_)
-                            .select("field", "__docid")
-                        )
-                        joined = joined.join(
-                            enough, ["field", "__docid"], "left_semi"
-                        )
-            ptf = joined.groupBy("field", "__docid", "dl").agg(
-                F.count("*").alias("__ptf")
-            )
+            if not rep:
+                ptf = joined.groupBy("field", "__docid", "dl").agg(
+                    F.count("*").alias("__ptf")
+                )
             mult = ctx.spark.createDataFrame(
                 [(t, c) for t, c in Counter(terms).items()],
                 "term string, __mult int",

@@ -141,6 +141,56 @@ def _overlap_mask(firsts: np.ndarray, lasts: np.ndarray,
     return out
 
 
+def _sloppy_anchor_ok(
+    terms: Tuple[str, ...], pos_by_term: Dict[str, list], p0: int, slop: int
+) -> bool:
+    """Injective (distinct-position) sloppy-phrase check for ONE anchor.
+
+    True iff some window start ``w`` in [p0-slop, p0] admits an
+    assignment of one physical position per phrase slot — slot 0 pinned
+    to the anchor ``p0``, a repeated term's positions each used at most
+    once — with every slot j's adjusted position (p - j) inside
+    [w, w+slop]. The greedy smallest-feasible-position scan over
+    ascending slots is optimal for these staircase intervals
+    ([w+j, w+j+slop] has both endpoints non-decreasing in j — classic
+    exchange argument), so failure here means NO assignment exists.
+    Mirrors Lucene SloppyPhraseMatcher's repeating-terms handling
+    (advanceRepeats: colliding repeat positions are advanced apart).
+    Only called for phrases that actually repeat a term; distinct-term
+    phrases stay on the fully vectorized path.
+    """
+    uniq = list(dict.fromkeys(terms))
+    for w in range(p0 - slop, p0 + 1):
+        ok = True
+        for t in uniq:
+            slots = [j for j, u in enumerate(terms) if u == t]
+            used = set()
+            if t == terms[0]:
+                slots = slots[1:]  # slot 0 is pinned to the anchor
+                used.add(p0)
+            feasible = True
+            for j in slots:
+                lo, hi = w + j, w + j + slop
+                pick = next(
+                    (
+                        p
+                        for p in pos_by_term.get(t, ())
+                        if lo <= p <= hi and p not in used
+                    ),
+                    None,
+                )
+                if pick is None:
+                    feasible = False
+                    break
+                used.add(pick)
+            if not feasible:
+                ok = False
+                break
+        if ok:
+            return True
+    return False
+
+
 def _phrase_match(
     datas: Dict[str, tuple], terms: Tuple[str, ...], slop: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -159,9 +209,12 @@ def _phrase_match(
     Lucene's minimal-match condition for any arity (the r3 matcher was
     per-member ±slop around the anchor, lenient beyond 2 terms).
     phrase_tf counts matching anchors, each weighted 1 (Lucene weights
-    1/(matchLength+1) — documented deviation); repeated terms require
-    >= multiplicity occurrences (a necessary-condition gate — still
-    lenient vs Lucene's distinct-position assignment), documented.
+    1/(matchLength+1) — documented deviation). Repeated terms (round 4):
+    the multiplicity gate + window intersection give a SUPERSET, and
+    each surviving anchor is re-verified with an injective greedy
+    assignment (``_sloppy_anchor_ok``) so no two slots of a repeated
+    term collide on one physical position — Lucene SloppyPhraseMatcher's
+    repeating-terms semantics (SloppyPhraseMatcher.java advanceRepeats).
     """
     cand = None
     from collections import Counter as _Counter
@@ -221,6 +274,44 @@ def _phrase_match(
     safe = np.minimum(lo, wset.size - 1)
     hit_a = (lo < wset.size) & (wset[safe] <= (dk | a))
     anchor_keys = np.unique((dk | a)[hit_a])
+    if len(set(terms)) < len(terms) and anchor_keys.size:
+        # repeated-term phrase: the window intersection above lets one
+        # physical position serve two slots of the repeated term, so it
+        # is only a necessary condition — re-verify each surviving
+        # anchor with the injective greedy assignment. Survivors are a
+        # small set (already multiplicity-gated + window-intersected),
+        # so the per-anchor Python loop is off the hot path.
+        sranks = np.unique((anchor_keys >> np.int64(32)).astype(np.int64))
+        sdocs = cand[sranks]
+        posmap: Dict[str, dict] = {}
+        for t in dict.fromkeys(terms):
+            docs_t, tfs_t, _, pos_t = datas[t]
+            m = np.isin(docs_t, sdocs)
+            tok_m = np.repeat(m, tfs_t)
+            dt = np.repeat(docs_t, tfs_t)[tok_m]
+            pt = pos_t[tok_m]
+            starts = np.searchsorted(dt, sdocs, side="left")
+            ends = np.searchsorted(dt, sdocs, side="right")
+            posmap[t] = {
+                int(sd): pt[s0:s1].tolist()
+                for sd, s0, s1 in zip(sdocs.tolist(), starts.tolist(), ends.tolist())
+                if s1 > s0
+            }
+        mask32 = np.int64((1 << 32) - 1)
+        keep = [
+            key
+            for key in anchor_keys.tolist()
+            if _sloppy_anchor_ok(
+                terms,
+                {
+                    t: posmap[t].get(int(cand[key >> 32]), [])
+                    for t in dict.fromkeys(terms)
+                },
+                int(key & mask32) - int(OFF),
+                slop,
+            )
+        ]
+        anchor_keys = np.asarray(keep, dtype=np.int64)
     didx = (anchor_keys >> np.int64(32)).astype(np.int64)
     ptf = np.bincount(didx, minlength=cand.size)
     hit = ptf > 0
@@ -242,6 +333,7 @@ def _make_shard_scorer(
     any_groups: Tuple[Tuple[str, ...], ...] = (),
     prune_min_blocks: Optional[int] = None,
     conj_restrict: Optional[bool] = None,
+    docid_id_order: bool = False,
 ):
     """idf is derived in-task from the broadcast-joined ``df`` column —
     no eager stats collect on the driver, so a whole search is ONE job.
@@ -881,16 +973,27 @@ def _make_shard_scorer(
 
         docs_f, scores_f = uniq[mask], scores[mask]
         if docs_f.size > k:
-            # bounded top-k: keep EVERY doc whose score ties or beats the
-            # k-th best. Never truncate ties per shard by doc_id: upsert
-            # assigns delta doc_ids above the shard high-water mark, so
-            # doc_id order != _id order after an upsert — equal-score
-            # ties at the k boundary must be settled by search_fast's
-            # global (score desc, _id asc) orderBy, not here.
             part = np.argpartition(-scores_f, k - 1)[:k]
             kth = scores_f[part].min()
-            keep = scores_f >= kth
-            docs_f, scores_f = docs_f[keep], scores_f[keep]
+            if docid_id_order:
+                # fresh build: __docid asc == _id asc within the shard,
+                # so top-k by (score desc, __docid asc) is EXACTLY the
+                # shard's possible global winners — constant-score
+                # clauses (prefix/fuzzy) no longer ship thousands of
+                # boundary-tied docs per shard (round-4 scale fix).
+                keep = np.nonzero(scores_f >= kth)[0]
+                order = np.lexsort((docs_f[keep], -scores_f[keep]))
+                sel = keep[order[:k]]
+                docs_f, scores_f = docs_f[sel], scores_f[sel]
+            else:
+                # bounded top-k: keep EVERY doc whose score ties or
+                # beats the k-th best. After an upsert doc_id order !=
+                # _id order (delta ids above the shard high-water
+                # mark), so equal-score ties at the k boundary must be
+                # settled by search_fast's global (score desc, _id asc)
+                # orderBy, not here.
+                keep = scores_f >= kth
+                docs_f, scores_f = docs_f[keep], scores_f[keep]
         order = np.lexsort((docs_f, -scores_f))
         docs_f, scores_f = docs_f[order], scores_f[order]
         return pd.DataFrame(
@@ -1041,6 +1144,7 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         prefix_specs,
         termset_specs,
         scorer_groups,
+        docid_id_order=ctx.docid_id_order,
     )
     if gate_mode == "none":
         return blocks.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)

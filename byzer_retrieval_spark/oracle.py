@@ -73,35 +73,44 @@ class BM25Oracle:
 
     def near_tf(self, i: int, terms: Sequence[str], slop: int) -> int:
         """``"a b"~N`` NEAR occurrences in doc i: count of anchor
-        positions p0 of terms[0] for which SOME length-``slop`` window
-        of offset-adjusted positions covers p0 and one position of
-        every member — i.e. a selection with max(pos_j - j) -
-        min(pos_j - j) <= slop exists (round 4, Lucene
-        SloppyPhraseMatcher minimal-match condition for any arity;
-        mirrors wand._phrase_match)."""
+        positions p0 of terms[0] for which a selection of one PHYSICAL
+        position per slot exists — slot 0 = p0, no position reused
+        across slots (repeated-term injectivity, Lucene
+        SloppyPhraseMatcher advanceRepeats) — with max(pos_j - j) -
+        min(pos_j - j) <= slop (round 4; mirrors wand._phrase_match +
+        _sloppy_anchor_ok, but via independent brute-force enumeration
+        so the oracle does not share the engine's greedy)."""
+        from itertools import product
+
         toks = self.toks[i]
         pos: Dict[str, List[int]] = {}
         for p, t in enumerate(toks):
             pos.setdefault(t, []).append(p)
         if any(t not in pos for t in terms):
             return 0
-        # repeated-term gate: '"a a"~N' needs >= multiplicity
-        # occurrences (necessary condition; matches the engine)
-        for t, m in Counter(terms).items():
-            if len(pos[t]) < m:
-                return 0
-        adj = [
-            {q - j for q in pos[t]} for j, t in enumerate(terms)
-        ]
         count = 0
-        for p0 in adj[0]:
-            if any(
-                all(
-                    any(w <= x <= w + slop for x in adj[j])
-                    for j in range(1, len(terms))
-                )
-                for w in range(p0 - slop, p0 + 1)
-            ):
+        for p0 in pos[terms[0]]:
+            found = False
+            for w in range(p0 - slop, p0 + 1):
+                cands = [[p0]]
+                ok = p0 >= w and p0 <= w + slop
+                for j in range(1, len(terms)):
+                    cs = [
+                        p for p in pos[terms[j]] if w + j <= p <= w + j + slop
+                    ]
+                    if not cs:
+                        ok = False
+                        break
+                    cands.append(cs)
+                if not ok:
+                    continue
+                for pick in product(*cands):
+                    if len(set(pick)) == len(pick):
+                        found = True
+                        break
+                if found:
+                    break
+            if found:
                 count += 1
         return count
 

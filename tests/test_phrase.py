@@ -222,3 +222,50 @@ def test_three_term_slop_minimal_match_parity(spark, tmp_path):
         np.testing.assert_allclose(
             [f[1] for f in fast], [e[1] for e in exp], rtol=1e-9
         )
+
+
+def test_repeated_term_slop_injective_assignment(spark, tmp_path):
+    """Round 4: repeated-term sloppy phrases require an INJECTIVE
+    position assignment — no two slots of a repeated term may share one
+    physical position (Lucene SloppyPhraseMatcher advanceRepeats). For
+    '"a b a"~2' the doc 'a b x x x a' has tf(a)=2 and a window that the
+    r3 necessary-condition matcher accepted by reusing a@0 for slots 0
+    and 2, but every true assignment has adjusted spread >= 3 — it must
+    NOT match. WAND fast path, declarative path, the one-job batch path
+    and the python oracle must all agree."""
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+
+    rows = [
+        {"_id": "reuse", "content": "a b x x x a"},
+        {"_id": "good", "content": "a b c a"},
+        {"_id": "exact", "content": "a b a"},
+        {"_id": "single", "content": "a b c"},
+    ]
+    eng = RetrievalEngine(spark, str(tmp_path / "repslop"))
+    eng.build(
+        spark.createDataFrame(rows),
+        cfg=IndexConfig(num_shards=2, analyzed_fields=("content",), id_columns=()),
+        resume=False,
+    )
+    oracle = BM25Oracle(rows, text_field="content", key_field="_id")
+    for kw, expected in [
+        ('"a b a"~2', {"good", "exact"}),  # 'reuse' is the pinned reject
+        ('"a b a"~1', {"good", "exact"}),
+        ('"a b a"', {"exact"}),
+    ]:
+        q = SearchQuery(keyword=kw, fields=["content"], limit=10)
+        ctx = eng.ctx()
+        fast = [(r["_id"], r["_score"]) for r in search_fast(ctx, q).collect()]
+        slow = [(r["_id"], r["_score"]) for r in search_df(ctx, q).collect()]
+        exp = oracle.search(kw, limit=10)
+        assert {f[0] for f in fast} == expected, kw
+        assert [f[0] for f in fast] == [e[0] for e in exp] == [s[0] for s in slow], kw
+        np.testing.assert_allclose(
+            [f[1] for f in fast], [e[1] for e in exp], rtol=1e-9
+        )
+    # the one-job batch path rides the same _phrase_match
+    batch = eng.batch_search(
+        [SearchQuery(keyword='"a b a"~2', fields=["content"], limit=10)]
+    ).collect()
+    assert {r["_id"] for r in batch} == {"good", "exact"}

@@ -283,3 +283,27 @@ def test_ann_append_compaction_threshold(spark, tmp_path):
     q = SearchQuery(vector=_qvec(), vector_field="embedding", limit=5)
     assert eng._current_ann(eng.store(), "embedding") is not None
     assert len(eng.search(q).collect()) == 5
+
+
+def test_hybrid_match_all_keyword_keyed_path(vec_engine):
+    """Round 4: a hybrid whose keyword side is match-all ('*') now
+    builds the keyed winners frame directly (constant 1.0 scores,
+    _id-ordered top-k) and fuses through rrf_fuse_keyed with the
+    DPP-pruned stored-field join — results must be identical to the
+    disclosed _id-join slow path (use_fast_path=False)."""
+    q = SearchQuery(
+        keyword="*",
+        fields=["text"],
+        vector=_qvec(),
+        vector_field="embedding",
+        limit=8,
+    )
+    fast = [
+        (r["doc_id"], round(r["_score"], 9))
+        for r in vec_engine.search(q).collect()
+    ]
+    slow = [
+        (r["doc_id"], round(r["_score"], 9))
+        for r in vec_engine.search(q, use_fast_path=False).collect()
+    ]
+    assert fast and fast == slow
