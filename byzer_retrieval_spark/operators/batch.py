@@ -472,8 +472,11 @@ def batch_search(
         filtered_docs,
     )
 
+    import json as _json
+
     specs = []
     fuzzy_memo: Dict[tuple, frozenset] = {}
+    gate_groups: Dict[str, tuple] = {}  # canonical filter json → (tree, qids)
     all_terms: List[str] = []
     fields_used: List[str] = []
     prefix_stems: List[str] = []
@@ -535,14 +538,13 @@ def batch_search(
         all_terms.extend(parsed.phrase_terms)
         gated = bool(q.filters)
         if gated:
-            allowed = ctx.exclude_tombstones(filtered_docs(ctx, q.filters))
-            gate_parts.append(
-                allowed.select(
-                    F.lit(qid).alias("query_id"),
-                    F.col("shard_id").cast("int").alias("shard_id"),
-                    "__docid",
-                )
-            )
+            # queries sharing one filter tree share ONE allow-set scan
+            # (plan built after the loop): a 1,000-query batch with a
+            # handful of distinct trees was paying a union of 60+
+            # near-identical docs-scan branches — Catalyst analysis
+            # time scaled with the batch, not the distinct trees
+            gk = _json.dumps(q.filters, sort_keys=True)
+            gate_groups.setdefault(gk, (q.filters, []))[1].append(qid)
         else:
             any_ungated = True
         specs.append(
@@ -560,6 +562,17 @@ def batch_search(
             }
         )
         all_terms.extend(parsed.scoring_terms + parsed.must_not)
+    for _gk, (ftree, qids) in gate_groups.items():
+        allowed = ctx.exclude_tombstones(filtered_docs(ctx, ftree))
+        gate_parts.append(
+            allowed.select(
+                F.explode(
+                    F.array(*[F.lit(int(q)) for q in qids])
+                ).alias("query_id"),
+                F.col("shard_id").cast("int").alias("shard_id"),
+                "__docid",
+            )
+        )
     all_terms = list(dict.fromkeys(all_terms))
     fields = list(dict.fromkeys(fields_used))
     prefix_stems = list(dict.fromkeys(prefix_stems))
@@ -635,16 +648,17 @@ def batch_search(
             )
         ),
     )
-    limits = {s["qid"]: s["k"] for s in specs}
-    lim_col = None
-    for qid, k in limits.items():
-        c = F.when(F.col("query_id") == qid, F.lit(k))
-        lim_col = c if lim_col is None else lim_col.when(
-            F.col("query_id") == qid, F.lit(k)
-        )
+    # per-query limits via a broadcast join — a WHEN-chain over 1,000
+    # query ids made the Catalyst expression tree (and optimize time)
+    # scale with the batch size
+    lim_df = ctx.spark.createDataFrame(
+        [(int(s["qid"]), int(s["k"])) for s in specs],
+        "query_id int, __klim int",
+    )
+    ranked = ranked.join(F.broadcast(lim_df), "query_id")
     stored = ctx.stored_columns()
     return (
-        ranked.filter(F.col("__rn") <= lim_col)
+        ranked.filter(F.col("__rn") <= F.col("__klim"))
         .orderBy("query_id", F.col("score").desc(), F.col("_id").asc())
         .select("query_id", F.col("score").alias("_score"), *stored)
     )
