@@ -160,3 +160,50 @@ def test_batch_filter_matches_per_query(corpus_engine):
         got = sorted(by_qid.get(qid, []), key=lambda r: r["__rank"])
         single = corpus_engine.filter(q).collect()
         assert [g["_id"] for g in got] == [s["_id"] for s in single], qid
+
+
+def test_batch_filter_batched_and_legacy_paths_agree(corpus_engine):
+    """Round 4: pure stored-column filter trees ride ONE docs scan per
+    distinct sort spec (query-id explode + partitioned rank windows);
+    analyzed-field trees and falsy limits stay on the per-query branch.
+    Every query's tagged slice must still equal its individual
+    eng.filter result — across both paths in one mixed batch."""
+    from byzer_retrieval_spark.plans.query import SearchQuery
+
+    qs = [
+        # batched: same sort spec, different trees
+        SearchQuery(
+            filters={"and": [{"field": "lang", "value": "python"}]},
+            sorts=[{"path": "desc"}],
+            limit=5,
+        ),
+        SearchQuery(
+            filters={"and": [{"field": "lang", "value": "go"}]},
+            sorts=[{"path": "desc"}],
+            limit=4,
+        ),
+        # batched: second sort-spec group
+        SearchQuery(
+            filters={"or": [{"field": "lang", "value": "java"},
+                            {"field": "lang", "value": "python"}]},
+            sorts=[{"repo": "asc"}, {"path": "asc"}],
+            limit=6,
+        ),
+        # legacy: analyzed-field leaf (postings membership)
+        SearchQuery(
+            filters={"and": [{"field": "content", "value": "import"},
+                             {"field": "lang", "value": "python"}]},
+            limit=5,
+        ),
+        # batched: no filters (match-all browse), no sorts
+        SearchQuery(filters={}, limit=3),
+    ]
+    rows = corpus_engine.batch_filter(qs).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for qid, q in enumerate(qs):
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["__rank"])
+        single = corpus_engine.filter(q).collect()
+        assert [g["_id"] for g in got] == [s["_id"] for s in single], qid
+        assert [g["__rank"] for g in got] == list(range(1, len(single) + 1)), qid
