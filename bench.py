@@ -120,6 +120,37 @@ def main() -> None:
     batch_sec = time.time() - tb
     timings["batch100"] = round(batch_sec, 3)
 
+    # mixed-shape batch (round 4): term/MUST-NOT/prefix/fuzzy/group/
+    # phrase/sloppy-phrase/filtered clauses share the ONE-job batch
+    # scorer — exercises the constant-score bulk decode, batch-wide
+    # fuzzy/phrase memoization, and the exact per-shard top-k cut
+    mixed_shapes = [
+        lambda i: f"sym_{i}_0 import",
+        lambda i: f"+import -sym_{i}_0",
+        lambda i: f"sym_{i % 23}* class",
+        lambda i: f"impor~1 sym_{i}_0",
+        lambda i: f"+(def class) sym_{i}_2",
+        lambda i: f'"def return" sym_{i}_0',
+        lambda i: f'"import return"~2 sym_{i}_1',
+    ]
+    mixed_qs = [
+        SearchQuery(
+            keyword=mixed_shapes[i % len(mixed_shapes)](i),
+            fields=["content"],
+            filters=(
+                {"and": [{"field": "lang", "value": "py"}]}
+                if i % 16 == 15
+                else {}
+            ),
+            limit=10,
+        )
+        for i in range(100)
+    ]
+    tb = time.time()
+    eng.batch_search(mixed_qs).collect()
+    mixed_sec = time.time() - tb
+    timings["batch100_mixed"] = round(mixed_sec, 3)
+
     total = build_sec + sum(q_times)
     out = {
         "metric": "index_build_plus_bm25_query_e2e",
@@ -131,6 +162,7 @@ def main() -> None:
         "build_files_per_sec": round(n_files / build_sec, 1),
         "query_p50_sec": round(statistics.median(q_times), 3),
         "batch_queries_per_sec": round(100.0 / batch_sec, 1),
+        "batch_mixed_queries_per_sec": round(100.0 / mixed_sec, 1),
         "cpus": cpus,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
