@@ -119,3 +119,53 @@ def test_group_equivalence_pipe_vs_space(corpus_engine, oracle):
     a = oracle.search("def | class", limit=20)
     b = oracle.search("def class", limit=20)
     assert a == b
+
+
+def test_constant_score_tie_cut_fresh_and_after_upsert(spark, tmp_path):
+    """Round 4: on a fresh build (docid_id_order snapshot flag) the
+    shard scorers cut constant-score boundary ties EXACTLY — a
+    prefix-only query whose matches all tie at 1.0 must still return
+    the global (score desc, _id asc) top-k; after an upsert the flag
+    clears (doc ids above the high-water mark break _id order) and the
+    tie-keep path must produce the identical contract."""
+    import hashlib
+
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+    from byzer_retrieval_spark.oracle import BM25Oracle
+    from byzer_retrieval_spark.plans.query import SearchQuery
+    from byzer_retrieval_spark.sources.corpus import gen_rows
+
+    rows = gen_rows(120)
+    eng = RetrievalEngine(spark, str(tmp_path / "tiecut"))
+    eng.build(
+        spark.createDataFrame(rows),
+        cfg=IndexConfig(num_shards=4, hot_term_split_threshold=64),
+        resume=False,
+    )
+    for r in rows:
+        r["_id"] = hashlib.sha256(
+            f"{r['repo']}|{r['path']}|{r['commit']}".encode()
+        ).hexdigest()
+    assert eng.ctx().docid_id_order is True
+    q = SearchQuery(keyword="sym_1*", fields=["content"], limit=7)
+    oracle = BM25Oracle(rows)
+    exp = [i for i, _ in oracle.search("sym_1*", limit=7)]
+    got = [r["_id"] for r in eng.search(q).collect()]
+    assert got == exp and len(got) == 7
+
+    # upsert a doc whose _id sorts FIRST among the tied matches but
+    # whose __docid is above the high-water mark — only the tie-keep
+    # path can rank it correctly
+    new = dict(rows[0])
+    new["_id"] = "0" * 64  # lexicographically before every sha256 id
+    new["content"] = "sym_1_0 tied content"
+    up = spark.createDataFrame([{k: v for k, v in new.items()}])
+    eng.upsert(up)
+    assert eng.ctx().docid_id_order is False
+    rows2 = [r for r in rows if r["_id"] != new["_id"]] + [new]
+    oracle2 = BM25Oracle(rows2)
+    exp2 = [i for i, _ in oracle2.search("sym_1*", limit=7)]
+    got2 = [r["_id"] for r in eng.search(q).collect()]
+    assert got2 == exp2
+    assert got2[0] == new["_id"]  # the upserted id wins the tie-break
