@@ -84,6 +84,30 @@ def main() -> None:
     )
     sections.append(("Filter-mode query (no scoring)", cap(eng.filter(qm))))
 
+    # batched filter-mode list (round 4): pure stored-column trees ride
+    # ONE docs scan per sort spec — rows explode into matching query
+    # ids, a per-(query, shard) pre-cut bounds the rank shuffle
+    qs_bf = [
+        SearchQuery(
+            filters={"and": [{"field": "lang", "value": "py"}]},
+            sorts=[{"path": "desc"}],
+            limit=5,
+        ),
+        SearchQuery(
+            filters={"or": [{"field": "lang", "value": "go"},
+                            {"field": "lang", "value": "java"}]},
+            sorts=[{"path": "desc"}],
+            limit=5,
+        ),
+    ]
+    sections.append(
+        ("BATCH filter-mode list (round 4, one docs scan per sort spec) "
+         "— check ONE FileScan of docs feeds a Generate(explode) of the "
+         "query-id tag array, then two ranked windows (per-shard pre-cut "
+         "then per-query rank) and the broadcast per-query limit join",
+         cap(eng.batch_filter(qs_bf)))
+    )
+
     from byzer_retrieval_spark.operators.batch import batch_search
 
     qs = [SearchQuery(keyword=f"sym_{i}_0 def", fields=["content"], limit=5) for i in range(10)]

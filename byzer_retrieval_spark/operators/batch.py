@@ -22,7 +22,10 @@ WAND path uses), and per-query FILTER trees — each query's allow set
 rides the same shard cogroup as the posting blocks, tagged by
 query_id, so filtered and unfiltered queries mix freely in one batch.
 Match-all and vector/hybrid queries are the only fallback shapes
-(api.batch_search runs those per-query and unions the results).
+(api.batch_search runs those per-query and unions the results; a
+match-all's per-query plan is fully LAZY — no eager driver work — so
+the union still collects as ONE Spark job; only vector/hybrid
+fallbacks pay extra jobs, for their ANN probe checks).
 
 Scale: the scan cost is the union of the batch's term postings (shared
 terms decode once); per-shard memory is bounded by those postings; the
