@@ -625,10 +625,20 @@ def filters_to_predicate(tree: Dict[str, Any]) -> Callable[[Dict[str, Any]], boo
 
 def sorts_to_columns(sorts: List[Dict[str, str]]) -> List[Column]:
     """[{"mtime":"desc"},{"_id":"asc"}] → orderBy columns (asc default,
-    matching the reference comparator, RetrievalMaster.java:225-247)."""
+    matching the reference comparator, RetrievalMaster.java:225-247).
+    ("mtime", "desc") tuple/list entries are accepted as a convenience
+    — previously they raised a bare AttributeError."""
     cols: List[Column] = []
     for s in sorts:
-        for fname, direction in s.items():
+        if isinstance(s, (tuple, list)):
+            if not 1 <= len(s) <= 2:
+                raise ValueError(f"sort entry needs (field[, dir]): {s!r}")
+            items = [(s[0], s[1] if len(s) == 2 else "asc")]
+        elif isinstance(s, str):
+            items = [(s, "asc")]
+        else:
+            items = list(s.items())
+        for fname, direction in items:
             c = F.col(fname)
             cols.append(c.desc() if str(direction).lower() == "desc" else c.asc())
     return cols

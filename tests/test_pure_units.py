@@ -168,3 +168,20 @@ def test_corpus_determinism_and_skew():
     assert sum(1 for c in df.values() if c == 1) >= 100
     # two unique syms per doc
     assert df["sym_17_0"] == 1 and df["sym_17_1"] == 1
+
+
+def test_sorts_to_columns_accepts_tuples_and_strings(spark):
+    """Convenience shapes: ("f","desc") tuples, bare "f" strings, and
+    the canonical {"f":"desc"} dicts all compile; bad tuties raise
+    ValueError not AttributeError."""
+    import pytest
+
+    from byzer_retrieval_spark.plans.query import sorts_to_columns
+
+    cols = sorts_to_columns([{"a": "desc"}, ("b", "desc"), ("c",), "d"])
+    assert len(cols) == 4
+    reprs = [str(c) for c in cols]
+    assert "DESC" in reprs[0] and "DESC" in reprs[1]
+    assert "ASC" in reprs[2] and "ASC" in reprs[3]
+    with pytest.raises(ValueError):
+        sorts_to_columns([("a", "desc", "extra")])
