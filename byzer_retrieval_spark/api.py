@@ -731,7 +731,9 @@ class RetrievalEngine:
             for qid, q in batched:
                 sk = _json.dumps(q.sorts or [], sort_keys=True)
                 groups.setdefault(sk, []).append((qid, q))
-            lim_df = self.spark.createDataFrame(
+            # created on the CONTEXT's session (the dedicated query
+            # session) so the join stays within one SQLConf
+            lim_df = ctx.spark.createDataFrame(
                 [(int(qid), int(q.limit)) for qid, q in batched],
                 "query_id int, __klim int",
             )
