@@ -69,23 +69,21 @@ def is_batchable(parsed: ParsedKeyword, query: SearchQuery) -> bool:
     """Whether a query fits the one-job batch scorer. Match-all/empty
     have no scoring clauses to share; vector/hybrid queries need the
     KNN recall and (for hybrids) RRF fusion — dropping the vector
-    silently would return different rankings than api.search."""
+    silently would return different rankings than api.search. As of
+    round 5 EVERY keyword shape batches: +(...) gates with any member
+    kind and group-local +/- (nested BooleanQuery bool_groups) ride
+    the same member machinery the WAND scorer uses."""
     return not (
         parsed.match_all
         or parsed.empty
         or (bool(query.vector) and query.vector_field)
-        # groups gate on term membership in the batch scorer; a group
-        # with phrase/prefix/fuzzy members needs the WAND machinery
-        or any(any(m[0] != "term" for m in g) for g in parsed.any_groups_ext)
-        # group-local +/- (nested BooleanQuery) runs on the declarative
-        # scorer_df path via the per-query fallback
-        or bool(parsed.bool_groups)
         or not (
             parsed.scoring_terms
             or parsed.scoring_prefixes
             or parsed.scoring_fuzzies
             or parsed.scoring_phrases
             or parsed.scoring_nears
+            or parsed.scoring_bool_groups
         )
     )
 
@@ -152,7 +150,11 @@ def _make_batch_scorer(
             needed_exact.update(spec["must"])
             needed_exact.update(spec["must_not"])
             for grp in spec["groups"]:
-                needed_exact.update(grp)
+                needed_exact.update(m[1] for m in grp if m[0] == "term")
+            for _gk, g_sh, g_mu, g_no in spec["bool_groups"]:
+                needed_exact.update(
+                    m[1] for m in g_sh + g_mu + g_no if m[0] == "term"
+                )
         em = pdf["term"].isin(needed_exact)
         cpdf = pdf[~em]
         pdf = pdf[em]
@@ -269,6 +271,79 @@ def _make_batch_scorer(
         # a 600k corpus, paid per QUERY before this cache (round 4)
         pm_cache: Dict[tuple, tuple] = {}
 
+        def _pm(fld: str, terms: tuple, slop: int):
+            hit = pm_cache.get((fld, terms, slop))
+            if hit is None:
+                hit = pm_cache[(fld, terms, slop)] = _phrase_match(
+                    pdata[fld], terms, slop
+                )
+            return hit
+
+        # ---- group-member evaluation (round 5): +(...) gates and
+        # nested-boolean groups accept ANY member kind — term members
+        # read the shared decode, prefix/set members the vectorized
+        # const index (clause_cache), phrase members the pm_cache
+        def member_docs(m, q_fields) -> List[np.ndarray]:
+            if m[0] == "term":
+                return [
+                    docs
+                    for fld, docs, _ in by_term.get(m[1], ())
+                    if fld in q_fields
+                ]
+            if m[0] in ("prefix", "set"):
+                return clause_docs(m[0], m[1], q_fields)
+            out = []
+            for fld in sorted(q_fields):
+                d = pdata.get(fld)
+                if d is None or any(t not in d for t in m[1]):
+                    continue
+                pdocs, _ = _pm(fld, m[1], m[2])
+                if pdocs.size:
+                    out.append(pdocs)
+            return out
+
+        def member_docs_parts(m, q_fields) -> List[Tuple[np.ndarray, np.ndarray]]:
+            """(docs, score parts) per field-clause — term members score
+            BM25, prefix/set constant 1.0, phrase members
+            Σidf·tfnorm(phrase_tf) (same formulas as the top-level
+            clauses)."""
+            if m[0] == "term":
+                return [
+                    (docs, part)
+                    for fld, docs, part in by_term.get(m[1], ())
+                    if fld in q_fields
+                ]
+            if m[0] in ("prefix", "set"):
+                return [
+                    (d, np.full(d.size, 1.0))
+                    for d in clause_docs(m[0], m[1], q_fields)
+                ]
+            out = []
+            for fld in sorted(q_fields):
+                d = pdata.get(fld)
+                if d is None or any(t not in d for t in m[1]):
+                    continue
+                pdocs, ptf = _pm(fld, m[1], m[2])
+                if pdocs.size == 0:
+                    continue
+                n_docs, avgdl = field_stats[fld]
+                dfs = dfs_of[fld]
+                idf_sum = sum(
+                    math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                    for t in m[1]
+                )
+                d0 = d[m[1][0]]
+                dl = d0[2][np.searchsorted(d0[0], pdocs)].astype(np.float64)
+                ptff = ptf.astype(np.float64)
+                out.append(
+                    (
+                        pdocs,
+                        idf_sum
+                        * (ptff / (ptff + k1 * (1.0 - b + b * dl / avgdl))),
+                    )
+                )
+            return out
+
         out_q, out_d, out_s = [], [], []
         for spec in specs:
             q_fields = spec["fields"]
@@ -354,24 +429,82 @@ def _make_batch_scorer(
                     )
             group_sets = []
             for grp in spec["groups"]:
-                hits = [
-                    docs
-                    for t in grp
-                    for fld, docs, _ in by_term.get(t, ())
-                    if fld in q_fields
-                ]
+                hits = []
+                for m in grp:
+                    hits.extend(member_docs(m, q_fields))
                 group_sets.append(
                     np.unique(np.concatenate(hits))
                     if hits
                     else np.empty(0, dtype=np.int64)
                 )
+            # nested boolean groups (round 5): positive groups' member
+            # docs enter uniq with ZERO main score (their contribution
+            # is conditional on the whole group matching — added after
+            # the bincount, exactly like wand.bool_group_adjust)
+            bgs = spec["bool_groups"]
+            top_arr_cnt = len(doc_arrs)
+            for gkind, g_sh, g_mu, g_no in bgs:
+                if gkind == "not":
+                    continue
+                for m in dict.fromkeys(g_sh + g_mu):
+                    for d in member_docs(m, q_fields):
+                        doc_arrs.append(d)
+                        part_arrs.append(np.zeros(d.size))
             if not doc_arrs:
                 continue
             all_docs = np.concatenate(doc_arrs)
             all_parts = np.concatenate(part_arrs)
             uniq, inv = np.unique(all_docs, return_inverse=True)
             scores = np.bincount(inv, weights=all_parts, minlength=uniq.size)
+            if bgs:
+                top_hit = (
+                    np.isin(
+                        uniq, np.concatenate(doc_arrs[:top_arr_cnt])
+                    )
+                    if top_arr_cnt
+                    else np.zeros(uniq.size, dtype=bool)
+                )
+                matched_pos = np.zeros(uniq.size, dtype=bool)
+                bg_gate = np.ones(uniq.size, dtype=bool)
+                add = np.zeros(uniq.size)
+
+                def _mdocs(mem):
+                    ds = member_docs(mem, q_fields)
+                    return (
+                        np.unique(np.concatenate(ds))
+                        if ds
+                        else np.empty(0, dtype=np.int64)
+                    )
+
+                for gkind, g_sh, g_mu, g_no in bgs:
+                    if g_mu:
+                        mm = np.ones(uniq.size, dtype=bool)
+                        for mem in dict.fromkeys(g_mu):
+                            mm &= np.isin(uniq, _mdocs(mem))
+                    else:
+                        mm = np.zeros(uniq.size, dtype=bool)
+                        for mem in dict.fromkeys(g_sh):
+                            mm |= np.isin(uniq, _mdocs(mem))
+                    for mem in dict.fromkeys(g_no):
+                        mm &= ~np.isin(uniq, _mdocs(mem))
+                    if gkind == "not":
+                        bg_gate &= ~mm
+                        continue
+                    gsc = np.zeros(uniq.size)
+                    for mem in dict.fromkeys(g_mu + g_sh):
+                        for d, p in member_docs_parts(mem, q_fields):
+                            gsc[np.searchsorted(uniq, d)] += p
+                    add += np.where(mm, gsc, 0.0)
+                    matched_pos |= mm
+                    if gkind == "must":
+                        bg_gate &= mm
+                scores = scores + add
+                # has-match: >= 1 top-level clause OR a matched
+                # positive group (Lucene nested BooleanQuery)
+                bg_gate &= top_hit | matched_pos
             mask = np.ones(uniq.size, dtype=bool)
+            if bgs:
+                mask &= bg_gate
             for hits in must_doc_sets:
                 mask &= np.isin(uniq, hits)
             for hits in group_sets:
@@ -539,6 +672,40 @@ def batch_search(
         )
         phrase_member_terms.extend(parsed.phrase_terms)
         all_terms.extend(parsed.phrase_terms)
+
+        # group members (any kind) → scorer descriptors: terms stay
+        # ("term", t); phrases register their member terms for the
+        # positions scan; fuzzies pre-expand through the batch memo
+        def _conv_member(m):
+            if m[0] == "term":
+                all_terms.append(m[1])
+                return ("term", m[1])
+            if m[0] == "phrase":
+                phrase_member_terms.extend(m[1])
+                all_terms.extend(m[1])
+                return ("phrase", tuple(m[1]), int(m[2]))
+            if m[0] == "prefix":
+                prefix_stems.append(m[1])
+                return ("prefix", m[1])
+            ek = (tuple(flds), m[1], m[2])
+            if ek not in fuzzy_memo:
+                fuzzy_memo[ek] = frozenset(expand_fuzzy(ctx, flds, m[1], m[2]))
+            terms = fuzzy_memo[ek]
+            all_terms.extend(sorted(terms))
+            return ("set", terms)
+
+        groups_m = tuple(
+            tuple(_conv_member(m) for m in g) for g in parsed.any_groups_ext
+        )
+        bool_groups_m = tuple(
+            (
+                gkind,
+                tuple(_conv_member(m) for m in g_sh),
+                tuple(_conv_member(m) for m in g_mu),
+                tuple(_conv_member(m) for m in g_no),
+            )
+            for gkind, g_sh, g_mu, g_no in parsed.bool_groups
+        )
         gated = bool(q.filters)
         if gated:
             # queries sharing one filter tree share ONE allow-set scan
@@ -560,7 +727,8 @@ def batch_search(
                 "k": q.limit,
                 "const_specs": tuple(const_specs),
                 "phrases": tuple(phrase_specs),
-                "groups": tuple(parsed.must_any_groups),
+                "groups": groups_m,
+                "bool_groups": bool_groups_m,
                 "gated": gated,
             }
         )

@@ -334,6 +334,7 @@ def _make_shard_scorer(
     prune_min_blocks: Optional[int] = None,
     conj_restrict: Optional[bool] = None,
     docid_id_order: bool = False,
+    bool_group_specs: Tuple[Tuple[str, Tuple, Tuple, Tuple], ...] = (),
 ):
     """idf is derived in-task from the broadcast-joined ``df`` column —
     no eager stats collect on the driver, so a whole search is ONE job.
@@ -378,12 +379,40 @@ def _make_shard_scorer(
     under block pruning: both phases select, for EVERY clause, all
     blocks overlapping the candidate doc ranges, so membership evidence
     is complete for every emitted doc; gating only removes docs.
+
+    ``bool_group_specs`` (round 5 — group-local +/- first-class in the
+    WAND scorer): one entry per nested BooleanQuery group ``(+a -b c)``
+    as (gkind, should, must, not_) where gkind is the group's own sign
+    ('should'|'must'|'not') and each member is ("t", term) for a term
+    clause or ("k", key) referencing a phrase/prefix/fuzzy spec carried
+    with kind "group" (such specs contribute neither to the main score
+    sum nor to n_must — their docs + per-doc parts are tracked
+    separately). Semantics = Lucene's nested BooleanQuery
+    (RetrievalWorker.java:339 via SimpleQueryParser): the group matches
+    a doc iff all must members match, no not_ member matches, and
+    (when must is empty) >= 1 should member matches; the sum of the
+    matching must+should member scores joins the doc's score ONLY when
+    the group matches; a 'must' group gates, a 'not' group excludes,
+    and a doc matching only a should/must group still matches the
+    query. Conditional contributions break the monotone upper-bound
+    math, so θ0 pruning is disabled for these queries (the conjunctive
+    MUST restriction and the per-shard top-k cut still apply) — same
+    exhaustive-scoring cost as the declarative path but distributed
+    per shard with no groupBy shuffle, and batchable.
     """
     if prune_min_blocks is None:
         prune_min_blocks = _prune_min_blocks()  # driver-resolved
     if conj_restrict is None:
         conj_restrict = _conj_enabled()
     scoring_set = set(scoring_terms)
+    # nested-boolean-group TERM members: decoded like clauses but their
+    # contributions are tracked per term (conditional add), not summed
+    bg_term_set = {
+        m[1]
+        for _, g_sh, g_mu, g_no in bool_group_specs
+        for m in g_sh + g_mu + g_no
+        if m[0] == "t"
+    }
     # (key, kind) of every extra clause — uniform across the 3-tuple
     # prefix/termset specs and 4-tuple phrase specs
     extra_kinds = (
@@ -415,9 +444,10 @@ def _make_shard_scorer(
             excl = np.unique(docs)
 
         cl: List[dict] = []
-        # only the query's scoring terms become clauses (phrase-member
-        # terms ride along in pdf solely for position verification)
-        sc_pdf = pdf[pdf["term"].isin(scoring_set)]
+        # only the query's scoring terms (and nested-group term members)
+        # become clauses (phrase-member terms ride along in pdf solely
+        # for position verification)
+        sc_pdf = pdf[pdf["term"].isin(scoring_set | bg_term_set)]
         for (fld, term), g in sc_pdf.groupby(["field", "term"], sort=False):
             g = g.sort_values("first_doc")
             n_docs, avgdl = field_stats[fld]
@@ -435,6 +465,8 @@ def _make_shard_scorer(
                     gaps=g["doc_gaps"].tolist(),
                     tfs=g["tfs"].tolist(),
                     dls=g["dls"].tolist(),
+                    top=term in scoring_set,
+                    bg=term in bg_term_set,
                 )
             )
         if not cl and not extra_kinds:
@@ -568,6 +600,11 @@ def _make_shard_scorer(
             per_key_docs: Dict[Tuple[str, str], List[np.ndarray]] = {}
             add_docs: List[np.ndarray] = []
             add_parts: List[np.ndarray] = []
+            # kind == "group" extras (nested-boolean-group members):
+            # their docs extend uniq (zero main score) and their parts
+            # are returned per clause key for the conditional add
+            key_contrib: Dict[str, List[Tuple[np.ndarray, np.ndarray]]] = {}
+            bg_docs: List[np.ndarray] = []
             for fld in sorted(set(pdf["field"]) & set(field_stats)):
                 fp = pdf[pdf["field"] == fld]
                 # pass 1 for phrase members: CHEAP doc-level decode only
@@ -657,6 +694,11 @@ def _make_shard_scorer(
                     if kind in ("should", "must"):
                         add_docs.append(pdocs)
                         add_parts.append(np.full(pdocs.size, 1.0))
+                    elif kind == "group":
+                        bg_docs.append(pdocs)
+                        key_contrib.setdefault(pkey, []).append(
+                            (pdocs, np.full(pdocs.size, 1.0))
+                        )
                 for pkey, terms, kind, slop in phrase_specs:
                     if any(t not in doc_data for t in terms):
                         continue
@@ -667,7 +709,7 @@ def _make_shard_scorer(
                     if pdocs.size == 0:
                         continue
                     per_key_docs.setdefault((pkey, kind), []).append(pdocs)
-                    if kind in ("should", "must"):
+                    if kind in ("should", "must", "group"):
                         idf_sum = sum(
                             math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
                             for t in terms
@@ -675,11 +717,17 @@ def _make_shard_scorer(
                         d0 = datas[terms[0]]
                         dl = d0[2][np.searchsorted(d0[0], pdocs)].astype(np.float64)
                         ptff = ptf.astype(np.float64)
-                        add_docs.append(pdocs)
-                        add_parts.append(
-                            idf_sum
-                            * (ptff / (ptff + k1 * (1.0 - b + b * dl / avgdl)))
+                        parts = idf_sum * (
+                            ptff / (ptff + k1 * (1.0 - b + b * dl / avgdl))
                         )
+                        if kind == "group":
+                            bg_docs.append(pdocs)
+                            key_contrib.setdefault(pkey, []).append(
+                                (pdocs, parts)
+                            )
+                        else:
+                            add_docs.append(pdocs)
+                            add_parts.append(parts)
             not_docs = [
                 d
                 for (pkey, kind), ds in per_key_docs.items()
@@ -688,8 +736,9 @@ def _make_shard_scorer(
             ]
             if not_docs:
                 excl = np.union1d(excl, np.concatenate(not_docs))
+            new_docs = add_docs + bg_docs
             uniq2 = (
-                np.union1d(uniq, np.concatenate(add_docs)) if add_docs else uniq
+                np.union1d(uniq, np.concatenate(new_docs)) if new_docs else uniq
             )
             scores2 = np.zeros(uniq2.size)
             must2 = np.zeros(uniq2.size, dtype=np.int64)
@@ -711,7 +760,10 @@ def _make_shard_scorer(
                 for (pkey, kind), ds in per_key_docs.items()
                 if kind != "not"
             }
-            return uniq2, scores2, must2, key_docs
+            extra_top = (
+                np.unique(np.concatenate(add_docs)) if add_docs else _EMPTY
+            )
+            return uniq2, scores2, must2, key_docs, key_contrib, extra_top
 
         # group members are term strings or extra-clause keys ("__ps0"
         # etc.); term hits come from exact(), key hits from
@@ -720,10 +772,16 @@ def _make_shard_scorer(
 
         def exact(selections: List[np.ndarray]):
             """Exact scores over selected blocks; returns (docs, scores,
-            must_cnt, hit_of) on the unique doc set — hit_of maps each
-            tracked term to its matched doc ids."""
+            must_cnt, hit_of, bg_contrib, top_hits) on the unique doc
+            set — hit_of maps each tracked term to its matched doc ids;
+            bg_contrib maps each nested-group term member to its
+            per-(field-clause) (docs, parts) for the conditional add;
+            top_hits = docs matched by >= 1 top-level scoring clause
+            (group-member-only docs enter uniq with zero score)."""
             doc_parts, score_parts = [], []
+            top_docs: List[np.ndarray] = []
             term_docs: Dict[str, List[np.ndarray]] = {}
+            bg_contrib: Dict[str, List[Tuple[np.ndarray, np.ndarray]]] = {}
             for c, sel in zip(cl, selections):
                 if sel.size == 0:
                     continue
@@ -737,12 +795,20 @@ def _make_shard_scorer(
                     tfs / (tfs + k1 * (1.0 - b + b * dls / c["avgdl"]))
                 )
                 doc_parts.append(docs)
-                score_parts.append(part)
+                if c["top"]:
+                    score_parts.append(part)
+                    if bool_group_specs:
+                        top_docs.append(docs)
+                else:
+                    # group-member-only clause: in uniq, zero main score
+                    score_parts.append(np.zeros(docs.size))
+                if c["bg"]:
+                    bg_contrib.setdefault(c["term"], []).append((docs, part))
                 if c["term"] in tracked:
                     term_docs.setdefault(c["term"], []).append(docs)
             if not doc_parts:
                 z = np.empty(0, dtype=np.int64)
-                return z, np.empty(0), np.empty(0, dtype=np.int64), {}
+                return z, np.empty(0), np.empty(0, dtype=np.int64), {}, {}, z
             all_docs = np.concatenate(doc_parts)
             all_parts = np.concatenate(score_parts)
             uniq, inv = np.unique(all_docs, return_inverse=True)
@@ -754,7 +820,10 @@ def _make_shard_scorer(
             for t in set(must_terms):
                 if t in hit_of:
                     must_cnt += np.isin(uniq, hit_of[t])
-            return uniq, scores, must_cnt, hit_of
+            top_hits = (
+                np.unique(np.concatenate(top_docs)) if top_docs else _EMPTY
+            )
+            return uniq, scores, must_cnt, hit_of, bg_contrib, top_hits
 
         _NO_KEYS: Dict[str, np.ndarray] = {}
 
@@ -781,6 +850,68 @@ def _make_shard_scorer(
                 mask &= ~np.isin(uniq, gate_docs)
             return mask
 
+        def bool_group_adjust(
+            uniq, scores, bg_contrib, key_docs, key_contrib, top_hits
+        ):
+            """Conditional nested-BooleanQuery evaluation (round 5):
+            returns (adjusted scores, gate mask). Mirrors the
+            declarative scorer's per-group aggregates exactly — one
+            masked score-sum per group over the tracked member
+            contributions."""
+
+            def mem_docs(m):
+                if m[0] == "t":
+                    lst = bg_contrib.get(m[1], [])
+                    return (
+                        np.unique(np.concatenate([d for d, _ in lst]))
+                        if lst
+                        else _EMPTY
+                    )
+                return key_docs.get(m[1], _EMPTY)
+
+            def mem_parts(m):
+                arr = np.zeros(uniq.size)
+                lst = (
+                    bg_contrib.get(m[1], [])
+                    if m[0] == "t"
+                    else key_contrib.get(m[1], [])
+                )
+                for d, p in lst:
+                    arr[np.searchsorted(uniq, d)] += p
+                return arr
+
+            add = np.zeros(uniq.size)
+            matched_pos = np.zeros(uniq.size, dtype=bool)
+            gmask = np.ones(uniq.size, dtype=bool)
+            for gkind, g_sh, g_mu, g_no in bool_group_specs:
+                if g_mu:
+                    m = np.ones(uniq.size, dtype=bool)
+                    for mem in dict.fromkeys(g_mu):
+                        m &= np.isin(uniq, mem_docs(mem))
+                else:
+                    m = np.zeros(uniq.size, dtype=bool)
+                    for mem in dict.fromkeys(g_sh):
+                        m |= np.isin(uniq, mem_docs(mem))
+                for mem in dict.fromkeys(g_no):
+                    m &= ~np.isin(uniq, mem_docs(mem))
+                if gkind == "not":
+                    gmask &= ~m
+                    continue
+                # the group's score = Σ matching must+should member
+                # scores, added ONLY for docs the group matches
+                gsc = np.zeros(uniq.size)
+                for mem in dict.fromkeys(g_mu + g_sh):
+                    gsc += mem_parts(mem)
+                add += np.where(m, gsc, 0.0)
+                matched_pos |= m
+                if gkind == "must":
+                    gmask &= m
+            # a doc must match >= 1 top-level scoring clause OR a
+            # matched positive group (Lucene: a BooleanQuery with only
+            # non-matching optional clauses matches nothing)
+            gmask &= np.isin(uniq, top_hits) | matched_pos
+            return scores + add, gmask
+
         total_blocks = sum(c["firsts"].size for c in cl)
         if conj is None:
             all_sel = [np.arange(c["firsts"].size) for c in cl]
@@ -799,6 +930,9 @@ def _make_shard_scorer(
             total_blocks > prune_min_blocks
             and bool(cl)
             and (not extra_kinds or prunable_extras)
+            # conditional group contributions break the monotone
+            # upper-bound proof — θ0 pruning stays off for these
+            and not bool_group_specs
         )
         extra_cl: List[tuple] = []
         if use_prune and extra_kinds:
@@ -902,7 +1036,7 @@ def _make_shard_scorer(
                 np.nonzero(_overlap_mask(c["firsts"], c["lasts"], rf, rl))[0]
                 for c in cl
             ]
-            u1, s1, mc1, h1 = exact(sel1)
+            u1, s1, mc1, h1, _, _ = exact(sel1)
             if u1.size:
                 m1 = gate(u1, s1, mc1, h1) & _in_intervals(u1, rf, rl)
                 vals = s1[m1]
@@ -940,12 +1074,12 @@ def _make_shard_scorer(
                     np.nonzero(_overlap_mask(c["firsts"], c["lasts"], rf2, rl2))[0]
                     for c in cl
                 ]
-                uniq, scores, must_cnt, hit_of = exact(all_sel)
+                uniq, scores, must_cnt, hit_of, _, _ = exact(all_sel)
                 key_docs = {}
                 if extra_kinds:
                     # extras decode ONLY blocks overlapping the
                     # survivor ranges (the phrase-postings saving)
-                    uniq, scores, must_cnt, key_docs = merge_extras(
+                    uniq, scores, must_cnt, key_docs, _, _ = merge_extras(
                         uniq, scores, must_cnt, ranges=(rf2, rl2)
                     )
                 if uniq.size:
@@ -953,23 +1087,31 @@ def _make_shard_scorer(
                 else:
                     mask = np.zeros(0, dtype=bool)
             else:
-                uniq, scores, must_cnt, hit_of = exact(all_sel)
+                uniq, scores, must_cnt, hit_of, _, _ = exact(all_sel)
                 key_docs = {}
                 if extra_kinds:
-                    uniq, scores, must_cnt, key_docs = merge_extras(
+                    uniq, scores, must_cnt, key_docs, _, _ = merge_extras(
                         uniq, scores, must_cnt, ranges=conj
                     )
                 mask = gate(uniq, scores, must_cnt, hit_of, key_docs) if uniq.size else np.zeros(0, dtype=bool)
         else:
-            uniq, scores, must_cnt, hit_of = exact(all_sel)
+            uniq, scores, must_cnt, hit_of, bg_contrib, top_hits = exact(all_sel)
             key_docs = {}
+            key_contrib: Dict[str, list] = {}
             if extra_kinds:
                 # extras (incl. MUST/NOT phrases) decode only the blocks
                 # overlapping the conjunctive MUST ranges when present
-                uniq, scores, must_cnt, key_docs = merge_extras(
-                    uniq, scores, must_cnt, ranges=conj
-                )
+                (
+                    uniq, scores, must_cnt, key_docs, key_contrib, extra_top
+                ) = merge_extras(uniq, scores, must_cnt, ranges=conj)
+                if bool_group_specs and extra_top.size:
+                    top_hits = np.union1d(top_hits, extra_top)
             mask = gate(uniq, scores, must_cnt, hit_of, key_docs) if uniq.size else np.zeros(0, dtype=bool)
+            if bool_group_specs and uniq.size:
+                scores, gmask = bool_group_adjust(
+                    uniq, scores, bg_contrib, key_docs, key_contrib, top_hits
+                )
+                mask &= gmask
 
         docs_f, scores_f = uniq[mask], scores[mask]
         if docs_f.size > k:
@@ -1040,17 +1182,13 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     parsed = parse_keyword(query.keyword, ctx.analyzer)
     if parsed.match_all or parsed.empty:
         return None
-    if parsed.bool_groups:
-        # group-local +/- (nested BooleanQuery): conditional member
-        # scoring — executed by the declarative scorer_df path (rare
-        # syntax; round 4)
-        return None
     if (
         not parsed.scoring_terms
         and not parsed.scoring_phrases
         and not parsed.scoring_prefixes
         and not parsed.scoring_fuzzies
         and not parsed.scoring_nears
+        and not parsed.scoring_bool_groups
     ):
         return None
     fields = [f for f in (query.fields or ctx.analyzed_fields) if f in ctx.analyzed_fields]
@@ -1058,7 +1196,7 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     all_terms = list(
         dict.fromkeys(parsed.scoring_terms + parsed.must_not + parsed.phrase_terms)
     )
-    phrase_specs = tuple(
+    phrase_list = (
         [(f"__pm{i}", p, "must", 0) for i, p in enumerate(dict.fromkeys(parsed.must_phrases))]
         + [(f"__ps{i}", p, "should", 0) for i, p in enumerate(parsed.dedup_should_phrases)]
         + [(f"__pn{i}", p, "not", 0) for i, p in enumerate(dict.fromkeys(parsed.not_phrases))]
@@ -1066,21 +1204,62 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         + [(f"__ns{i}", p, "should", s) for i, (p, s) in enumerate(parsed.dedup_should_nears)]
         + [(f"__nn{i}", p, "not", s) for i, (p, s) in enumerate(dict.fromkeys(parsed.not_near_phrases))]
     )
-    prefix_specs = tuple(
+    prefix_list = (
         [(f"__xm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_prefixes))]
         + [(f"__xs{i}", p, "should") for i, p in enumerate(parsed.dedup_should_prefixes)]
         + [(f"__xn{i}", p, "not") for i, p in enumerate(dict.fromkeys(parsed.not_prefixes))]
     )
-    # fuzzy clauses expand against the term dictionary first (tiny
-    # stats-table scan ≙ Lucene's FuzzyQuery automaton walk), then ride
-    # as constant-score term-set clauses
-    from byzer_retrieval_spark.operators.filtering import expand_fuzzy
-
     fuzzy_items = (
         [(f"__zm{i}", p, "must") for i, p in enumerate(dict.fromkeys(parsed.must_fuzzies))]
         + [(f"__zs{i}", p, "should") for i, p in enumerate(parsed.dedup_should_fuzzies)]
         + [(f"__zn{i}", p, "not") for i, p in enumerate(dict.fromkeys(parsed.not_fuzzies))]
     )
+
+    # ---- nested boolean groups (round 5): group-local +/- members ----
+    # Term members become tracked clauses; phrase/prefix/fuzzy members
+    # become kind-"group" specs keyed per group — neither joins the
+    # top-level scoring/must/not sets (their match + score are
+    # conditional on the whole group matching).
+    bg_specs: List[tuple] = []
+    bg_terms: List[str] = []
+    for gi, (gkind, g_sh, g_mu, g_no) in enumerate(parsed.bool_groups):
+        key_lists: Dict[str, List[tuple]] = {"should": [], "must": [], "not": []}
+        for role, members in (("should", g_sh), ("must", g_mu), ("not", g_no)):
+            for mj, m in enumerate(members):
+                if m[0] == "term":
+                    key_lists[role].append(("t", m[1]))
+                    bg_terms.append(m[1])
+                elif m[0] == "phrase":
+                    key = f"__bg{gi}{role[0]}p{mj}"
+                    phrase_list.append((key, m[1], "group", m[2]))
+                    bg_terms.extend(m[1])
+                    key_lists[role].append(("k", key))
+                elif m[0] == "prefix":
+                    key = f"__bg{gi}{role[0]}x{mj}"
+                    prefix_list.append((key, m[1], "group"))
+                    key_lists[role].append(("k", key))
+                else:
+                    key = f"__bg{gi}{role[0]}z{mj}"
+                    fuzzy_items.append((key, (m[1], m[2]), "group"))
+                    key_lists[role].append(("k", key))
+        bg_specs.append(
+            (
+                gkind,
+                tuple(key_lists["should"]),
+                tuple(key_lists["must"]),
+                tuple(key_lists["not"]),
+            )
+        )
+    if bg_terms:
+        all_terms = list(dict.fromkeys(all_terms + bg_terms))
+
+    phrase_specs = tuple(phrase_list)
+    prefix_specs = tuple(prefix_list)
+    # fuzzy clauses expand against the term dictionary first (tiny
+    # stats-table scan ≙ Lucene's FuzzyQuery automaton walk), then ride
+    # as constant-score term-set clauses
+    from byzer_retrieval_spark.operators.filtering import expand_fuzzy
+
     termset_specs = tuple(
         (key, expand_fuzzy(ctx, fields, w, n), kind)
         for key, (w, n), kind in fuzzy_items
@@ -1145,6 +1324,7 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         termset_specs,
         scorer_groups,
         docid_id_order=ctx.docid_id_order,
+        bool_group_specs=tuple(bg_specs),
     )
     if gate_mode == "none":
         return blocks.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)

@@ -227,3 +227,42 @@ def test_batch_respects_per_query_fields(spark, tmp_path):
     # doc 2 has 'alpha' only in body: must NOT appear for the title query
     assert "2" not in [i for i, _ in by_qid[0]]
     assert "2" in [i for i, _ in by_qid[1]]
+
+
+def test_batch_bool_groups_match_single(corpus_engine):
+    """Group-local +/- (nested BooleanQuery) and +(...) gates with
+    phrase/prefix/fuzzy members are batchable as of round 5 — every
+    shape must be rank- and score-identical to the single-query WAND
+    path in ONE batch."""
+    from byzer_retrieval_spark.operators.batch import is_batchable
+    from byzer_retrieval_spark.plans.query import parse_keyword
+
+    kws = [
+        "(+def return) lambda",          # group-local MUST
+        "(def -return) lambda",          # group-local NOT
+        "+(+class -lambda def) return",  # MUST group with local +/-
+        "-(+def class) return",          # NOT group with a local MUST
+        '(+"def return" class) if',      # phrase as group-local MUST
+        "(sym_1* -def) return",          # prefix should + local NOT
+        '+("import return" sym_3_0) def',  # phrase member +(...) gate
+        "+(sym_1* class) return",        # prefix member +(...) gate
+        "+(impor~1 lambda) def",         # fuzzy member +(...) gate
+        "def return",                    # plain control
+    ]
+    qs = [SearchQuery(keyword=k, fields=["content"], limit=10) for k in kws]
+    for q in qs:
+        assert is_batchable(parse_keyword(q.keyword, "whitespace"), q), q.keyword
+    rows = corpus_engine.batch_search(qs).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append((r["_id"], r["_score"]))
+    for qid, q in enumerate(qs):
+        single = [
+            (r["_id"], r["_score"]) for r in corpus_engine.search(q).collect()
+        ]
+        got = by_qid.get(qid, [])
+        assert [g[0] for g in got] == [s[0] for s in single], (qid, q.keyword)
+        if got:
+            np.testing.assert_allclose(
+                [g[1] for g in got], [s[1] for s in single], rtol=1e-9
+            )

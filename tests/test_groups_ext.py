@@ -132,19 +132,21 @@ BOOL_GROUP_QUERIES = [
 
 @pytest.mark.parametrize("keyword", BOOL_GROUP_QUERIES)
 def test_bool_group_rank_identity(corpus_engine, oracle, keyword):
-    """Group-local +/- (round 4): the engine dispatch (WAND refuses →
-    declarative path) must be rank- AND score-identical to the
-    brute-force oracle."""
+    """Group-local +/- — first-class in the WAND scorer as of round 5:
+    search_fast must ACCEPT these queries (no declarative fallback) and
+    both paths must be rank- AND score-identical to the brute-force
+    oracle."""
     q = SearchQuery(keyword=keyword, fields=["content"], limit=10)
+    ctx = corpus_engine.ctx()
     exp = oracle.search(keyword, limit=10)
-    got = [
-        (r["_id"], r["_score"])
-        for r in corpus_engine.search(q).collect()
-    ]
-    assert [g[0] for g in got] == [e[0] for e in exp], keyword
-    if got:
+    fast_df = search_fast(ctx, q)
+    assert fast_df is not None, f"WAND path refused bool-group query {keyword!r}"
+    fast = [(r["_id"], r["_score"]) for r in fast_df.collect()]
+    slow = [(r["_id"], r["_score"]) for r in search_df(ctx, q).collect()]
+    assert [f[0] for f in fast] == [e[0] for e in exp] == [s[0] for s in slow], keyword
+    if fast:
         np.testing.assert_allclose(
-            [g[1] for g in got], [e[1] for e in exp], rtol=1e-9
+            [f[1] for f in fast], [e[1] for e in exp], rtol=1e-9
         )
 
 
