@@ -605,13 +605,46 @@ def batch_search(
     """
     from byzer_retrieval_spark.operators.filtering import (
         expand_fuzzy,
+        expand_fuzzy_many,
         filtered_docs,
     )
 
     import json as _json
 
+    # ---- pre-pass: parse every query and expand ALL distinct fuzzy
+    # specs in ONE Spark job (round 5 — each expand_fuzzy call is a
+    # small driver-side job; 100 distinct fuzzies in a 1,000-query
+    # batch paid 100 serial jobs before the one batch job)
+    parsed_list = []
+    fuzzy_items_all: List[tuple] = []
+    for qid, q in enumerate(queries):
+        parsed = parse_keyword(q.keyword, ctx.analyzer)
+        if not is_batchable(parsed, q):
+            raise ValueError(
+                f"query {qid} is not batchable (vector/match-all); "
+                "use api.search for it"
+            )
+        flds = [
+            f for f in (q.fields or ctx.analyzed_fields) if f in ctx.analyzed_fields
+        ]
+        parsed_list.append((q, parsed, flds))
+        ft = tuple(flds)
+        for w, n in parsed.all_fuzzies:
+            fuzzy_items_all.append((ft, w, int(n)))
+        for g in parsed.any_groups_ext:
+            for m in g:
+                if m[0] == "fuzzy":
+                    fuzzy_items_all.append((ft, m[1], int(m[2])))
+        for _gk, g_sh, g_mu, g_no in parsed.bool_groups:
+            for m in g_sh + g_mu + g_no:
+                if m[0] == "fuzzy":
+                    fuzzy_items_all.append((ft, m[1], int(m[2])))
+    fuzzy_memo: Dict[tuple, frozenset] = {
+        item: frozenset(terms)
+        for item, terms in expand_fuzzy_many(ctx, fuzzy_items_all).items()
+    }
+
     specs = []
-    fuzzy_memo: Dict[tuple, frozenset] = {}
     gate_groups: Dict[str, tuple] = {}  # canonical filter json → (tree, qids)
     all_terms: List[str] = []
     fields_used: List[str] = []
@@ -619,16 +652,7 @@ def batch_search(
     phrase_member_terms: List[str] = []
     gate_parts: List[DataFrame] = []
     any_ungated = False
-    for qid, q in enumerate(queries):
-        parsed = parse_keyword(q.keyword, ctx.analyzer)
-        if not is_batchable(parsed, q):
-            raise ValueError(
-                f"query {qid} is not batchable (phrase/match-all); "
-                "use api.search for it"
-            )
-        flds = [
-            f for f in (q.fields or ctx.analyzed_fields) if f in ctx.analyzed_fields
-        ]
+    for qid, (q, parsed, flds) in enumerate(parsed_list):
         fields_used.extend(flds)
         # constant-score clauses: prefixes stay lazy (matched against
         # the scanned dictionary in-task, like the WAND path); fuzzies
@@ -649,12 +673,10 @@ def batch_search(
             ("not", parsed.not_fuzzies),
         ):
             for w, n in dict.fromkeys(fz):
-                # memoized across the batch: each DISTINCT (fields,
-                # term, edits) dictionary walk is one driver-side job —
-                # without this a 1,000-query batch repeating `foo~1`
-                # paid 1,000 expansion jobs (the round-4 fuzzy-batch
-                # bottleneck: ~2 s/query at a 600k corpus)
-                ek = (tuple(flds), w, n)
+                # every DISTINCT (fields, word, edits) spec was expanded
+                # in the ONE pre-pass job; the expand_fuzzy fallback is
+                # defensive only
+                ek = (tuple(flds), w, int(n))
                 if ek not in fuzzy_memo:
                     fuzzy_memo[ek] = frozenset(expand_fuzzy(ctx, flds, w, n))
                 terms = fuzzy_memo[ek]
@@ -687,7 +709,7 @@ def batch_search(
             if m[0] == "prefix":
                 prefix_stems.append(m[1])
                 return ("prefix", m[1])
-            ek = (tuple(flds), m[1], m[2])
+            ek = (tuple(flds), m[1], int(m[2]))
             if ek not in fuzzy_memo:
                 fuzzy_memo[ek] = frozenset(expand_fuzzy(ctx, flds, m[1], m[2]))
             terms = fuzzy_memo[ek]

@@ -82,3 +82,52 @@ def test_transposition_is_one_edit(spark, tmp_path):
         ).collect()
     ]
     assert set(hits) == {"1", "2"}
+
+
+def test_expand_many_matches_single(fuzz_engine):
+    """expand_fuzzy_many (round 5 — ONE job for a whole batch's fuzzy
+    specs) must return exactly what per-spec expand_fuzzy returns,
+    including the closest-50 deterministic cap."""
+    from byzer_retrieval_spark.operators.filtering import expand_fuzzy_many
+
+    ctx = fuzz_engine.ctx()
+    items = [
+        (("content",), "zw00", 2),
+        (("content",), "zw00", 1),
+        (("content",), "zw55", 1),
+        (("content",), "nomatchxx", 1),
+    ]
+    many = expand_fuzzy_many(ctx, items)
+    assert set(many) == set(items)
+    for flds, w, n in items:
+        assert many[(flds, w, n)] == expand_fuzzy(ctx, list(flds), w, n), (w, n)
+
+
+def test_batch_fuzzy_expansion_is_one_job(fuzz_engine):
+    """A batch with many DISTINCT fuzzies must not pay one expansion job
+    per spec: the pre-pass runs expand_fuzzy_many once. Evidence: spark
+    job count during batch_search plan build stays constant-ish (2
+    jobs: expansion + gate-free scan deferral) instead of ~N."""
+    from byzer_retrieval_spark.operators.batch import batch_search
+    from byzer_retrieval_spark.plans.query import SearchQuery
+
+    ctx = fuzz_engine.ctx()
+    sc = ctx.spark.sparkContext
+    tracker = sc.statusTracker()
+    words = [f"zw{i:02d}" for i in range(10, 30)]  # 20 distinct fuzzies
+    qs = [
+        SearchQuery(keyword=f"{w}~1", fields=["content"], limit=5)
+        for w in words
+    ]
+    sc.setJobGroup("fz-build", "batch plan build")
+    try:
+        df = batch_search(ctx, qs)  # plan build (expansion happens here)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs_during_build = len(tracker.getJobIdsForGroup("fz-build") or [])
+    # ONE expand_fuzzy_many collect plus its broadcast-exchange side
+    # jobs — constant in the number of specs; the per-spec path
+    # scheduled >= 20 (one per distinct fuzzy)
+    assert jobs_during_build <= 8, jobs_during_build
+    rows = df.collect()
+    assert {r["query_id"] for r in rows} == set(range(len(qs)))
