@@ -796,60 +796,152 @@ class RetrievalEngine:
         database: str = "default",
         table: str = "default",
     ) -> DataFrame:
-        """MANY keyword queries in ONE Spark job (the scheduling floor
-        is paid once per batch, not per query) — returns (query_id,
-        _score, stored...) with per-query global top-k. Accepts ANY
-        SearchQuery list (reference filter() parity,
-        RetrievalMaster.java:201-250): term/phrase/prefix/fuzzy/group
-        clauses and per-query filters run in the one-job batch scorer
-        (operators/batch.py); the remaining shapes (match-all,
-        vector/hybrid) fall back to per-query ``search`` and union in."""
-        from byzer_retrieval_spark.operators.batch import batch_search, is_batchable
+        """MANY queries in ONE Spark job (the scheduling floor is paid
+        once per batch, not per query) — returns (query_id, _score,
+        stored...) with per-query global top-k. Accepts ANY SearchQuery
+        list (reference filter() parity, RetrievalMaster.java:201-250):
+
+        - keyword queries (every clause shape incl. nested boolean
+          groups, plus per-query filters) share ONE postings scan
+          (operators/batch.py);
+        - unfiltered VECTOR queries over a CURRENT persisted ANN index
+          share ONE partition-pruned index scan per vector field,
+          tagged by query_id (knn.batch_vector_winners_ann — round 5);
+        - HYBRID queries fuse their batched keyword winners with their
+          batched vector winners via one tagged keyed-RRF
+          (fusion.rrf_fuse_keyed_tagged) — rank semantics identical to
+          the single-query path;
+        - everything funnels into ONE DPP-pruned stored-field join.
+
+        Only match-all keywords, filtered/stale-ANN vector queries and
+        match-all-keyword hybrids fall back to per-query ``search``
+        (their plans stay lazy — the union still collects together)."""
+        from byzer_retrieval_spark.operators.batch import (
+            batch_search_winners,
+            is_batchable,
+        )
+        from byzer_retrieval_spark.operators.fusion import rrf_fuse_keyed_tagged
+        from byzer_retrieval_spark.operators.knn import batch_vector_winners_ann
         from byzer_retrieval_spark.plans.query import parse_keyword
 
         ctx = self.query_ctx(database, table)
+        stored = ctx.stored_columns()
         if not queries:
             return ctx.docs().limit(0).select(
                 F.lit(0).cast("int").alias("query_id"),
                 F.lit(0.0).alias("_score"),
-                *ctx.stored_columns(),
+                *stored,
             )
-        in_batch, fallback = [], []
+        store = self.store(database, table)
+        kw_queries: List[SearchQuery] = []  # keyword batch (incl. hybrid kw sides)
+        kw_specs: List[tuple] = []          # (pos, caller_qid, is_hybrid)
+        vec_items: Dict[str, list] = {}     # vector_field → [(qid, q)]
+        hyb_items: Dict[str, list] = {}
+        fallback: List[tuple] = []
+        ann_cache: Dict[str, Any] = {}
         for qid, q in enumerate(queries):
-            if is_batchable(parse_keyword(q.keyword, ctx.analyzer), q):
-                in_batch.append((qid, q))
-            else:
+            parsed = parse_keyword(q.keyword, ctx.analyzer)
+            has_vec = bool(q.vector) and q.vector_field
+            if not has_vec:
+                if is_batchable(parsed, q):
+                    kw_queries.append(q)
+                    kw_specs.append((len(kw_queries) - 1, qid, False))
+                else:
+                    fallback.append((qid, q))
+                continue
+            fld = q.vector_field
+            if fld not in ann_cache:
+                ann_cache[fld] = self._current_ann(store, fld)
+            ann = ann_cache[fld]
+            # the batched probe needs the physical key in the index
+            # rows and an unfiltered query (filtered vector queries keep
+            # the per-query can-fill-k dispatch)
+            usable = (
+                ann is not None
+                and not q.filters
+                and "__docid" in ann[0]._extra_cols()
+            )
+            has_kw = q.keyword is not None and q.keyword.strip() != ""
+            if not usable:
                 fallback.append((qid, q))
+            elif not has_kw:
+                vec_items.setdefault(fld, []).append((qid, q))
+            else:
+                kw_only = SearchQuery(
+                    keyword=q.keyword, fields=list(q.fields), limit=q.limit
+                )
+                if is_batchable(parsed, kw_only):
+                    hyb_items.setdefault(fld, []).append((qid, q))
+                    kw_queries.append(kw_only)
+                    kw_specs.append((len(kw_queries) - 1, qid, True))
+                else:
+                    fallback.append((qid, q))
+
+        spark = ctx.spark
+        win_parts: List[DataFrame] = []  # (query_id, shard_id, __docid, _score)
+        kw_hyb = None
+        if kw_queries:
+            kwin = batch_search_winners(ctx, kw_queries)
+            pos_df = spark.createDataFrame(
+                [(int(pos), int(cq), bool(hy)) for pos, cq, hy in kw_specs],
+                "query_id int, __cqid int, __hy boolean",
+            )
+            base = kwin.join(F.broadcast(pos_df), "query_id").select(
+                F.col("__cqid").alias("query_id"),
+                "shard_id", "__docid", "_id", "_score", "__hy",
+            )
+            if any(not hy for _, _, hy in kw_specs):
+                win_parts.append(base.filter(~F.col("__hy")).drop("__hy", "_id"))
+            if any(hy for _, _, hy in kw_specs):
+                kw_hyb = base.filter(F.col("__hy")).drop("__hy")
+        for fld, items in vec_items.items():
+            idx, probe_kw = ann_cache[fld]
+            win_parts.append(
+                batch_vector_winners_ann(ctx, items, idx, **probe_kw).drop("_id")
+            )
+        if hyb_items:
+            both = kw_hyb.withColumn("__recall", F.lit(0))
+            for fld, items in hyb_items.items():
+                idx, probe_kw = ann_cache[fld]
+                both = both.unionByName(
+                    batch_vector_winners_ann(ctx, items, idx, **probe_kw)
+                    .withColumn("__recall", F.lit(1))
+                )
+            limits = spark.createDataFrame(
+                [
+                    (int(qid), int(q.limit))
+                    for items in hyb_items.values()
+                    for qid, q in items
+                ],
+                "query_id int, __klim int",
+            )
+            win_parts.append(rrf_fuse_keyed_tagged(both, limits).drop("_id"))
+
         parts: List[DataFrame] = []
-        if in_batch:
-            batched = batch_search(ctx, [q for _, q in in_batch])
-            if len(in_batch) != len(queries):
-                # remap positional batch ids back to caller ids
-                remap = F.create_map(
-                    *[
-                        F.lit(x)
-                        for pos, (qid, _) in enumerate(in_batch)
-                        for x in (pos, qid)
-                    ]
-                )
-                batched = batched.withColumn(
-                    "query_id", remap[F.col("query_id")].cast("int")
-                )
-            parts.append(batched)
+        if win_parts:
+            wall = win_parts[0]
+            for p in win_parts[1:]:
+                wall = wall.unionByName(p)
+            # ONE stored-field materialization for keyword + vector +
+            # hybrid winners: shard_id is the docs partition column →
+            # dynamic partition pruning scans only winner shards
+            parts.append(
+                ctx.docs()
+                .join(F.broadcast(wall), ["shard_id", "__docid"])
+                .select("query_id", "_score", *stored)
+            )
         for qid, q in fallback:
             parts.append(
                 self.search(q, database, table).withColumn(
                     "query_id", F.lit(qid).cast("int")
-                ).select("query_id", "_score", *ctx.stored_columns())
+                ).select("query_id", "_score", *stored)
             )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if len(parts) > 1:
-            out = out.orderBy(
-                "query_id", F.col("_score").desc(), F.col("_id").asc()
-            )
-        return out
+        return out.orderBy(
+            "query_id", F.col("_score").desc(), F.col("_id").asc()
+        )
 
     def multi_search(
         self,

@@ -122,6 +122,33 @@ def _cosine_expr(vec_col: str, q: Sequence[float]):
     return dot / (norm * F.lit(qn))
 
 
+def _cosine_expr_col(vec_col: str, qvec_col: str, qnorm_col: str):
+    """Cosine against a per-row QUERY COLUMN (the batched multi-query
+    vector path joins each candidate with its query's vector). The
+    arithmetic mirrors ``_cosine_expr`` operation-for-operation —
+    zip_with dot, aggregate self-dot, divide by (norm · qnorm) — so a
+    batched query scores bit-identically to the per-query literal path
+    (the qnorm is precomputed driver-side with the same sequential
+    accumulation)."""
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col(qvec_col),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col).cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return dot / (norm * F.col(qnorm_col))
+
+
 def brute_force_cosine_topk(
     df: DataFrame, id_col: str, vec_col: str, query: Sequence[float], k: int = 10
 ) -> DataFrame:
@@ -315,6 +342,26 @@ class LshVectorIndex:
         """Physically drop dead rows (post-compact maintenance)."""
         _remove_docids(spark, self.data_path, ["tbl", "bucket"], dead_ids)
 
+    def probe_condition(self, query: Sequence[float], probe_hamming: int):
+        """This query's probe set as a predicate on the index PARTITION
+        columns (tbl, bucket). Factored out of ``candidates`` so the
+        batched multi-query probe (round 5) can OR many queries'
+        conditions into ONE partition-pruned scan."""
+        dim = len(query)
+        if probe_hamming >= self.num_planes:
+            # exact mode: one full replica (still one num_tables-th of
+            # the index) — used by the correctness oracle
+            return F.col("tbl") == 0
+        cond = F.lit(False)
+        for t in range(self.num_tables):
+            planes = hyperplanes(dim, self.num_planes, self.seed + t)
+            qb = bucket_of(query, planes)
+            probes = probe_buckets(qb, self.num_planes, probe_hamming)
+            cond = cond | (
+                (F.col("tbl") == t) & F.col("bucket").isin([int(x) for x in probes])
+            )
+        return cond
+
     def candidates(
         self, spark: SparkSession, query: Sequence[float], probe_hamming: int
     ) -> DataFrame:
@@ -324,22 +371,12 @@ class LshVectorIndex:
         upserted id's OLD and NEW rows both survive to the caller's
         tombstone anti-join (dropping on id alone could keep only the
         dead version)."""
-        dim = len(query)
         cols = ["id", "vec"] + self._extra_cols()
         dedup_cols = ["id"] + self._extra_cols()
         data = spark.read.parquet(self.data_path)
+        cond = self.probe_condition(query, probe_hamming)
         if probe_hamming >= self.num_planes:
-            # exact mode: one full replica (still one num_tables-th of
-            # the index) — used by the correctness oracle
-            return data.filter(F.col("tbl") == 0).select(*cols)
-        cond = F.lit(False)
-        for t in range(self.num_tables):
-            planes = hyperplanes(dim, self.num_planes, self.seed + t)
-            qb = bucket_of(query, planes)
-            probes = probe_buckets(qb, self.num_planes, probe_hamming)
-            cond = cond | (
-                (F.col("tbl") == t) & F.col("bucket").isin([int(x) for x in probes])
-            )
+            return data.filter(cond).select(*cols)
         return data.filter(cond).select(*cols).dropDuplicates(dedup_cols)
 
     def topk(
@@ -585,6 +622,14 @@ class IvfVectorIndex:
         """Physically drop dead rows (post-compact maintenance)."""
         _remove_docids(spark, self.data_path, ["cluster"], dead_ids)
 
+    def probe_condition(self, query: Sequence[float], nprobe: int):
+        """The nprobe nearest clusters as a predicate on the index
+        PARTITION column (round 5: batched multi-query probes OR these
+        into one scan)."""
+        if nprobe >= self.num_clusters:
+            return F.lit(True)
+        return F.col("cluster").isin(self.probe_clusters(query, nprobe))
+
     def candidates(
         self, spark: SparkSession, query: Sequence[float], nprobe: int
     ) -> DataFrame:
@@ -592,11 +637,7 @@ class IvfVectorIndex:
         filters only; nprobe >= num_clusters scans the whole index."""
         cols = ["id", "vec"] + self._extra_cols()
         data = spark.read.parquet(self.data_path)
-        if nprobe < self.num_clusters:
-            data = data.filter(
-                F.col("cluster").isin(self.probe_clusters(query, nprobe))
-            )
-        return data.select(*cols)
+        return data.filter(self.probe_condition(query, nprobe)).select(*cols)
 
     def probe_clusters(self, query: Sequence[float], nprobe: int) -> List[int]:
         cent = self._centroids()

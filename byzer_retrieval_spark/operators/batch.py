@@ -592,17 +592,12 @@ def _make_batch_scorer(
     return grouped, cogrouped
 
 
-def batch_search(
-    ctx: IndexContext, queries: List[SearchQuery]
-) -> DataFrame:
-    """Execute a batch of keyword queries in ONE job.
-
-    Returns (query_id, _score, stored fields...) — per query the global
-    top-k ordered (score desc, _id asc), query_id = position in
-    ``queries``. Raises ValueError for queries outside the batchable
-    shape (phrases, match-all) — api.batch_search falls back to
-    api.search for those and merges the results.
-    """
+def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
+    """The shared front of the batch executors: parse + spec every
+    query, expand fuzzies in one job, build the single postings scan +
+    gate cogroup, and return (per_shard winners frame, specs). Both
+    ``batch_search`` (stored-field output) and ``batch_search_winners``
+    (keyed winners for hybrid fusion) compose on top."""
     from byzer_retrieval_spark.operators.filtering import (
         expand_fuzzy,
         expand_fuzzy_many,
@@ -824,6 +819,60 @@ def batch_search(
         per_shard = blocks.groupBy("shard_id").applyInPandas(
             grouped, schema=_OUT_SCHEMA
         )
+    return per_shard, specs
+
+
+def _limits_df(ctx: IndexContext, specs) -> DataFrame:
+    # per-query limits via a broadcast join — a WHEN-chain over 1,000
+    # query ids made the Catalyst expression tree (and optimize time)
+    # scale with the batch size
+    return ctx.spark.createDataFrame(
+        [(int(s["qid"]), int(s["k"])) for s in specs],
+        "query_id int, __klim int",
+    )
+
+
+def batch_search_winners(
+    ctx: IndexContext, queries: List[SearchQuery]
+) -> DataFrame:
+    """Per-query global top-k carrying the docs PHYSICAL key:
+    (query_id, shard_id, __docid, _id, _score) — the batched analog of
+    wand.search_winners (round 5). Hybrid batch fusion consumes this so
+    the FINAL stored-field join stays one DPP-pruned broadcast join for
+    the whole batch; the _id fetch here is itself a column-pruned
+    (shard_id, __docid) broadcast join."""
+    per_shard, specs = _batch_per_shard(ctx, queries)
+    docs = ctx.docs().select("shard_id", "__docid", "_id")
+    joined = docs.join(F.broadcast(per_shard), ["shard_id", "__docid"])
+    ranked = joined.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("_id").asc()
+            )
+        ),
+    ).join(F.broadcast(_limits_df(ctx, specs)), "query_id")
+    return ranked.filter(F.col("__rn") <= F.col("__klim")).select(
+        "query_id",
+        "shard_id",
+        "__docid",
+        "_id",
+        F.col("score").alias("_score"),
+    )
+
+
+def batch_search(
+    ctx: IndexContext, queries: List[SearchQuery]
+) -> DataFrame:
+    """Execute a batch of keyword queries in ONE job.
+
+    Returns (query_id, _score, stored fields...) — per query the global
+    top-k ordered (score desc, _id asc), query_id = position in
+    ``queries``. Raises ValueError for queries outside the batchable
+    shape (vector/match-all) — api.batch_search falls back to
+    api.search for those and merges the results.
+    """
+    per_shard, specs = _batch_per_shard(ctx, queries)
 
     # ---- ONE stored-field materialization for the whole batch ---------
     # broadcast the ≤ Σ_q shards·k winners; shard_id is the docs
@@ -841,14 +890,7 @@ def batch_search(
             )
         ),
     )
-    # per-query limits via a broadcast join — a WHEN-chain over 1,000
-    # query ids made the Catalyst expression tree (and optimize time)
-    # scale with the batch size
-    lim_df = ctx.spark.createDataFrame(
-        [(int(s["qid"]), int(s["k"])) for s in specs],
-        "query_id int, __klim int",
-    )
-    ranked = ranked.join(F.broadcast(lim_df), "query_id")
+    ranked = ranked.join(F.broadcast(_limits_df(ctx, specs)), "query_id")
     stored = ctx.stored_columns()
     return (
         ranked.filter(F.col("__rn") <= F.col("__klim"))

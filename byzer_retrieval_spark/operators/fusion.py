@@ -95,6 +95,44 @@ def rrf_fuse_keyed(
     )
 
 
+def rrf_fuse_keyed_tagged(
+    recalls_tagged: DataFrame, limits: DataFrame, k: int = RRF_K
+) -> DataFrame:
+    """RRF over ONE frame of keyed recalls tagged with (query_id,
+    __recall) — the batched analog of ``rrf_fuse_keyed`` (round 5:
+    hybrid batch members fuse their keyword and vector winners without
+    leaving the one job). Ranks within each (query, recall) by
+    (_score desc, _id asc), contributes 1/(rank+k), sums per (query,
+    doc) and cuts each query at its own limit (``limits``: (query_id,
+    __klim) — broadcast, not a WHEN-chain). Rank and tie-break
+    semantics per query are identical to rrf_fuse_keyed. Returns
+    (query_id, shard_id, __docid, _id, _score)."""
+    w_r = Window.partitionBy("query_id", "__recall").orderBy(
+        F.col("_score").desc(), F.col("_id").asc()
+    )
+    contrib = recalls_tagged.withColumn(
+        "__rank", F.row_number().over(w_r) - F.lit(1)
+    ).select(
+        "query_id",
+        "shard_id",
+        "__docid",
+        "_id",
+        (F.lit(1.0) / (F.col("__rank") + F.lit(float(k)))).alias("_score"),
+    )
+    fused = contrib.groupBy("query_id", "shard_id", "__docid", "_id").agg(
+        F.sum("_score").alias("_score")
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("_id").asc()
+    )
+    return (
+        fused.withColumn("__rn", F.row_number().over(w_q))
+        .join(F.broadcast(limits), "query_id")
+        .filter(F.col("__rn") <= F.col("__klim"))
+        .select("query_id", "shard_id", "__docid", "_id", "_score")
+    )
+
+
 def score_sum_fuse_tagged(tagged: DataFrame, limit: int) -> DataFrame:
     """Score-sum fusion over ONE frame of per-recall results tagged
     with ``query_id`` (e.g. api.batch_search output) — the one-job

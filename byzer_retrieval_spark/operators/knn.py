@@ -118,6 +118,76 @@ def vector_winners_ann(
     )
 
 
+def batch_vector_winners_ann(
+    ctx: IndexContext, items, index, **probe_kw
+) -> DataFrame:
+    """MANY unfiltered vector queries against ONE persisted ANN index
+    in ONE partition-pruned scan (round 5 — the batched analog of
+    ``vector_winners_ann``).
+
+    ``items``: [(query_id, SearchQuery)], all on this index's field.
+    The scan's filter is the OR of every query's ``probe_condition``
+    (still pure partition-column predicates → partition pruning keeps
+    the read at Σ probe sets, never the index); each row then explodes
+    into the query ids whose probe set contains its partition, the
+    per-query vector rides in via ONE broadcast join (cosine arithmetic
+    mirrors the per-query literal path operation-for-operation, see
+    _cosine_expr_col), tombstones anti-join once, and one window takes
+    each query's top-limit by (_score desc, id asc).
+
+    Returns (query_id, shard_id, __docid, _id, _score) — the keyed
+    winners frame hybrid fusion consumes. A 100-query batch with N
+    vector members pays ONE index scan instead of N."""
+    from pyspark.sql import Window
+
+    from byzer_retrieval_spark.functions.similarity import (
+        _cosine_expr_col,
+        _qnorm,
+    )
+
+    spark = ctx.spark
+    extras = index._extra_cols()
+    dedup_cols = ["query_id", "id"] + extras
+    conds = []
+    qrows = []
+    for qid, q in items:
+        qv = [float(x) for x in q.vector]
+        conds.append((int(qid), index.probe_condition(qv, **probe_kw)))
+        qrows.append((int(qid), qv, _qnorm(qv), int(q.limit)))
+    data = spark.read.parquet(index.data_path)
+    tag = F.array(*[F.when(c, F.lit(qid)) for qid, c in conds])
+    tagged = (
+        data.withColumn("query_id", F.explode(tag))
+        .filter(F.col("query_id").isNotNull())
+        .select("query_id", "id", "vec", *extras)
+        # per-query dedup across LSH table replicas; keys include the
+        # extras so old+new versions of an upserted id both survive to
+        # the tombstone anti-join (same discipline as candidates())
+        .dropDuplicates(dedup_cols)
+    )
+    tagged = ctx.exclude_tombstones(tagged)
+    qdf = spark.createDataFrame(
+        qrows, "query_id int, __qvec array<double>, __qnorm double, __klim int"
+    )
+    scored = tagged.join(F.broadcast(qdf), "query_id").withColumn(
+        "_score", _cosine_expr_col("vec", "__qvec", "__qnorm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__klim"))
+        .select(
+            "query_id",
+            F.shiftright("__docid", ctx.doc_bits).cast("int").alias("shard_id"),
+            "__docid",
+            F.col("id").alias("_id"),
+            "_score",
+        )
+    )
+
+
 def vector_topk_ann(
     ctx: IndexContext,
     query: SearchQuery,

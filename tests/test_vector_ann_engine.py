@@ -307,3 +307,83 @@ def test_hybrid_match_all_keyword_keyed_path(vec_engine):
         for r in vec_engine.search(q, use_fast_path=False).collect()
     ]
     assert fast and fast == slow
+
+
+def test_batch_vector_and_hybrid_match_single(vec_engine):
+    """Round 5: unfiltered vector and hybrid queries in a batch share
+    ONE tagged ANN probe per vector field (keyword sides ride the
+    keyword batch; hybrids fuse via the tagged keyed RRF) — every
+    member must be rank- and score-identical to its single-query
+    search."""
+    import numpy as np
+
+    vec_engine.build_vector_ann("embedding", kind="lsh", num_planes=6)
+
+    def qv(seed):
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(64)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    qs = [
+        SearchQuery(keyword="doc", fields=["text"], limit=8),
+        SearchQuery(vector=qv(1), vector_field="embedding", limit=8),
+        SearchQuery(vector=qv(2), vector_field="embedding", limit=5),
+        SearchQuery(
+            keyword="doc",
+            fields=["text"],
+            vector=qv(3),
+            vector_field="embedding",
+            limit=8,
+        ),
+        SearchQuery(vector=qv(4), vector_field="embedding", limit=8),
+        SearchQuery(
+            keyword="doc text",
+            fields=["text"],
+            vector=qv(5),
+            vector_field="embedding",
+            limit=6,
+        ),
+    ]
+    rows = vec_engine.batch_search(qs).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["_score"], 9))
+        )
+    for qid, q in enumerate(qs):
+        single = [
+            (r["doc_id"], round(r["_score"], 9))
+            for r in vec_engine.search(q).collect()
+        ]
+        assert by_qid.get(qid, []) == single, (qid, q.keyword, q.vector_field)
+
+
+def test_batch_vector_probe_is_shared(vec_engine):
+    """The batched ANN probe must not scale driver jobs with the number
+    of vector members: job count for an 8-vector batch equals the
+    2-vector batch's (ONE tagged index scan either way)."""
+    import numpy as np
+
+    def qv(seed):
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(64)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    sc = vec_engine.query_spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def run(n, tag):
+        qs = [
+            SearchQuery(vector=qv(100 + i), vector_field="embedding", limit=5)
+            for i in range(n)
+        ]
+        sc.setJobGroup(tag, tag)
+        try:
+            vec_engine.batch_search(qs).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(tag) or [])
+
+    j2 = run(2, "vb2")
+    j8 = run(8, "vb8")
+    assert j8 <= j2 + 1, (j2, j8)
