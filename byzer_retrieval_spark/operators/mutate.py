@@ -353,6 +353,26 @@ def _reencode_pos_rows(hot_terms: Iterable[str], split_threshold: int):
     return gen
 
 
+def _docid_order_holds(spark: SparkSession, store: IndexStore) -> bool:
+    """Whether EVERY shard's ``_id`` is monotone in ``__docid`` order —
+    the invariant behind the scorers' exact constant-score tie-cut
+    (docid_id_order). One lag() check per shard over the 3-column docs
+    projection; cost ≈ one per-shard sort, same shape as compact's own
+    rewrite sort."""
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("shard_id").orderBy("__docid")
+    viol = (
+        store.docs(spark)
+        .select("shard_id", "__docid", "_id")
+        .withColumn("__prev", F.lag("_id").over(w_ord))
+        .filter(F.col("__prev") > F.col("_id"))
+        .limit(1)
+        .count()
+    )
+    return viol == 0
+
+
 def compact(spark: SparkSession, store: IndexStore) -> Dict[str, Any]:
     """Segment merge: physically drop tombstoned docs from postings and
     docs, then refresh stats (this is when df/avgdl 'forget' deleted
@@ -365,6 +385,18 @@ def compact(spark: SparkSession, store: IndexStore) -> Dict[str, Any]:
     full build uses, so compaction scales exactly like a build."""
     tomb_df = store.tombstones(spark)
     if tomb_df is None:
+        # nothing to merge — but a pure-insert upsert clears
+        # docid_id_order without leaving tombstones, so compact still
+        # re-validates the invariant (round 5) and commits the flag
+        # restore alone when it holds again
+        cur = store.current_snapshot() or {}
+        if not bool(cur.get("docid_id_order", False)) and _docid_order_holds(
+            spark, store
+        ):
+            sid = _refresh_stats_and_commit(
+                spark, store, "compact(order restore)", docid_id_order=True
+            )
+            return {"compacted_shards": 0, "snapshot_id": sid}
         return {"compacted_shards": 0}
     tomb_ids = tomb_df.select("__docid").distinct()
     shards = sorted(
@@ -428,5 +460,23 @@ def compact(spark: SparkSession, store: IndexStore) -> Dict[str, Any]:
     swap_partitions(live, store.docs_path, ["__docid"])
 
     shutil.rmtree(store.tombstones_path, ignore_errors=True)
-    sid = _refresh_stats_and_commit(spark, store, "compact")
+
+    # round 5: upserts clear the docid_id_order flag (delta ids above
+    # the shard high-water mark break __docid asc == _id asc), which
+    # degrades the scorers' constant-score tie-cut to keep-boundary-ties
+    # until a full rebuild. Compact already rewrites the affected
+    # shards' docs, so re-validate the invariant here — one lag() check
+    # per shard over the (shard_id, __docid, _id) projection — and
+    # restore the flag when EVERY shard is _id-monotone in __docid
+    # order again (e.g. the upserted docs were tombstoned, or the delta
+    # happened to extend each shard in _id order). A snapshot already
+    # carrying the flag keeps it (compact only removes rows — it can
+    # never break an existing ordering).
+    cur = store.current_snapshot() or {}
+    order_flag = bool(cur.get("docid_id_order", False)) or _docid_order_holds(
+        spark, store
+    )
+    sid = _refresh_stats_and_commit(
+        spark, store, "compact", docid_id_order=order_flag
+    )
     return {"compacted_shards": len(shards), "snapshot_id": sid}

@@ -169,3 +169,69 @@ def test_constant_score_tie_cut_fresh_and_after_upsert(spark, tmp_path):
     got2 = [r["_id"] for r in eng.search(q).collect()]
     assert got2 == exp2
     assert got2[0] == new["_id"]  # the upserted id wins the tie-break
+
+
+def test_compact_restores_docid_id_order(spark, tmp_path):
+    """Round 5: compact re-validates per-shard __docid↔_id monotonicity
+    and restores the docid_id_order flag when the invariant holds again
+    (upserts clear it) — including the no-tombstone compact after a
+    pure-insert upsert. An order-breaking insert must NOT restore it;
+    deleting the offender and compacting must."""
+    import hashlib
+
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+    from byzer_retrieval_spark.oracle import BM25Oracle
+    from byzer_retrieval_spark.plans.query import SearchQuery
+    from byzer_retrieval_spark.sources.corpus import gen_rows
+
+    rows = gen_rows(80)
+    eng = RetrievalEngine(spark, str(tmp_path / "ordrestore"))
+    eng.build(
+        spark.createDataFrame(rows),
+        cfg=IndexConfig(num_shards=2, hot_term_split_threshold=64),
+        resume=False,
+    )
+    for r in rows:
+        r["_id"] = hashlib.sha256(
+            f"{r['repo']}|{r['path']}|{r['commit']}".encode()
+        ).hexdigest()
+    assert eng.ctx().docid_id_order is True
+    q = SearchQuery(keyword="sym_1*", fields=["content"], limit=7)
+
+    # pure-insert upsert whose _id sorts AFTER every sha256 hex id:
+    # per-shard order still holds, but the flag clears conservatively
+    hi = dict(rows[0])
+    hi["_id"] = "z" * 64
+    hi["content"] = "sym_1_0 zz content"
+    eng.upsert(spark.createDataFrame([hi]))
+    assert eng.ctx().docid_id_order is False
+    out = eng.compact()  # no tombstones — flag-only re-validation
+    assert out["compacted_shards"] == 0 and "snapshot_id" in out
+    assert eng.ctx().docid_id_order is True
+    rows_a = rows + [hi]
+    exp = [i for i, _ in BM25Oracle(rows_a).search("sym_1*", limit=7)]
+    assert [r["_id"] for r in eng.search(q).collect()] == exp
+
+    # order-BREAKING insert (_id sorts first, __docid lands last):
+    # compact must refuse to restore the flag
+    lo = dict(rows[1])
+    lo["_id"] = "0" * 64
+    lo["content"] = "sym_1_0 early content"
+    eng.upsert(spark.createDataFrame([lo]))
+    assert eng.ctx().docid_id_order is False
+    eng.compact()
+    assert eng.ctx().docid_id_order is False
+    rows_b = rows_a + [lo]
+    exp_b = [i for i, _ in BM25Oracle(rows_b).search("sym_1*", limit=7)]
+    got_b = [r["_id"] for r in eng.search(q).collect()]
+    assert got_b == exp_b and got_b[0] == lo["_id"]
+
+    # delete the offender; the tombstone-driven compact rewrite
+    # re-validates and restores the exact tie-cut
+    eng.delete_by_ids([lo["_id"]])
+    out = eng.compact()
+    assert out["compacted_shards"] >= 1
+    assert eng.ctx().docid_id_order is True
+    exp_c = [i for i, _ in BM25Oracle(rows_a).search("sym_1*", limit=7)]
+    assert [r["_id"] for r in eng.search(q).collect()] == exp_c
