@@ -191,10 +191,11 @@ def _bm25_phrase_sql(phrase: list[str], terms: list[str], slop: int = 0) -> str:
     """BM25 over (should terms) + (should phrase): phrase tf from a
     position self-join, idf = Σ member idfs — mirrors the engine's
     PhraseQuery semantics (operators/wand._phrase_match). ``slop`` > 0
-    is the NEAR variant (round 4, Lucene minimal-match): an anchor
-    matches when SOME length-slop window of offset-adjusted positions
-    covers it and one position of every member (for 2-term phrases this
-    equals the ±slop band); matches counted by DISTINCT anchor."""
+    is the NEAR variant (round 5, Lucene sloppyFreq): an anchor matches
+    when SOME length-L window (L <= slop) of offset-adjusted positions
+    covers it and one position of every member, and contributes
+    1/(Lmin+1) with Lmin its minimal such window length — phrase_tf is
+    the per-doc SUM of anchor weights."""
     from collections import Counter
 
     sc_list = ", ".join(f"'{t}'" for t in terms) or "''"
@@ -203,26 +204,36 @@ def _bm25_phrase_sql(phrase: list[str], terms: list[str], slop: int = 0) -> str:
         for j, t in enumerate(phrase)
     )
     if slop == 0:
-        anchor = "p0"
         joins = " ".join(
             f"JOIN p{j} ON p{j}.doc_id = p0.doc_id AND p{j}.i = p0.i + {j}"
             for j in range(1, len(phrase))
         )
-        ptf_expr = "count(*)"
-    else:
-        # window starts w ∈ [anchor - slop, anchor] over ADJUSTED
-        # positions; each member's i - j must land in [w, w + slop]
-        pos_ctes += (
-            f",\np0w AS (SELECT doc_id, i, i - d AS w FROM p0,"
-            f" (SELECT unnest(range({slop + 1})) AS d))"
+        ptf_cte = (
+            f"ptf AS (SELECT p0.doc_id, count(*)::DOUBLE AS ptf "
+            f"FROM p0 {joins} GROUP BY p0.doc_id)"
         )
-        anchor = "p0w"
+    else:
+        # every (window length L, start w) pair covering the anchor
+        # over ADJUSTED positions; each member's i - j must land in
+        # [w, w + L]; per anchor the minimal satisfied L → 1/(L+1)
+        wl_vals = ", ".join(
+            f"({L}, {d})" for L in range(slop + 1) for d in range(L + 1)
+        )
+        pos_ctes += (
+            f",\np0w AS (SELECT doc_id, i, L, i - d AS w FROM p0,"
+            f" (VALUES {wl_vals}) AS wl(L, d))"
+        )
         joins = " ".join(
             f"JOIN p{j} ON p{j}.doc_id = p0.doc_id "
-            f"AND p{j}.i - {j} BETWEEN p0.w AND p0.w + {slop}"
+            f"AND p{j}.i - {j} BETWEEN p0.w AND p0.w + p0.L"
             for j in range(1, len(phrase))
         )
-        ptf_expr = "count(DISTINCT p0.i)"
+        ptf_cte = f"""ptf AS (
+  SELECT doc_id, sum(1.0 / (minL + 1))::DOUBLE AS ptf FROM (
+    SELECT p0.doc_id AS doc_id, p0.i, min(p0.L) AS minL
+    FROM p0w p0 {joins} GROUP BY p0.doc_id, p0.i
+  ) GROUP BY doc_id
+)"""
     mult_vals = ", ".join(
         f"('{t}', {c})" for t, c in Counter(phrase).items()
     )
@@ -242,10 +253,7 @@ tscore AS (
 ),
 tp AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM base),
 {pos_ctes},
-ptf AS (
-  SELECT p0.doc_id, {ptf_expr}::DOUBLE AS ptf
-  FROM {anchor} p0 {joins} GROUP BY p0.doc_id
-),
+{ptf_cte},
 idfsum AS (
   SELECT sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * m.mult) AS idf_sum
   FROM (VALUES {mult_vals}) AS m(term, mult)

@@ -44,7 +44,7 @@ def _repeated_sloppy_ptf(pos_flat: DataFrame, terms, slop: int) -> DataFrame:
     uniq = list(dict.fromkeys(terms))
     terms_t, slop_c = tuple(terms), int(slop)
 
-    @F.pandas_udf("long")
+    @F.pandas_udf("double")
     def _ptf_rep(tp: pd.Series) -> pd.Series:
         from byzer_retrieval_spark.operators.wand import _sloppy_anchor_ok
 
@@ -54,14 +54,16 @@ def _repeated_sloppy_ptf(pos_flat: DataFrame, terms, slop: int) -> DataFrame:
                 e["term"]: sorted(int(p) for p in e["positions"])
                 for e in entries
             }
-            out.append(
-                sum(
-                    1
-                    for p0 in pbt.get(terms_t[0], ())
-                    if _sloppy_anchor_ok(terms_t, pbt, p0, slop_c)
-                )
-            )
-        return pd.Series(out, dtype="int64")
+            # each anchor weighs 1/(L+1) with L its minimal window
+            # length (round 5 — Lucene sloppyFreq, injective per L)
+            total = 0.0
+            for p0 in pbt.get(terms_t[0], ()):
+                for L in range(slop_c + 1):
+                    if _sloppy_anchor_ok(terms_t, pbt, p0, L):
+                        total += 1.0 / (L + 1)
+                        break
+            out.append(total)
+        return pd.Series(out, dtype="float64")
 
     return (
         pos_flat.filter(F.col("term").isin(uniq))
@@ -290,16 +292,20 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
                 if j == 0:
                     pj = pj.withColumn("__p0", F.col("__p") - F.lit(j)).drop("__p")
                     if slop > 0:
-                        # NEAR (round 4, Lucene minimal-match): a match
-                        # is a WINDOW [w, w+slop] of offset-adjusted
-                        # positions covering the anchor and one position
-                        # of every member — enumerate the slop+1 window
-                        # starts that cover the anchor
+                        # NEAR (round 5, Lucene sloppyFreq): a match is
+                        # a WINDOW [w, w+L] (L <= slop) of offset-
+                        # adjusted positions covering the anchor and
+                        # one position of every member; the anchor's
+                        # weight is 1/(Lmin+1) — enumerate every
+                        # (L, window start) pair that covers the anchor
                         pj = pj.withColumn(
+                            "__L",
+                            F.explode(F.sequence(F.lit(0), F.lit(slop))),
+                        ).withColumn(
                             "__w",
                             F.explode(
                                 F.sequence(
-                                    F.col("__p0") - F.lit(slop), F.col("__p0")
+                                    F.col("__p0") - F.col("__L"), F.col("__p0")
                                 )
                             ),
                         )
@@ -317,21 +323,28 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
                         joined.join(pj, ["field", "__docid"])
                         .filter(
                             (F.col("__pj") - F.lit(j)).between(
-                                F.col("__w"), F.col("__w") + F.lit(slop)
+                                F.col("__w"), F.col("__w") + F.col("__L")
                             )
                         )
-                        .select("field", "__docid", "dl", "__p0", "__w")
+                        .select("field", "__docid", "dl", "__p0", "__L", "__w")
                         .distinct()
                     )
-            if slop > 0 and not rep:
-                # ∃ window per anchor: collapse the window dimension
-                joined = joined.select(
-                    "field", "__docid", "dl", "__p0"
-                ).distinct()
             if not rep:
-                ptf = joined.groupBy("field", "__docid", "dl").agg(
-                    F.count("*").alias("__ptf")
-                )
+                if slop > 0:
+                    # per anchor: minimal satisfied window length →
+                    # weight 1/(Lmin+1); phrase_tf = Σ anchor weights
+                    anchors = joined.groupBy(
+                        "field", "__docid", "dl", "__p0"
+                    ).agg(F.min("__L").alias("__Lmin"))
+                    ptf = anchors.groupBy("field", "__docid", "dl").agg(
+                        F.sum(
+                            F.lit(1.0) / (F.col("__Lmin") + F.lit(1.0))
+                        ).alias("__ptf")
+                    )
+                else:
+                    ptf = joined.groupBy("field", "__docid", "dl").agg(
+                        F.count("*").alias("__ptf")
+                    )
             mult = ctx.spark.createDataFrame(
                 [(t, c) for t, c in Counter(terms).items()],
                 "term string, __mult int",

@@ -208,8 +208,10 @@ def _phrase_match(
     per term with max(pos_j - j) - min(pos_j - j) <= slop — exactly
     Lucene's minimal-match condition for any arity (the r3 matcher was
     per-member ±slop around the anchor, lenient beyond 2 terms).
-    phrase_tf counts matching anchors, each weighted 1 (Lucene weights
-    1/(matchLength+1) — documented deviation). Repeated terms (round 4):
+    phrase_tf sums per-anchor weights 1/(matchLength+1) where
+    matchLength is the anchor's MINIMAL window length (round 5 —
+    Lucene SloppyPhraseMatcher sloppyFreq parity; the r4 engine
+    weighted every anchor 1). Repeated terms (round 4):
     the multiplicity gate + window intersection give a SUPERSET, and
     each surviving anchor is re-verified with an injective greedy
     assignment (``_sloppy_anchor_ok``) so no two slots of a repeated
@@ -250,70 +252,101 @@ def _phrase_match(
         hit = ptf > 0
         return cand[hit], ptf[hit]
 
-    # sloppy path: windows are keyed by their START w (shifted by OFF so
-    # packing stays non-negative: adjusted positions are >= -(len-1))
+    # sloppy path (round 5 — Lucene sloppyFreq parity): each matching
+    # anchor contributes 1/(L+1) where L is its MINIMAL window length —
+    # the smallest L <= slop such that a length-L window of
+    # offset-adjusted positions covers the anchor and one (injective)
+    # position of every member. L=0 is the exact-phrase case (weight 1,
+    # consistent with the slop==0 path above). Computed by re-running
+    # the window intersection at L = 0..slop and assigning each anchor
+    # the first L that matches — slop is tiny, so this costs at most
+    # (slop+1)x the old single-pass check. Windows are keyed by their
+    # START w (shifted by OFF so packing stays non-negative: adjusted
+    # positions are >= -(len-1)).
     OFF = np.int64(slop + len(terms))
-    wset = None  # windows satisfied by EVERY member slot j >= 1
-    offs = np.arange(-slop, 1, dtype=np.int64)  # w in [adj-slop, adj]
-    for j, t in enumerate(terms):
-        if j == 0:
-            continue
-        dr, adj = _adjusted(j, t)
-        ws = ((adj + OFF)[:, None] + offs[None, :]).ravel()
-        doc_rep = np.repeat(dr, offs.size)
-        kj = np.unique((doc_rep << np.int64(32)) | ws)
-        wset = kj if wset is None else np.intersect1d(wset, kj)
-        if wset.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+    members = [_adjusted(j, t) for j, t in enumerate(terms)][1:]
     dr0, adj0 = _adjusted(0, terms[0])
-    a = adj0 + OFF
-    dk = dr0 << np.int64(32)
-    # anchor matches iff some satisfied window starts in [a-slop, a]
-    # (that window then contains a and one position of every member)
-    lo = np.searchsorted(wset, dk | (a - slop), side="left")
-    safe = np.minimum(lo, wset.size - 1)
-    hit_a = (lo < wset.size) & (wset[safe] <= (dk | a))
-    anchor_keys = np.unique((dk | a)[hit_a])
-    if len(set(terms)) < len(terms) and anchor_keys.size:
-        # repeated-term phrase: the window intersection above lets one
-        # physical position serve two slots of the repeated term, so it
-        # is only a necessary condition — re-verify each surviving
-        # anchor with the injective greedy assignment. Survivors are a
-        # small set (already multiplicity-gated + window-intersected),
-        # so the per-anchor Python loop is off the hot path.
-        sranks = np.unique((anchor_keys >> np.int64(32)).astype(np.int64))
-        sdocs = cand[sranks]
-        posmap: Dict[str, dict] = {}
-        for t in dict.fromkeys(terms):
-            docs_t, tfs_t, _, pos_t = datas[t]
-            m = np.isin(docs_t, sdocs)
-            tok_m = np.repeat(m, tfs_t)
-            dt = np.repeat(docs_t, tfs_t)[tok_m]
-            pt = pos_t[tok_m]
-            starts = np.searchsorted(dt, sdocs, side="left")
-            ends = np.searchsorted(dt, sdocs, side="right")
-            posmap[t] = {
-                int(sd): pt[s0:s1].tolist()
-                for sd, s0, s1 in zip(sdocs.tolist(), starts.tolist(), ends.tolist())
-                if s1 > s0
-            }
-        mask32 = np.int64((1 << 32) - 1)
-        keep = [
-            key
-            for key in anchor_keys.tolist()
-            if _sloppy_anchor_ok(
-                terms,
-                {
-                    t: posmap[t].get(int(cand[key >> 32]), [])
-                    for t in dict.fromkeys(terms)
-                },
-                int(key & mask32) - int(OFF),
-                slop,
+    a_keys = (dr0 << np.int64(32)) | (adj0 + OFF)
+    rep = len(set(terms)) < len(terms)
+    weights = np.zeros(a_keys.size)
+    pending = np.ones(a_keys.size, dtype=bool)
+    posmap: Optional[Dict[str, dict]] = None
+    mask32 = np.int64((1 << 32) - 1)
+    for L in range(slop + 1):
+        if not pending.any():
+            break
+        offs = np.arange(-L, 1, dtype=np.int64)  # w in [adj-L, adj]
+        wset = None  # windows satisfied by EVERY member slot j >= 1
+        for dr, adj in members:
+            ws = ((adj + OFF)[:, None] + offs[None, :]).ravel()
+            doc_rep = np.repeat(dr, offs.size)
+            kj = np.unique((doc_rep << np.int64(32)) | ws)
+            wset = kj if wset is None else np.intersect1d(wset, kj)
+            if wset.size == 0:
+                break
+        if wset is None or wset.size == 0:
+            continue
+        # anchor matches at L iff some satisfied window starts in
+        # [a-L, a] (that window then contains the anchor and one
+        # position of every member); the packed-key subtraction never
+        # underflows the doc bits because a - L >= OFF - (len-1) - L
+        # >= 1
+        pa = a_keys[pending]
+        lo = np.searchsorted(wset, pa - L, side="left")
+        safe = np.minimum(lo, wset.size - 1)
+        hit_a = (lo < wset.size) & (wset[safe] <= pa)
+        if rep and hit_a.any():
+            # repeated-term phrase: the window intersection lets one
+            # physical position serve two slots of the repeated term,
+            # so it is only a necessary condition — re-verify each
+            # surviving anchor with the injective greedy assignment AT
+            # THIS window length (an anchor failing injectivity at L
+            # may still match at a larger L and stays pending).
+            if posmap is None:
+                posmap = {}
+                for t in dict.fromkeys(terms):
+                    docs_t, tfs_t, _, pos_t = datas[t]
+                    m = np.isin(docs_t, cand)
+                    tok_m = np.repeat(m, tfs_t)
+                    dt = np.repeat(docs_t, tfs_t)[tok_m]
+                    pt = pos_t[tok_m]
+                    starts = np.searchsorted(dt, cand, side="left")
+                    ends = np.searchsorted(dt, cand, side="right")
+                    posmap[t] = {
+                        int(sd): pt[s0:s1].tolist()
+                        for sd, s0, s1 in zip(
+                            cand.tolist(), starts.tolist(), ends.tolist()
+                        )
+                        if s1 > s0
+                    }
+            cand_keys = pa[hit_a]
+            ok = np.fromiter(
+                (
+                    _sloppy_anchor_ok(
+                        terms,
+                        {
+                            t: posmap[t].get(int(cand[key >> 32]), [])
+                            for t in dict.fromkeys(terms)
+                        },
+                        int(key & mask32) - int(OFF),
+                        L,
+                    )
+                    for key in cand_keys.tolist()
+                ),
+                dtype=bool,
+                count=cand_keys.size,
             )
-        ]
-        anchor_keys = np.asarray(keep, dtype=np.int64)
-    didx = (anchor_keys >> np.int64(32)).astype(np.int64)
-    ptf = np.bincount(didx, minlength=cand.size)
+            hit_idx = np.nonzero(hit_a)[0]
+            hit_a[hit_idx[~ok]] = False
+        idx_pending = np.nonzero(pending)[0]
+        matched_idx = idx_pending[hit_a]
+        weights[matched_idx] = 1.0 / (L + 1)
+        pending[matched_idx] = False
+    matched = weights > 0
+    if not matched.any():
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    didx = (a_keys[matched] >> np.int64(32)).astype(np.int64)
+    ptf = np.bincount(didx, weights=weights[matched], minlength=cand.size)
     hit = ptf > 0
     return cand[hit], ptf[hit]
 

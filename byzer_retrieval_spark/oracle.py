@@ -71,15 +71,16 @@ class BM25Oracle:
             if all(toks[s + j] == terms[j] for j in range(m))
         )
 
-    def near_tf(self, i: int, terms: Sequence[str], slop: int) -> int:
-        """``"a b"~N`` NEAR occurrences in doc i: count of anchor
-        positions p0 of terms[0] for which a selection of one PHYSICAL
-        position per slot exists — slot 0 = p0, no position reused
-        across slots (repeated-term injectivity, Lucene
-        SloppyPhraseMatcher advanceRepeats) — with max(pos_j - j) -
-        min(pos_j - j) <= slop (round 4; mirrors wand._phrase_match +
-        _sloppy_anchor_ok, but via independent brute-force enumeration
-        so the oracle does not share the engine's greedy)."""
+    def near_tf(self, i: int, terms: Sequence[str], slop: int) -> float:
+        """``"a b"~N`` NEAR weight sum in doc i: each anchor position p0
+        of terms[0] for which a selection of one PHYSICAL position per
+        slot exists — slot 0 = p0, no position reused across slots
+        (repeated-term injectivity, Lucene SloppyPhraseMatcher
+        advanceRepeats) — with max(pos_j - j) - min(pos_j - j) <= slop
+        contributes 1/(L+1), where L is the MINIMAL such width (round 5
+        — Lucene sloppyFreq parity; mirrors wand._phrase_match but via
+        independent brute-force enumeration so the oracle does not
+        share the engine's greedy)."""
         from itertools import product
 
         toks = self.toks[i]
@@ -87,16 +88,17 @@ class BM25Oracle:
         for p, t in enumerate(toks):
             pos.setdefault(t, []).append(p)
         if any(t not in pos for t in terms):
-            return 0
-        count = 0
-        for p0 in pos[terms[0]]:
-            found = False
-            for w in range(p0 - slop, p0 + 1):
+            return 0.0
+
+        def matches_at(p0: int, width: int) -> bool:
+            for w in range(p0 - width, p0 + 1):
                 cands = [[p0]]
-                ok = p0 >= w and p0 <= w + slop
+                ok = w <= p0 <= w + width
                 for j in range(1, len(terms)):
                     cs = [
-                        p for p in pos[terms[j]] if w + j <= p <= w + j + slop
+                        p
+                        for p in pos[terms[j]]
+                        if w + j <= p <= w + j + width
                     ]
                     if not cs:
                         ok = False
@@ -106,13 +108,16 @@ class BM25Oracle:
                     continue
                 for pick in product(*cands):
                     if len(set(pick)) == len(pick):
-                        found = True
-                        break
-                if found:
+                        return True
+            return False
+
+        total = 0.0
+        for p0 in pos[terms[0]]:
+            for width in range(slop + 1):
+                if matches_at(p0, width):
+                    total += 1.0 / (width + 1)
                     break
-            if found:
-                count += 1
-        return count
+        return total
 
     def score_near(
         self, i: int, terms: Sequence[str], slop: int

@@ -269,3 +269,43 @@ def test_repeated_term_slop_injective_assignment(spark, tmp_path):
         [SearchQuery(keyword='"a b a"~2', fields=["content"], limit=10)]
     ).collect()
     assert {r["_id"] for r in batch} == {"good", "exact"}
+
+
+def test_sloppy_freq_weight_reorders_loose_matches(spark, tmp_path):
+    """Round 5: each sloppy match weighs 1/(L+1) with L its minimal
+    window length (Lucene SloppyPhraseMatcher sloppyFreq). For
+    '"a b"~2', doc 'loose' ('a x x b a x x b') has TWO matches at L=2
+    (phrase_tf = 2/3) while doc 'tight' ('a b c c c c c c') has ONE
+    exact match (phrase_tf = 1): under the r4 weight-1 semantics loose
+    (tf 2) outranked tight (tf 1); sloppyFreq must rank tight first.
+    WAND fast path, declarative path, the one-job batch path and the
+    python oracle must all agree on the REORDER."""
+    from byzer_retrieval_spark.api import RetrievalEngine
+    from byzer_retrieval_spark.operators.indexer import IndexConfig
+
+    rows = [
+        {"_id": "loose", "content": "a x x b a x x b"},
+        {"_id": "tight", "content": "a b c c c c c c"},
+    ]
+    eng = RetrievalEngine(spark, str(tmp_path / "sloppyfreq"))
+    eng.build(
+        spark.createDataFrame(rows),
+        cfg=IndexConfig(num_shards=2, analyzed_fields=("content",), id_columns=()),
+        resume=False,
+    )
+    oracle = BM25Oracle(rows, text_field="content", key_field="_id")
+    assert oracle.near_tf(0, ("a", "b"), 2) == pytest.approx(2.0 / 3.0)
+    assert oracle.near_tf(1, ("a", "b"), 2) == pytest.approx(1.0)
+    q = SearchQuery(keyword='"a b"~2', fields=["content"], limit=10)
+    ctx = eng.ctx()
+    fast = [(r["_id"], r["_score"]) for r in search_fast(ctx, q).collect()]
+    slow = [(r["_id"], r["_score"]) for r in search_df(ctx, q).collect()]
+    exp = oracle.search('"a b"~2', limit=10)
+    assert [f[0] for f in fast] == ["tight", "loose"]
+    assert [f[0] for f in fast] == [e[0] for e in exp] == [s[0] for s in slow]
+    assert fast[0][1] > fast[1][1]
+    np.testing.assert_allclose(
+        [f[1] for f in fast], [e[1] for e in exp], rtol=1e-9
+    )
+    batch = eng.batch_search([q]).collect()
+    assert [r["_id"] for r in batch] == ["tight", "loose"]
