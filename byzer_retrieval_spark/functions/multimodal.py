@@ -7,8 +7,10 @@ importable, ``decode_image_features(fake=False)`` REALLY decodes image
 payloads (luminance-histogram features); otherwise it raises
 NotImplementedError unless ``fake=True``, in which case it produces a
 deterministic hash-derived feature vector so the pipeline (and its
-tests) exercise the exact code path a real decoder would. Audio/video
-decode stays stubbed either way (no codec libraries).
+tests) exercise the exact code path a real decoder would. Audio WAV/PCM
+payloads are REALLY decoded via the stdlib ``wave`` module (round 5 —
+no external dependency): amplitude-histogram + spectral-band features.
+Video decode stays stubbed either way (no codec libraries).
 
 At 100 TB: binary payloads dominate row size, so these ops must be
 single-pass, projection-pruned (never read the binary column unless the
@@ -19,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import wave
 from typing import Iterator, Optional
 
 import numpy as np
@@ -114,6 +117,45 @@ def _pil_image_features(data: bytes) -> Optional[np.ndarray]:
     return (hist / total).astype(np.float32)
 
 
+def _wav_audio_features(data: bytes) -> Optional[np.ndarray]:
+    """Real audio decode (stdlib ``wave``, PCM WAV): 16-bin L1-normalized
+    amplitude histogram over [-1, 1] concatenated with 16 L1-normalized
+    equal-width spectral band energies (|rfft|^2). Deterministic for a
+    given payload. Returns None when the payload is not decodable PCM
+    WAV."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            sw = w.getsampwidth()
+            nch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if sw == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 3:  # packed 24-bit little-endian, sign-extended
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (b.size // 3) * 3].reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        x = (v - ((v >> 23) & 1) * (1 << 24)).astype(np.float32) / 8388608.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        return None
+    if x.size == 0:
+        return None
+    if nch > 1:
+        x = x[: (x.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+    half = FEATURE_DIM // 2
+    ah, _ = np.histogram(x, bins=half, range=(-1.0, 1.0))
+    ah = ah / (float(ah.sum()) or 1.0)
+    spec = np.abs(np.fft.rfft(x.astype(np.float64))) ** 2
+    be = np.array([b.sum() for b in np.array_split(spec, half)], dtype=np.float64)
+    be = be / (float(be.sum()) or 1.0)
+    return np.concatenate([ah, be]).astype(np.float32)
+
+
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode → feature-extract over binary payloads via mapInPandas.
 
@@ -121,12 +163,13 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
     - ``fake=True``: deterministic sha256-seeded stand-in features for
       every row (any kind) — the test/oracle path in this container.
-    - ``fake=False`` with Pillow available: REAL decode for
-      ``kind == 'image'`` rows (luminance-histogram features); rows whose
-      payload Pillow cannot decode raise with the offending media_id.
-      Audio/video decode remains unimplemented (no codec libs) and raises.
-    - ``fake=False`` without Pillow: raises NotImplementedError at task
-      time, by design.
+    - ``fake=False``: REAL decode per kind — ``audio`` rows decode PCM
+      WAV via the stdlib ``wave`` module (always available);
+      ``image`` rows decode via Pillow when it is installed (raise
+      NotImplementedError otherwise); ``video`` rows raise
+      NotImplementedError (no codec libraries — the one remaining
+      stub). Rows whose payload cannot be decoded raise with the
+      offending media_id.
 
     The batch shape, Arrow binary transfer, projection pruning, and
     output schema are the production path in all three modes.
@@ -137,26 +180,29 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            if not fake and not use_pil:
-                raise NotImplementedError(
-                    "media decoding requires an image/audio library not "
-                    "present in this environment; pass fake=True for the "
-                    "deterministic stub"
-                )
             feats = []
             for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if fake:
                     feats.append(_fake_features(p["data"]))
                     continue
-                if kind != "image":
+                if kind == "image":
+                    if not use_pil:
+                        raise NotImplementedError(
+                            f"media_id={mid}: real image decode requires "
+                            "Pillow, not present in this environment; pass "
+                            "fake=True for the deterministic stub"
+                        )
+                    f = _pil_image_features(p["data"])
+                elif kind == "audio":
+                    f = _wav_audio_features(p["data"])
+                else:
                     raise NotImplementedError(
-                        f"media_id={mid}: real decode implemented for images "
-                        "only (no audio/video codec libraries)"
+                        f"media_id={mid}: video decode is stubbed (no codec "
+                        "libraries in this environment)"
                     )
-                f = _pil_image_features(p["data"])
                 if f is None:
                     raise ValueError(
-                        f"media_id={mid}: payload is not a decodable image"
+                        f"media_id={mid}: payload is not a decodable {kind}"
                     )
                 feats.append(f)
             yield pd.DataFrame(
@@ -199,6 +245,40 @@ def synth_png_media_df(spark, n: int = 16) -> DataFrame:
                 "height": 8,
                 "duration_ms": None,
                 "payload": {"data": buf.getvalue(), "codec": "png"},
+            }
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_wav_media_df(spark, n: int = 12, framerate: int = 8000) -> DataFrame:
+    """Deterministic table of REAL PCM WAV payloads (stdlib ``wave``).
+
+    Each payload is 0.25 s of a two-harmonic sine seeded by the
+    media_id, encoded as 16-bit mono WAV — decodable by any audio
+    library, so the real audio-decode path runs end-to-end with no
+    external dependency."""
+    rows = []
+    for i in range(n):
+        t = np.arange(framerate // 4, dtype=np.float64) / framerate
+        freq = 200.0 + 37.0 * i
+        x = 0.6 * np.sin(2 * np.pi * freq * t) + 0.3 * np.sin(
+            2 * np.pi * 2.5 * freq * t
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(framerate)
+            w.writeframes((x * 32767.0).astype("<i2").tobytes())
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "audio",
+                "mime": "audio/wav",
+                "width": None,
+                "height": None,
+                "duration_ms": 250,
+                "payload": {"data": buf.getvalue(), "codec": "pcm_s16le"},
             }
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

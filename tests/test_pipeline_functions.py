@@ -300,12 +300,52 @@ def test_multimodal_stub_pipeline(spark):
     # determinism: same payload → same features
     again = decode_image_features(media, fake=True).collect()
     assert [r["features"] for r in feats] == [r["features"] for r in again]
-    # real decode raises either way on this table: NotImplementedError
-    # without Pillow, undecodable-payload/non-image errors with it
+    # real decode raises either way on this table: the payloads are
+    # sha256 garbage (ValueError "not a decodable ..."), video rows are
+    # stubbed, and image rows need Pillow — whichever task fails first
     with pytest.raises(Exception) as ei:
         decode_image_features(media, fake=False).collect()
-    if not HAS_PIL:
-        assert "NotImplementedError" in str(ei.value) or "not present" in str(ei.value)
+    msg = str(ei.value)
+    assert (
+        "not a decodable" in msg
+        or "stubbed" in msg
+        or "NotImplementedError" in msg
+        or ("requires Pillow" in msg and not HAS_PIL)
+    )
+
+
+def test_multimodal_real_wav_decode(spark):
+    """Round 5: audio graduates from stub — PCM WAV payloads decode for
+    real via the stdlib ``wave`` module (no external dependency):
+    16 amplitude-histogram bins + 16 spectral-band energies, each half
+    L1-normalized, deterministic across runs."""
+    from byzer_retrieval_spark.functions import multimodal as mm
+
+    media = mm.synth_wav_media_df(spark, n=10)
+    feats = {r["media_id"]: r for r in mm.decode_image_features(media).collect()}
+    assert len(feats) == 10
+    for r in feats.values():
+        arr = np.asarray(r["features"], dtype=np.float32)
+        assert arr.shape == (mm.FEATURE_DIM,)
+        half = mm.FEATURE_DIM // 2
+        assert abs(float(arr[:half].sum()) - 1.0) < 1e-3  # amplitude hist
+        assert abs(float(arr[half:].sum()) - 1.0) < 1e-3  # spectral bands
+    # different seeds → different spectra (non-vacuous features)
+    assert feats[0]["features"] != feats[5]["features"]
+    # determinism across runs
+    again = {r["media_id"]: r for r in mm.decode_image_features(media).collect()}
+    assert all(feats[k]["features"] == again[k]["features"] for k in feats)
+    # spectral energy concentrates at the seeded fundamental: media 9's
+    # fundamental (533 Hz) lands in a higher band than media 0's (200 Hz)
+    def peak_band(k):
+        return int(np.argmax(np.asarray(feats[k]["features"][half:])))
+
+    assert peak_band(9) > peak_band(0)
+    # a non-WAV payload raises naming the offending media_id
+    bad = mm.synth_media_df(spark, n=3).filter("kind = 'audio'")
+    with pytest.raises(Exception) as ei:
+        mm.decode_image_features(bad).collect()
+    assert "not a decodable audio" in str(ei.value)
 
 
 def test_multimodal_real_decode_with_pillow(spark):
