@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Iterable, List, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from byzer_retrieval_spark.operators import mutate
@@ -695,38 +695,99 @@ class RetrievalEngine:
                 F.lit(0).cast("int").alias("__rank"),
                 *ctx.stored_columns(),
             )
-        # Queries whose filter trees touch only STORED columns batch
-        # into ONE docs scan per distinct sort spec: every tree compiles
-        # to a Column predicate, a row explodes into the query ids it
-        # matches, a per-(query, shard) pre-cut bounds the rank shuffle
-        # at shards×k rows per query, and one partitioned window ranks
-        # all queries of the group. Keeps the plan (and Catalyst time)
-        # constant-size per distinct sort spec instead of one
-        # scan+union branch per query (round 4 — same discipline as
-        # batch_search). Analyzed-field trees (postings joins) and the
-        # per_shard_limit L4 mode keep their own filter_query branch.
+        # Queries with a truthy limit batch into ONE docs scan per
+        # distinct sort spec: every tree compiles to a Column predicate,
+        # a row explodes into the query ids it matches, a per-(query,
+        # shard) pre-cut bounds the rank shuffle at shards×k rows per
+        # query, and one partitioned window ranks all queries of the
+        # group. Keeps the plan (and Catalyst time) constant-size per
+        # distinct sort spec instead of one scan+union branch per query
+        # (round 4 — same discipline as batch_search). Analyzed-field
+        # leaves ride the SAME tagged scan since round 5: every distinct
+        # (field, tokens) leaf across the batch resolves through ONE
+        # postings-membership join that attaches the per-doc set of
+        # matched leaf ids — a leaf's predicate is then array_contains,
+        # composable under any and/or nesting, and the join count stays
+        # constant in both batch size and distinct-leaf count. Only the
+        # per_shard_limit L4 mode and falsy (unlimited) limits keep
+        # their own filter_query branch.
         analyzed = set(ctx.analyzed_fields)
-
-        def _pure(q: SearchQuery) -> bool:
-            return all(
-                leaf.get("field") not in analyzed
-                for leaf in filter_leaves(q.filters or {})
-            )
 
         batched: List[tuple] = []
         legacy: List[tuple] = []
         for qid, q in enumerate(queries):
             # falsy limit = unlimited in filter_query — legacy branch
             target = (
-                batched
-                if (not per_shard_limit and q.limit and _pure(q))
-                else legacy
+                batched if (not per_shard_limit and q.limit) else legacy
             )
             target.append((qid, q))
 
         parts = []
         if batched:
+            from byzer_retrieval_spark.functions.analyzer import tokenize_py
+            from byzer_retrieval_spark.operators.decode import flat_postings
+
             docs = ctx.exclude_tombstones(ctx.docs())
+            # batch-wide analyzed-leaf resolution: distinct (field,
+            # tokens) specs → leaf ids; ONE term-pruned postings scan +
+            # ONE broadcast join + ONE left join onto docs
+            leaf_lid: Dict[int, int] = {}
+            spec_lid: Dict[tuple, int] = {}
+            for _qid, q in batched:
+                for leaf in filter_leaves(q.filters or {}):
+                    fld = leaf.get("field")
+                    if fld not in analyzed:
+                        continue
+                    if "value" not in leaf:
+                        raise ValueError(
+                            f"range filter on analyzed field {fld!r} is "
+                            "not supported (the reference parses analyzed "
+                            "filter values as full-text queries — "
+                            "SchemaUtils.java:170-173)"
+                        )
+                    key = (
+                        fld,
+                        tuple(tokenize_py(str(leaf["value"]), ctx.analyzer)),
+                    )
+                    lid = spec_lid.setdefault(key, len(spec_lid))
+                    leaf_lid[id(leaf)] = lid
+            if spec_lid:
+                pairs = [
+                    (lid, fld, t)
+                    for (fld, toks), lid in spec_lid.items()
+                    for t in toks
+                ]
+                spec_df = ctx.spark.createDataFrame(
+                    pairs, "lid int, field string, term string"
+                )
+                hits = (
+                    flat_postings(
+                        ctx.postings().filter(
+                            F.col("field").isin(
+                                sorted({p[1] for p in pairs})
+                            )
+                            & F.col("term").isin(
+                                sorted({p[2] for p in pairs})
+                            )
+                        )
+                    )
+                    .join(F.broadcast(spec_df), ["field", "term"])
+                    .select("__docid", "lid")
+                    .distinct()
+                    .groupBy("__docid")
+                    .agg(F.collect_set("lid").alias("__af_set"))
+                )
+                docs = docs.join(hits, "__docid", "left")
+
+            def leaf_fn(leaf: Dict[str, Any]) -> Column:
+                lid = leaf_lid.get(id(leaf))
+                if lid is None:
+                    return _leaf_to_column(leaf)
+                return F.coalesce(
+                    F.array_contains(F.col("__af_set"), F.lit(lid)),
+                    F.lit(False),
+                )
+
             groups: Dict[str, list] = {}
             for qid, q in batched:
                 sk = _json.dumps(q.sorts or [], sort_keys=True)
@@ -747,7 +808,7 @@ class RetrievalEngine:
                 qid_arr = F.array(
                     *[
                         F.when(
-                            filters_to_column(q.filters, _leaf_to_column)
+                            filters_to_column(q.filters, leaf_fn)
                             if q.filters
                             else F.lit(True),
                             F.lit(int(qid)),

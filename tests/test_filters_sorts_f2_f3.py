@@ -163,11 +163,13 @@ def test_batch_filter_matches_per_query(corpus_engine):
 
 
 def test_batch_filter_batched_and_legacy_paths_agree(corpus_engine):
-    """Round 4: pure stored-column filter trees ride ONE docs scan per
-    distinct sort spec (query-id explode + partitioned rank windows);
-    analyzed-field trees and falsy limits stay on the per-query branch.
-    Every query's tagged slice must still equal its individual
-    eng.filter result — across both paths in one mixed batch."""
+    """Round 4: filter trees ride ONE docs scan per distinct sort spec
+    (query-id explode + partitioned rank windows); round 5: analyzed-
+    field leaves ride the SAME tagged scan via one batch-wide postings-
+    membership join (matched-leaf-id sets); falsy limits stay on the
+    per-query branch. Every query's tagged slice must still equal its
+    individual eng.filter result — across both paths in one mixed
+    batch."""
     from byzer_retrieval_spark.plans.query import SearchQuery
 
     qs = [
@@ -207,3 +209,60 @@ def test_batch_filter_batched_and_legacy_paths_agree(corpus_engine):
         single = corpus_engine.filter(q).collect()
         assert [g["_id"] for g in got] == [s["_id"] for s in single], qid
         assert [g["__rank"] for g in got] == list(range(1, len(single) + 1)), qid
+
+
+def test_batch_filter_analyzed_leaves_share_one_scan(corpus_engine):
+    """Round 5: analyzed-field leaves ride the batched tagged scan — a
+    batch of analyzed-leaf queries costs the same number of driver jobs
+    as a stored-column-only batch of the same shape (ONE batch-wide
+    postings-membership join, not one filter_query branch per query),
+    and each query's slice still equals its individual eng.filter."""
+    from byzer_retrieval_spark.plans.query import SearchQuery
+
+    qs = [
+        SearchQuery(
+            filters={"and": [{"field": "content", "value": "import"},
+                             {"field": "lang", "value": "python"}]},
+            limit=5,
+        ),
+        SearchQuery(
+            filters={"or": [{"field": "content", "value": "return"},
+                            {"field": "content", "value": "class"}]},
+            limit=6,
+        ),
+        SearchQuery(
+            filters={"and": [{"field": "lang", "value": "go"}]},
+            limit=4,
+        ),
+    ]
+    rows = corpus_engine.batch_filter(qs).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for qid, q in enumerate(qs):
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["__rank"])
+        single = corpus_engine.filter(q).collect()
+        assert [g["_id"] for g in got] == [s["_id"] for s in single], qid
+
+    sc = corpus_engine.query_spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def run(queries, tag):
+        sc.setJobGroup(tag, tag)
+        try:
+            corpus_engine.batch_filter(queries).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(tag) or [])
+
+    stored_only = [
+        SearchQuery(filters={"and": [{"field": "lang", "value": "python"}]},
+                    limit=5),
+        SearchQuery(filters={"and": [{"field": "lang", "value": "java"}]},
+                    limit=6),
+        SearchQuery(filters={"and": [{"field": "lang", "value": "go"}]},
+                    limit=4),
+    ]
+    j_stored = run(stored_only, "bfa-stored")
+    j_mixed = run(qs, "bfa-mixed")
+    assert j_mixed <= j_stored + 1, (j_stored, j_mixed)
