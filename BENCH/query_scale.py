@@ -10,7 +10,10 @@ pairs, MUST/NOT, prefixes, fuzzies, groups, filtered queries, and
 (round 4) exact + sloppy phrases.
 
 Run: PYTHONPATH=. python BENCH/query_scale.py [n_files] [n_queries]
-Optionally reuses an existing index via QS_REUSE=1 (same n_files).
+Optionally reuses an existing index via QS_REUSE=1 (same n_files, same
+QS_VECTORS setting). QS_VECTORS=1 makes every 10th query a VECTOR query
+against a persisted IVF index (100 vector + 900 keyword at the default
+sizes) — the round-5 batched-ANN-probe scale shape.
 """
 
 from __future__ import annotations
@@ -32,7 +35,15 @@ def loadavg() -> list:
         return [float(x) for x in f.read().split()[:3]]
 
 
-def mixed_queries(n: int):
+def _qvec(seed: int):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(64)
+    return [float(x) for x in (v / np.linalg.norm(v))]
+
+
+def mixed_queries(n: int, vectors: bool = False):
     from byzer_retrieval_spark.plans.query import SearchQuery
 
     shapes = [
@@ -47,6 +58,13 @@ def mixed_queries(n: int):
     ]
     out = []
     for i in range(n):
+        if vectors and i % 10 == 9:
+            out.append(
+                SearchQuery(
+                    vector=_qvec(i), vector_field="embedding", limit=10
+                )
+            )
+            continue
         kw = shapes[i % len(shapes)](i)
         filters = (
             {"and": [{"field": "lang", "value": "py"}]} if i % 16 == 15 else {}
@@ -75,17 +93,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     eng = RetrievalEngine(spark, WORK + "/idx")
 
+    vectors = bool(os.environ.get("QS_VECTORS"))
     build_sec = None
     if not (os.environ.get("QS_REUSE") and os.path.exists(WORK + "/idx")):
         import shutil
 
         shutil.rmtree(WORK, ignore_errors=True)
-        src = corpus_df(spark, n_files, partitions=128)
+        src = corpus_df(
+            spark, n_files, partitions=128,
+            embedding_dim=64 if vectors else 0,
+        )
         t0 = time.time()
         eng.build(src, cfg=IndexConfig(num_shards=32), resume=False)
+        if vectors:
+            eng.build_vector_ann(
+                "embedding", kind="ivf", num_clusters=256
+            )
         build_sec = round(time.time() - t0, 1)
 
-    qs = mixed_queries(n_queries)
+    qs = mixed_queries(n_queries, vectors=vectors)
     load0 = loadavg()
 
     # warm: context open + a small batch (scan caches, JIT)
@@ -111,6 +137,7 @@ def main() -> None:
         "batch_rows": len(rows),
         "single_p50_sec": round(statistics.median(singles), 3),
         "amortized_ms_per_query": round(1000.0 * batch_sec / n_queries, 1),
+        "vectors": vectors,
         "loadavg_before": load0,
         "loadavg_after": loadavg(),
         "cpus": cpus,

@@ -151,6 +151,55 @@ def main() -> None:
     mixed_sec = time.time() - tb
     timings["batch100_mixed"] = round(mixed_sec, 3)
 
+    # ANN-mixed batch (round 5): 20 vector + 80 keyword queries share
+    # ONE job — vector members probe a persisted IVF index via one
+    # tagged partition-pruned scan (knn.batch_vector_winners_ann), the
+    # keyword members ride the one-job batch scorer. IVF over LSH here:
+    # nprobe partition filters touch ~nprobe×queries cluster dirs vs
+    # LSH's hundreds of tiny bucket files (measured 2.6× faster probes
+    # at this scale). A SEPARATE engine (same corpus + deterministic
+    # embeddings) keeps the headline build metric comparable
+    # round-over-round.
+    import numpy as np
+
+    vec_idx = os.path.join(work, "idx_vec")
+    eng_vec = RetrievalEngine(spark, vec_idx)
+    src_vec = corpus_df(
+        spark, n_files, partitions=shuffle_parts * 2, embedding_dim=64
+    )
+    tb = time.time()
+    eng_vec.build(src_vec, cfg=cfg, resume=False)
+    eng_vec.build_vector_ann("embedding", kind="ivf", num_clusters=64)
+    vec_build_sec = time.time() - tb
+    timings["vec_build"] = round(vec_build_sec, 3)
+
+    def _qvec(seed: int):
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(64)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    vec_qs = []
+    for i in range(100):
+        if i % 5 == 0:
+            vec_qs.append(
+                SearchQuery(
+                    vector=_qvec(i), vector_field="embedding", limit=10
+                )
+            )
+        else:
+            vec_qs.append(
+                SearchQuery(
+                    keyword=mixed_shapes[i % len(mixed_shapes)](i),
+                    fields=["content"],
+                    limit=10,
+                )
+            )
+    eng_vec.batch_search(vec_qs[:5]).collect()  # warm the probe path
+    tb = time.time()
+    eng_vec.batch_search(vec_qs).collect()
+    vec_mixed_sec = time.time() - tb
+    timings["batch100_vec_mixed"] = round(vec_mixed_sec, 3)
+
     total = build_sec + sum(q_times)
     out = {
         "metric": "index_build_plus_bm25_query_e2e",
@@ -163,6 +212,7 @@ def main() -> None:
         "query_p50_sec": round(statistics.median(q_times), 3),
         "batch_queries_per_sec": round(100.0 / batch_sec, 1),
         "batch_mixed_queries_per_sec": round(100.0 / mixed_sec, 1),
+        "batch_vec_mixed_queries_per_sec": round(100.0 / vec_mixed_sec, 1),
         "cpus": cpus,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),

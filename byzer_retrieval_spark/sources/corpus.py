@@ -120,28 +120,61 @@ def gen_batch(ids: np.ndarray) -> pd.DataFrame:
     )
 
 
+def gen_embedding_batch(ids: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic L2-normalized embeddings for doc indices ``ids`` —
+    a pure function of (id, column), so any partitioning of the
+    generating range yields identical vectors (same contract as
+    ``gen_batch``)."""
+    u = np.ascontiguousarray(ids, dtype=np.int64).astype(np.uint64)
+    cols = np.arange(dim, dtype=np.uint64)
+    hv = _splitmix64(
+        u[:, None] * np.uint64(0x9E3779B1) + cols[None, :] + np.uint64(SEED)
+    )
+    x = (hv >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x.astype(np.float32)
+
+
 def gen_rows(n: int) -> List[dict]:
     """Small-scale list-of-dicts form for the pytest oracle."""
     return gen_batch(np.arange(n)).to_dict("records")
 
 
-def corpus_df(spark, n_files: int, partitions: int = 32):
+def corpus_df(spark, n_files: int, partitions: int = 32,
+              embedding_dim: int = 0):
     """Distributed corpus: spark.range → per-partition mapInPandas.
 
     Scale story: generation is embarrassingly parallel and stateless —
     at 10^12 files you raise ``partitions``; no shuffle, no driver data.
+    ``embedding_dim`` > 0 appends a deterministic L2-normalized
+    ``embedding`` array<float> column (for the ANN bench shapes).
     """
-    from pyspark.sql.types import StringType, StructField, StructType
-
-    out_schema = StructType(
-        [StructField(c, StringType(), False)
-         for c in ("repo", "path", "commit", "lang", "content")]
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        StringType,
+        StructField,
+        StructType,
     )
+
+    fields = [StructField(c, StringType(), False)
+              for c in ("repo", "path", "commit", "lang", "content")]
+    if embedding_dim > 0:
+        fields.append(
+            StructField("embedding", ArrayType(FloatType()), False)
+        )
+    out_schema = StructType(fields)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if len(b):
-                yield gen_batch(b["id"].to_numpy())
+                ids = b["id"].to_numpy()
+                pdf = gen_batch(ids)
+                if embedding_dim > 0:
+                    pdf["embedding"] = list(
+                        gen_embedding_batch(ids, embedding_dim)
+                    )
+                yield pdf
 
     return (
         spark.range(0, n_files, numPartitions=partitions)
