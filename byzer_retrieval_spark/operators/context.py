@@ -103,6 +103,21 @@ class IndexContext:
         thousands). Missing key (pre-r4 snapshots) → False (safe)."""
         return bool(self.snapshot.get("docid_id_order", False))
 
+    @property
+    def per_shard_stats(self) -> bool:
+        """True when this index scores every shard with its OWN
+        df/N/avgdl (reference numNodes>1 parity — each worker is an
+        independent Lucene index; RetrievalFlightServer.java:456-460).
+        Queries then run on the declarative scorer: per-shard idf
+        invalidates the WAND path's driver-computed upper bounds."""
+        return bool(self.meta.get("per_shard_stats", False))
+
+    def shard_field_stats(self, field: str) -> Dict[int, Dict[str, Any]]:
+        """Per-shard (n_docs, sum_dl, avgdl) for ``field`` — written by
+        every build/mutation commit since round 5."""
+        sfs = self.snapshot.get("shard_field_stats") or {}
+        return {int(s): v for s, v in (sfs.get(field) or {}).items()}
+
     def field_stat(self, field: str) -> Dict[str, Any]:
         return self.snapshot["field_stats"][field]
 

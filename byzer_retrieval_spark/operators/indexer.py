@@ -113,6 +113,14 @@ class IndexConfig:
     # dl stored in posting blocks; avgdl stays exact. Default off = our
     # exact-dl semantics (strictly more precise, documented deviation).
     lucene_dl_quantization: bool = False
+    # Reference numNodes>1 parity (round 5): score every shard with its
+    # OWN df/N/avgdl — each reference worker is an independent Lucene
+    # index whose local stats shape idf/tfnorm, and the master merges by
+    # score (RetrievalFlightServer.java:456-460). Default off = global
+    # stats (single-node-equivalent, self-consistent ranking). When on,
+    # queries run on the declarative scorer (per-shard idf invalidates
+    # the WAND path's driver-computed clause upper bounds).
+    per_shard_stats: bool = False
 
 
 def _derive_ids(df: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -974,7 +982,20 @@ def build_index(
     per_shard_docs = {int(r.shard_id): int(r["__n_total"]) for r in doc_rows}
     n_total = sum(per_shard_docs.values())
     field_stats = {}
+    # per-(field, shard) stats ride the SAME per-shard aggregates the
+    # global numbers are summed from — free at build, and the
+    # per_shard_stats scoring mode (reference numNodes>1 parity) reads
+    # them from the snapshot
+    shard_field_stats: dict = {f: {} for f in cfg.analyzed_fields}
     for f_name in cfg.analyzed_fields:
+        for r in doc_rows:
+            sn = int(r[f"__n_{f_name}"] or 0)
+            ssum = int(r[f"__sum_{f_name}"] or 0)
+            shard_field_stats[f_name][str(int(r.shard_id))] = {
+                "n_docs": sn,
+                "sum_dl": ssum,
+                "avgdl": (float(ssum) / sn) if sn else 0.0,
+            }
         n = sum(int(r[f"__n_{f_name}"] or 0) for r in doc_rows)
         sum_dl = sum(int(r[f"__sum_{f_name}"] or 0) for r in doc_rows)
         field_stats[f_name] = {
@@ -1020,6 +1041,7 @@ def build_index(
             "doc_bits": DOC_BITS,
             "lucene_dl_quantization": cfg.lucene_dl_quantization,
             "hot_term_split_threshold": cfg.hot_term_split_threshold,
+            "per_shard_stats": cfg.per_shard_stats,
         }
     )
     if pending:
@@ -1030,6 +1052,7 @@ def build_index(
     snapshot = {
         "n_docs": int(n_total),
         "field_stats": field_stats,
+        "shard_field_stats": shard_field_stats,
         "shards": {str(s): fingerprints[s] for s in fingerprints},
         "build_metrics": metrics,
         # fresh builds assign __docid = row_number over (shard, _id), so

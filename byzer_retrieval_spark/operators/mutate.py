@@ -79,23 +79,42 @@ def _refresh_stats_and_commit(
     )
     store.write_stats(stats_df)
     docs = store.docs(spark)
-    field_stats = {}
+    # ONE per-shard aggregation job covers every field; the global
+    # stats are its driver-side sums and the per-(field, shard) stats
+    # (per_shard_stats scoring mode, reference numNodes>1 parity) fall
+    # out for free — same discipline as the index builder.
+    aggs = [F.count("*").alias("__n_total")]
     for f_name in meta["analyzed_fields"]:
-        row = docs.filter(F.col(f"dl_{f_name}") > 0).agg(
-            F.count("*").alias("n"), F.sum(f"dl_{f_name}").alias("sum_dl")
-        ).collect()[0]
-        n = int(row.n or 0)
+        aggs.append(
+            F.count_if(F.col(f"dl_{f_name}") > 0).alias(f"__n_{f_name}")
+        )
+        aggs.append(F.sum(f"dl_{f_name}").alias(f"__sum_{f_name}"))
+    doc_rows = docs.groupBy("shard_id").agg(*aggs).collect()
+    field_stats = {}
+    shard_field_stats: dict = {f: {} for f in meta["analyzed_fields"]}
+    for f_name in meta["analyzed_fields"]:
+        for r in doc_rows:
+            sn = int(r[f"__n_{f_name}"] or 0)
+            ssum = int(r[f"__sum_{f_name}"] or 0)
+            shard_field_stats[f_name][str(int(r.shard_id))] = {
+                "n_docs": sn,
+                "sum_dl": ssum,
+                "avgdl": (float(ssum) / sn) if sn else 0.0,
+            }
+        n = sum(int(r[f"__n_{f_name}"] or 0) for r in doc_rows)
+        sum_dl = sum(int(r[f"__sum_{f_name}"] or 0) for r in doc_rows)
         field_stats[f_name] = {
             "n_docs": n,
-            "sum_dl": int(row.sum_dl or 0),
-            "avgdl": (float(row.sum_dl) / n) if n else 0.0,
+            "sum_dl": sum_dl,
+            "avgdl": (float(sum_dl) / n) if n else 0.0,
         }
     if docid_id_order is None:
         cur = store.current_snapshot() or {}
         docid_id_order = bool(cur.get("docid_id_order", False))
     snap = {
-        "n_docs": int(docs.count()),
+        "n_docs": sum(int(r["__n_total"]) for r in doc_rows),
         "field_stats": field_stats,
+        "shard_field_stats": shard_field_stats,
         "note": note,
         "docid_id_order": bool(docid_id_order),
     }

@@ -222,18 +222,41 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
     )
     flat = flat_postings(blocks)
 
-    # tiny per-(field,term) stats → broadcast join
-    stats = ctx.stats().filter(
-        F.col("field").isin(fields) & F.col("term").isin(all_terms)
-    )
-    fs_rows = [
-        (f, ctx.n_docs(f), ctx.avgdl(f)) for f in fields
-    ]
-    fstats = ctx.spark.createDataFrame(fs_rows, "field string, n_docs long, avgdl double")
-    stats = stats.join(fstats, "field")
+    # tiny per-(field,term) stats → broadcast join. per_shard_stats
+    # mode (reference numNodes>1 parity): df comes from the SAME
+    # term-pruned blocks scan aggregated per shard, N/avgdl from the
+    # snapshot's per-shard entries, and every stats join keys on
+    # shard_id too — each shard scores like an independent index.
+    per_shard = ctx.per_shard_stats
+    if per_shard:
+        stats = blocks.groupBy("field", "term", "shard_id").agg(
+            F.sum("df_block").alias("df")
+        )
+        fs_rows = [
+            (f, int(s), int(st["n_docs"]), float(st["avgdl"]))
+            for f in fields
+            for s, st in ctx.shard_field_stats(f).items()
+        ]
+        fstats = ctx.spark.createDataFrame(
+            fs_rows, "field string, shard_id int, n_docs long, avgdl double"
+        )
+        stats = stats.join(fstats, ["field", "shard_id"])
+        stat_keys = ["field", "term", "shard_id"]
+    else:
+        stats = ctx.stats().filter(
+            F.col("field").isin(fields) & F.col("term").isin(all_terms)
+        )
+        fs_rows = [
+            (f, ctx.n_docs(f), ctx.avgdl(f)) for f in fields
+        ]
+        fstats = ctx.spark.createDataFrame(
+            fs_rows, "field string, n_docs long, avgdl double"
+        )
+        stats = stats.join(fstats, "field")
+        stat_keys = ["field", "term"]
 
     k1, b = ctx.k1, ctx.b
-    scored = flat.join(F.broadcast(stats), ["field", "term"]).withColumn(
+    scored = flat.join(F.broadcast(stats), stat_keys).withColumn(
         "idf",
         F.log(
             F.lit(1.0)
@@ -359,10 +382,24 @@ def search_df(ctx: IndexContext, query: SearchQuery) -> DataFrame:
                         / (F.col("df") + F.lit(0.5))
                     ),
                 )
-                .groupBy("field", "avgdl")
+                .groupBy(
+                    *(["field", "shard_id", "avgdl"] if per_shard
+                      else ["field", "avgdl"])
+                )
                 .agg(F.sum(F.col("__idf") * F.col("__mult")).alias("__idf_sum"))
             )
-            pc = ptf.join(F.broadcast(idf_p), "field").select(
+            if per_shard:
+                # ptf frames carry only (field, __docid, dl): derive the
+                # doc's shard from the docid's top bits for the
+                # shard-keyed idf join
+                ptf = ptf.withColumn(
+                    "shard_id",
+                    F.shiftright(F.col("__docid"), ctx.doc_bits).cast("int"),
+                )
+            pc = ptf.join(
+                F.broadcast(idf_p),
+                ["field", "shard_id"] if per_shard else ["field"],
+            ).select(
                 "__docid",
                 F.lit(pkey).alias("term"),
                 (

@@ -1212,6 +1212,12 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     """
     from byzer_retrieval_spark.operators.filtering import gate_frame
 
+    if ctx.per_shard_stats:
+        # per-shard-stats mode (reference numNodes>1 parity): idf varies
+        # by shard, so the driver-computed per-clause upper bounds this
+        # scorer prunes with are not valid — the declarative scorer
+        # handles the mode (its stats joins are shard-keyed there)
+        return None
     parsed = parse_keyword(query.keyword, ctx.analyzer)
     if parsed.match_all or parsed.empty:
         return None
