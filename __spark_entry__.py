@@ -454,6 +454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     in this container; the Arrow binary transfer, batch shape,
         #     and frame-sampling plan are the real production path) -----
         "multimodal_decode_meta": _q_multimodal_meta,
+        # round 5: REAL WAV decode (stdlib wave) vs pinned goldens
+        "multimodal_audio_features": _q_audio_features,
+        # round 5: per-shard-stats scoring mode (rows-only driver
+        # check — sharding is xxhash64, not expressible in DuckDB;
+        # score parity is pinned in tests/test_per_shard_stats.py)
+        "bm25_per_shard_stats": _q_per_shard_stats,
         # --- event-time windows (Structured-Streaming-native shapes;
         #     same functions run batch and under readStream) ------------
         "events_tumbling_agg": _q_events_tumbling,
@@ -744,6 +750,12 @@ WHERE h_top = 1 OR (h_must = 1 AND h_not = 0)
                     ELSE -1 END AS n_frames
         FROM range(64) t(i) ORDER BY media_id
     """
+    # real WAV decode: inputs are synthesized (sf-invariant), so the
+    # oracle is the pinned golden table — a full regression pin over
+    # the stdlib-wave decode + feature path. bm25_per_shard_stats has
+    # NO oracle on purpose (rows-only driver check): the xxhash64
+    # shard assignment is not expressible in standalone DuckDB SQL.
+    sqls["multimodal_audio_features"] = _audio_features_sql()
     # event-time window twins live next to the operators
     from byzer_retrieval_spark.streaming.windows import sessions_sql, tumbling_sql
 
@@ -1514,6 +1526,106 @@ def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.col("n_frames"), F.lit(-1)).cast("int").alias("n_frames"),
         )
         .orderBy("media_id")
+    )
+
+
+def _q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode (round 5 — stdlib ``wave``, no external
+    dependency): 12 deterministic PCM-WAV payloads decode inside
+    mapInPandas to 16 amplitude-histogram bins + 16 spectral-band
+    energies. The oracle is a pinned literal table (the input is
+    synthesized independent of sf_dir, so the expected rows are
+    sf-invariant): byte counts, per-half argmax bins, and two rounded
+    feature values — a regression pin over the whole decode path."""
+    from byzer_retrieval_spark.functions.multimodal import (
+        FEATURE_DIM,
+        decode_image_features,
+        synth_wav_media_df,
+    )
+
+    half = FEATURE_DIM // 2
+    feats = decode_image_features(synth_wav_media_df(spark, 12))
+    amp = F.slice("features", 1, half)
+    spec = F.slice("features", half + 1, half)
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("long"),
+        (F.array_position(amp, F.array_max(amp)) - 1)
+        .cast("int")
+        .alias("amp_peak_bin"),
+        (F.array_position(spec, F.array_max(spec)) - 1)
+        .cast("int")
+        .alias("spec_peak_bin"),
+        F.round(F.element_at("features", 1).cast("double"), 5).alias("f0"),
+        F.round(F.element_at("features", half + 1).cast("double"), 5).alias(
+            "fmid"
+        ),
+    ).orderBy("media_id")
+
+
+_AUDIO_GOLDEN = [
+    (0, 4044, 5, 0, 0.0, 0.79999),
+    (1, 4044, 5, 0, 0.008, 0.78893),
+    (2, 4044, 10, 1, 0.0075, 0.01766),
+    (3, 4044, 10, 1, 0.007, 0.00347),
+    (4, 4044, 10, 1, 0.0075, 0.00011),
+    (5, 4044, 5, 1, 0.008, 0.00127),
+    (6, 4044, 5, 1, 0.007, 0.00304),
+    (7, 4044, 5, 1, 0.0065, 0.00084),
+    (8, 4044, 5, 1, 0.007, 0.0),
+    (9, 4044, 5, 2, 0.007, 0.00024),
+    (10, 4044, 10, 2, 0.0075, 0.0012),
+    (11, 4044, 5, 2, 0.007, 0.00051),
+]
+
+
+def _audio_features_sql() -> str:
+    vals = ", ".join(
+        f"({i}, {nb}, {ab}, {sb}, {f0}, {fm})"
+        for i, nb, ab, sb, f0, fm in _AUDIO_GOLDEN
+    )
+    return f"""
+SELECT media_id::BIGINT AS media_id, n_bytes::BIGINT AS n_bytes,
+       amp_peak_bin::INT AS amp_peak_bin, spec_peak_bin::INT AS spec_peak_bin,
+       f0::DOUBLE AS f0, fmid::DOUBLE AS fmid
+FROM (VALUES {vals})
+  AS t(media_id, n_bytes, amp_peak_bin, spec_peak_bin, f0, fmid)
+"""
+
+
+def _q_per_shard_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """per_shard_stats scoring mode (round 5 — reference numNodes>1
+    parity): every shard scores with its OWN df/N/avgdl and the merge
+    is by score. No DuckDB oracle: the shard assignment is Spark's
+    xxhash64, inexpressible in standalone SQL — the driver records the
+    rows-only check; exact score parity vs merged per-shard python
+    oracles is pinned in tests/test_per_shard_stats.py."""
+    tag = os.path.basename(os.path.normpath(sf))
+    eng = RetrievalEngine(spark, os.path.join(IDX_ROOT, tag))
+    store = eng.store("db", "documents_pss")
+    if store.current_snapshot() is None:
+        docs = _documents(spark, sf)
+        src = docs.withColumn("_id", F.col("doc_id").cast("string"))
+        eng.build(
+            src,
+            database="db",
+            table="documents_pss",
+            cfg=IndexConfig(
+                num_shards=4,
+                analyzed_fields=("text",),
+                id_columns=(),
+                per_shard_stats=True,
+            ),
+            resume=True,
+            source_desc=f"{sf}/documents.parquet (per_shard_stats)",
+        )
+    q = SearchQuery(
+        keyword="merge spark", fields=["text"], limit=10,
+        database="db", table="documents_pss",
+    )
+    return eng.search(q, database="db", table="documents_pss").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("_score", 5).alias("score"),
     )
 
 
