@@ -185,3 +185,19 @@ def test_sorts_to_columns_accepts_tuples_and_strings(spark):
     assert "ASC" in reprs[2] and "ASC" in reprs[3]
     with pytest.raises(ValueError):
         sorts_to_columns([("a", "desc", "extra")])
+
+
+def test_embedding_generator_deterministic_and_normalized():
+    """Round 5 (ANN bench shapes): embeddings are a pure function of
+    (row id, column) — identical under any partitioning of the
+    generating range — and L2-normalized."""
+    from byzer_retrieval_spark.sources.corpus import gen_embedding_batch
+
+    a = gen_embedding_batch(np.arange(50, 70), 64)
+    b = gen_embedding_batch(np.arange(50, 120), 64)
+    np.testing.assert_array_equal(a, b[:20])
+    np.testing.assert_allclose(
+        np.linalg.norm(a, axis=1), np.ones(20), rtol=1e-5
+    )
+    # distinct ids → distinct vectors (non-vacuous)
+    assert not np.array_equal(a[0], a[1])
