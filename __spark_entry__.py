@@ -456,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_meta": _q_multimodal_meta,
         # round 5: REAL WAV decode (stdlib wave) vs pinned goldens
         "multimodal_audio_features": _q_audio_features,
+        # round 5: REAL Y4M video decode + frame sampling (pure numpy)
+        "multimodal_video_features": _q_video_features,
         # round 5: per-shard-stats scoring mode (rows-only driver
         # check — sharding is xxhash64, not expressible in DuckDB;
         # score parity is pinned in tests/test_per_shard_stats.py)
@@ -756,6 +758,7 @@ WHERE h_top = 1 OR (h_must = 1 AND h_not = 0)
     # NO oracle on purpose (rows-only driver check): the xxhash64
     # shard assignment is not expressible in standalone DuckDB SQL.
     sqls["multimodal_audio_features"] = _audio_features_sql()
+    sqls["multimodal_video_features"] = _video_features_sql()
     # event-time window twins live next to the operators
     from byzer_retrieval_spark.streaming.windows import sessions_sql, tumbling_sql
 
@@ -1590,6 +1593,77 @@ SELECT media_id::BIGINT AS media_id, n_bytes::BIGINT AS n_bytes,
        f0::DOUBLE AS f0, fmid::DOUBLE AS fmid
 FROM (VALUES {vals})
   AS t(media_id, n_bytes, amp_peak_bin, spec_peak_bin, f0, fmid)
+"""
+
+
+def _q_video_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video decode (round 5 — uncompressed YUV4MPEG2, pure numpy,
+    no codec library): 8 deterministic Y4M payloads decode inside
+    mapInPandas to a pooled luma histogram + temporal mean-luma profile,
+    AND the real per-frame sampler extracts frames 0/2/4/6 at 500 ms
+    ticks. Both UDF paths meet in one broadcast-joined result; the
+    oracle is a pinned literal table (inputs are sf-invariant)."""
+    from byzer_retrieval_spark.functions.multimodal import (
+        FEATURE_DIM,
+        decode_image_features,
+        sample_video_frames,
+        synth_y4m_media_df,
+    )
+
+    half = FEATURE_DIM // 2
+    media = synth_y4m_media_df(spark, 8)
+    hist = F.slice("features", 1, half)
+    feats = decode_image_features(media).select(
+        "media_id",
+        F.col("n_bytes").cast("long"),
+        (F.array_position(hist, F.array_max(hist)) - 1)
+        .cast("int")
+        .alias("hist_peak_bin"),
+        F.round(F.element_at("features", half + 1).cast("double"), 5).alias(
+            "prof_first"
+        ),
+        F.round(F.element_at("features", FEATURE_DIM).cast("double"), 5).alias(
+            "prof_last"
+        ),
+    )
+    samp = (
+        sample_video_frames(media, every_ms=500)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").cast("int").alias("n_sampled"),
+            F.round(F.min("luma_mean").cast("double"), 4).alias("luma_first"),
+            F.round(F.max("luma_mean").cast("double"), 4).alias("luma_last"),
+        )
+    )
+    return feats.join(F.broadcast(samp), "media_id").orderBy("media_id")
+
+
+_VIDEO_GOLDEN = [
+    (0, 2392, 4, 0.05098, 0.5451, 4, 13.0, 121.0),
+    (1, 2392, 2, 0.10196, 0.59608, 4, 26.0, 134.0),
+    (2, 2392, 3, 0.15294, 0.64706, 4, 39.0, 147.0),
+    (3, 2392, 3, 0.20392, 0.69804, 4, 52.0, 160.0),
+    (4, 2392, 5, 0.2549, 0.74902, 4, 65.0, 173.0),
+    (5, 2392, 2, 0.07059, 0.56471, 4, 18.0, 126.0),
+    (6, 2392, 4, 0.12157, 0.61569, 4, 31.0, 139.0),
+    (7, 2392, 7, 0.17255, 0.66667, 4, 44.0, 152.0),
+]
+
+
+def _video_features_sql() -> str:
+    vals = ", ".join(
+        f"({i}, {nb}, {hb}, {pf}, {pl}, {ns}, {lf}, {ll})"
+        for i, nb, hb, pf, pl, ns, lf, ll in _VIDEO_GOLDEN
+    )
+    return f"""
+SELECT media_id::BIGINT AS media_id, n_bytes::BIGINT AS n_bytes,
+       hist_peak_bin::INT AS hist_peak_bin,
+       prof_first::DOUBLE AS prof_first, prof_last::DOUBLE AS prof_last,
+       n_sampled::INT AS n_sampled,
+       luma_first::DOUBLE AS luma_first, luma_last::DOUBLE AS luma_last
+FROM (VALUES {vals})
+  AS t(media_id, n_bytes, hist_peak_bin, prof_first, prof_last,
+       n_sampled, luma_first, luma_last)
 """
 
 
