@@ -185,6 +185,25 @@ def main() -> None:
          cap(eng2.search(qh)))
     )
 
+    # batched multi-vector probe (round 5): static IN partition filter
+    # over the union of probe sets + O(1)-per-row broadcast key join
+    eng2.build_vector_ann("embedding", kind="ivf", num_clusters=8)
+    vqs = [
+        SearchQuery(
+            vector=[float((k * 5 + j) % 17) / 17.0 for j in range(8)],
+            vector_field="embedding",
+            limit=5,
+        )
+        for k in range(6)
+    ]
+    sections.append(
+        ("BATCHED multi-vector ANN probe — check the index scan carries "
+         "a static PartitionFilters IN over the union of the 6 queries' "
+         "probe clusters, and tagging is ONE BroadcastHashJoin on the "
+         "partition key (per-row cost O(1) in batch size)",
+         cap(eng2.batch_search(vqs)))
+    )
+
     # LSH probe plan: partition pruning on (tbl, bucket)
     emb_rows = [(i, [float((i * 7 + j) % 13) / 13.0 for j in range(16)]) for i in range(200)]
     emb = spark.createDataFrame(emb_rows, ["id", "vec"])

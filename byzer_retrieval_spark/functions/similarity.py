@@ -362,6 +362,28 @@ class LshVectorIndex:
             )
         return cond
 
+    # partition-key enumeration for the batched multi-query probe: the
+    # O(1)-per-row broadcast-join tagging path (round 5)
+    probe_key_cols = ("tbl", "bucket")
+
+    def probe_keys(
+        self, query: Sequence[float], probe_hamming: int
+    ) -> Optional[List[tuple]]:
+        """This query's probe set as explicit (tbl, bucket) partition
+        keys, or None in exact mode (bucket set not enumerable without
+        reading the index — the caller falls back to the predicate
+        path)."""
+        if probe_hamming >= self.num_planes:
+            return None
+        dim = len(query)
+        keys = []
+        for t in range(self.num_tables):
+            planes = hyperplanes(dim, self.num_planes, self.seed + t)
+            qb = bucket_of(query, planes)
+            for b in probe_buckets(qb, self.num_planes, probe_hamming):
+                keys.append((t, int(b)))
+        return keys
+
     def candidates(
         self, spark: SparkSession, query: Sequence[float], probe_hamming: int
     ) -> DataFrame:
@@ -629,6 +651,18 @@ class IvfVectorIndex:
         if nprobe >= self.num_clusters:
             return F.lit(True)
         return F.col("cluster").isin(self.probe_clusters(query, nprobe))
+
+    # partition-key enumeration for the batched multi-query probe
+    probe_key_cols = ("cluster",)
+
+    def probe_keys(
+        self, query: Sequence[float], nprobe: int
+    ) -> Optional[List[tuple]]:
+        """The nprobe nearest clusters as explicit partition keys, or
+        None when the probe degenerates to a full scan."""
+        if nprobe >= self.num_clusters:
+            return None
+        return [(c,) for c in self.probe_clusters(query, nprobe)]
 
     def candidates(
         self, spark: SparkSession, query: Sequence[float], nprobe: int

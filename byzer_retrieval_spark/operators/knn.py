@@ -126,14 +126,20 @@ def batch_vector_winners_ann(
     ``vector_winners_ann``).
 
     ``items``: [(query_id, SearchQuery)], all on this index's field.
-    The scan's filter is the OR of every query's ``probe_condition``
-    (still pure partition-column predicates → partition pruning keeps
-    the read at Σ probe sets, never the index); each row then explodes
-    into the query ids whose probe set contains its partition, the
-    per-query vector rides in via ONE broadcast join (cosine arithmetic
-    mirrors the per-query literal path operation-for-operation, see
-    _cosine_expr_col), tombstones anti-join once, and one window takes
-    each query's top-limit by (_score desc, id asc).
+    Every query's probe set is enumerated DRIVER-side as explicit
+    partition keys (``index.probe_keys``); the scan gets a static IN
+    filter over the distinct keys (partition pruning keeps the read at
+    the union of probe sets, never the index) and each surviving row is
+    tagged with its query ids by ONE broadcast hash join on the
+    partition key — per-row cost is O(1) in batch size, where the
+    previous when-array tagging was O(batch) comparisons per row. The
+    per-query vector rides in via a second broadcast join (cosine
+    arithmetic mirrors the per-query literal path
+    operation-for-operation, see _cosine_expr_col), tombstones
+    anti-join once, and one window takes each query's top-limit by
+    (_score desc, id asc). When some query's probe set is not
+    enumerable (LSH exact mode, nprobe >= num_clusters) the
+    predicate-OR tagging path is kept as fallback.
 
     Returns (query_id, shard_id, __docid, _id, _score) — the keyed
     winners frame hybrid fusion consumes. A 100-query batch with N
@@ -148,23 +154,53 @@ def batch_vector_winners_ann(
     spark = ctx.spark
     extras = index._extra_cols()
     dedup_cols = ["query_id", "id"] + extras
-    conds = []
+    key_cols = list(index.probe_key_cols)
     qrows = []
+    key_rows: Optional[list] = []
     for qid, q in items:
         qv = [float(x) for x in q.vector]
-        conds.append((int(qid), index.probe_condition(qv, **probe_kw)))
         qrows.append((int(qid), qv, _qnorm(qv), int(q.limit)))
+        if key_rows is not None:
+            pk = index.probe_keys(qv, **probe_kw)
+            if pk is None:
+                key_rows = None  # someone needs a full scan → fallback
+            else:
+                key_rows.extend((int(qid), *k) for k in pk)
     data = spark.read.parquet(index.data_path)
-    tag = F.array(*[F.when(c, F.lit(qid)) for qid, c in conds])
-    tagged = (
-        data.withColumn("query_id", F.explode(tag))
-        .filter(F.col("query_id").isNotNull())
-        .select("query_id", "id", "vec", *extras)
-        # per-query dedup across LSH table replicas; keys include the
-        # extras so old+new versions of an upserted id both survive to
-        # the tombstone anti-join (same discipline as candidates())
-        .dropDuplicates(dedup_cols)
-    )
+    if key_rows is not None:
+        kdf = spark.createDataFrame(
+            key_rows,
+            ", ".join(
+                ["query_id int"] + [f"{c} int" for c in key_cols]
+            ),
+        )
+        # static partition pruning from the distinct-key IN lists, then
+        # O(1)-per-row tagging via the broadcast key join
+        distinct = {k[1:] for k in key_rows}
+        prune = F.lit(True)
+        for i, c in enumerate(key_cols):
+            prune = prune & F.col(c).isin(sorted({k[i] for k in distinct}))
+        tagged = (
+            data.filter(prune)
+            .join(F.broadcast(kdf), key_cols)
+            .select("query_id", "id", "vec", *extras)
+            .dropDuplicates(dedup_cols)
+        )
+    else:
+        conds = [
+            (int(qid), index.probe_condition([float(x) for x in q.vector], **probe_kw))
+            for qid, q in items
+        ]
+        tag = F.array(*[F.when(c, F.lit(qid)) for qid, c in conds])
+        tagged = (
+            data.withColumn("query_id", F.explode(tag))
+            .filter(F.col("query_id").isNotNull())
+            .select("query_id", "id", "vec", *extras)
+            # per-query dedup across LSH table replicas; keys include the
+            # extras so old+new versions of an upserted id both survive to
+            # the tombstone anti-join (same discipline as candidates())
+            .dropDuplicates(dedup_cols)
+        )
     tagged = ctx.exclude_tombstones(tagged)
     qdf = spark.createDataFrame(
         qrows, "query_id int, __qvec array<double>, __qnorm double, __klim int"
