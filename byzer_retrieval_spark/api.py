@@ -339,9 +339,32 @@ class RetrievalEngine:
         dim = len(first[0])
         path = _os.path.join(store.base, "ann", vector_field, kind)
         if kind == "lsh":
+            if "num_planes" not in params:
+                # bucket count 2^planes sized so a probe set stays a few
+                # hundred vectors: planes ≈ log2(N / 128), clamped —
+                # scale-adaptive instead of one fixed default
+                import math as _math
+
+                n_vec = docs.filter(F.col(vector_field).isNotNull()).count()
+                params = {
+                    **params,
+                    "num_planes": max(
+                        8, min(20, int(_math.log2(max(n_vec, 1) / 128.0 + 1)) + 1)
+                    ),
+                }
             idx = LshVectorIndex(path, **params)
             probe = probe or {"probe_hamming": 2}
         elif kind == "ivf":
+            if "num_clusters" not in params:
+                # classic IVF sizing: √N centroids (FAISS guidance),
+                # clamped to [16, 4096] — keeps a probe at ~√N vectors
+                # whether the corpus is 10^4 or 10^9, instead of a fixed
+                # default that degrades to giant probe sets at scale
+                n_vec = docs.filter(F.col(vector_field).isNotNull()).count()
+                params = {
+                    **params,
+                    "num_clusters": max(16, min(4096, int(n_vec**0.5))),
+                }
             idx = IvfVectorIndex(path, **params)
             probe = probe or {"nprobe": 4}
         else:
