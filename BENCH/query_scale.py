@@ -106,9 +106,7 @@ def main() -> None:
         t0 = time.time()
         eng.build(src, cfg=IndexConfig(num_shards=32), resume=False)
         if vectors:
-            eng.build_vector_ann(
-                "embedding", kind="ivf", num_clusters=256
-            )
+            eng.build_vector_ann("embedding", kind="ivf")  # sqrt(N) clusters
         build_sec = round(time.time() - t0, 1)
 
     qs = mixed_queries(n_queries, vectors=vectors)

@@ -1670,10 +1670,13 @@ FROM (VALUES {vals})
 def _q_per_shard_stats(spark: SparkSession, sf: str) -> DataFrame:
     """per_shard_stats scoring mode (round 5 — reference numNodes>1
     parity): every shard scores with its OWN df/N/avgdl and the merge
-    is by score. No DuckDB oracle: the shard assignment is Spark's
-    xxhash64, inexpressible in standalone SQL — the driver records the
-    rows-only check; exact score parity vs merged per-shard python
-    oracles is pinned in tests/test_per_shard_stats.py."""
+    is by score. Served by the WAND fast path and the one-job batch
+    too (per-shard df rides the stats join keyed on shard_id; every
+    WAND bound is already shard-local). No DuckDB oracle: the shard
+    assignment is Spark's xxhash64, inexpressible in standalone SQL —
+    the driver records the rows-only check; exact score parity vs
+    merged per-shard python oracles (both scorer paths) is pinned in
+    tests/test_per_shard_stats.py."""
     tag = os.path.basename(os.path.normpath(sf))
     eng = RetrievalEngine(spark, os.path.join(IDX_ROOT, tag))
     store = eng.store("db", "documents_pss")

@@ -169,7 +169,7 @@ def main() -> None:
     )
     tb = time.time()
     eng_vec.build(src_vec, cfg=cfg, resume=False)
-    eng_vec.build_vector_ann("embedding", kind="ivf", num_clusters=64)
+    eng_vec.build_vector_ann("embedding", kind="ivf")  # adaptive sqrt(N) clusters (r5)
     vec_build_sec = time.time() - tb
     timings["vec_build"] = round(vec_build_sec, 3)
 

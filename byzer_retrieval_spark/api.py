@@ -927,9 +927,7 @@ class RetrievalEngine:
             parsed = parse_keyword(q.keyword, ctx.analyzer)
             has_vec = bool(q.vector) and q.vector_field
             if not has_vec:
-                # per-shard-stats indexes score on the declarative path
-                # only (see IndexContext.per_shard_stats)
-                if not ctx.per_shard_stats and is_batchable(parsed, q):
+                if is_batchable(parsed, q):
                     kw_queries.append(q)
                     kw_specs.append((len(kw_queries) - 1, qid, False))
                 else:
@@ -956,7 +954,7 @@ class RetrievalEngine:
                 kw_only = SearchQuery(
                     keyword=q.keyword, fields=list(q.fields), limit=q.limit
                 )
-                if not ctx.per_shard_stats and is_batchable(parsed, kw_only):
+                if is_batchable(parsed, kw_only):
                     hyb_items.setdefault(fld, []).append((qid, q))
                     kw_queries.append(kw_only)
                     kw_specs.append((len(kw_queries) - 1, qid, True))

@@ -508,8 +508,16 @@ class IvfVectorIndex:
         return os.path.exists(self.meta_path)
 
     def _centroids(self) -> np.ndarray:
-        with open(self.meta_path) as f:
-            return np.asarray(json.load(f)["centroids"], dtype=np.float64)
+        # cached per instance: a 500-query batch probes 500× and the
+        # centroid table (num_clusters × dim floats as JSON) is several
+        # MB at sqrt(N) sizing — re-parsing it per probe was pure
+        # driver-side overhead. build() resets the cache.
+        c = getattr(self, "_cent_cache", None)
+        if c is None:
+            with open(self.meta_path) as f:
+                c = np.asarray(json.load(f)["centroids"], dtype=np.float64)
+            self._cent_cache = c
+        return c
 
     @staticmethod
     def _assign_udf(centroids: np.ndarray):
@@ -605,6 +613,7 @@ class IvfVectorIndex:
                 },
                 f,
             )
+        self._cent_cache = cent.astype(np.float64)
 
     def _extra_cols(self) -> List[str]:
         try:

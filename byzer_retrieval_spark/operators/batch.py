@@ -95,6 +95,7 @@ def _make_batch_scorer(
     b: float,
     phrase_terms: frozenset = frozenset(),
     docid_id_order: bool = False,
+    per_shard_stats: bool = False,
 ):
     """specs per query: {qid, fields, scoring, must, must_not, k,
     const_specs: ((kind, matcher_type, matcher), ...),
@@ -120,6 +121,12 @@ def _make_batch_scorer(
         from byzer_retrieval_spark.operators.wand import _phrase_match
 
         shard_id = int(pdf["shard_id"].iloc[0])
+
+        def fs(fld: str) -> Tuple[float, float]:
+            # per-shard-stats mode (round 5): THIS shard's (N, avgdl)
+            v = field_stats[fld]
+            return v[shard_id] if per_shard_stats else v
+
         deny = np.empty(0, dtype=np.int64)
         allow_of: Dict[int, np.ndarray] = {}
         if gate_pdf is not None and len(gate_pdf):
@@ -202,7 +209,7 @@ def _make_batch_scorer(
         dfs_of: Dict[str, Dict[str, float]] = {}   # fld → term → df
         for (fld, term), g in pdf.groupby(["field", "term"], sort=False):
             g = g.sort_values("first_doc")
-            n_docs, avgdl = field_stats[fld]
+            n_docs, avgdl = fs(fld)
             df = float(g["df"].iloc[0])
             idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             docs, tfs, dls, _ = decode_rows(
@@ -326,7 +333,7 @@ def _make_batch_scorer(
                 pdocs, ptf = _pm(fld, m[1], m[2])
                 if pdocs.size == 0:
                     continue
-                n_docs, avgdl = field_stats[fld]
+                n_docs, avgdl = fs(fld)
                 dfs = dfs_of[fld]
                 idf_sum = sum(
                     math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
@@ -401,7 +408,7 @@ def _make_batch_scorer(
                         continue
                     p_field_docs.append(pdocs)
                     if kind in ("should", "must"):
-                        n_docs, avgdl = field_stats[fld]
+                        n_docs, avgdl = fs(fld)
                         dfs = dfs_of[fld]
                         idf_sum = sum(
                             math.log(
@@ -768,11 +775,6 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
     term_pred = F.col("term").isin(all_terms) if all_terms else F.lit(False)
     for stem in prefix_stems:
         term_pred = term_pred | F.col("term").startswith(stem)
-    stats = (
-        ctx.stats()
-        .filter(F.col("field").isin(fields) & term_pred)
-        .select("field", "term", "df")
-    )
     phrase_terms = frozenset(phrase_member_terms)
     block_cols = [
         "shard_id", "field", "term", "first_doc", "doc_gaps", "tfs", "dls",
@@ -781,15 +783,40 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
         # positions read ONLY when the batch contains a phrase clause
         # (column pruning keeps the varbyte column off phrase-free scans)
         block_cols.append("positions")
-    blocks = (
-        ctx.postings()
-        .filter(F.col("field").isin(fields) & term_pred)
-        .select(*block_cols)
-        .join(F.broadcast(stats), ["field", "term"])
-    )
-    field_stats = {f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields}
+    base = ctx.postings().filter(F.col("field").isin(fields) & term_pred)
+    if ctx.per_shard_stats:
+        # per-shard-stats mode (round 5 — reference numNodes>1 parity in
+        # the one-job batch): per-(field, term, shard) df from the same
+        # scan, per-shard N/avgdl from the snapshot — same treatment as
+        # wand.search_wand
+        stats = base.groupBy("field", "term", "shard_id").agg(
+            F.sum("df_block").alias("df")
+        )
+        blocks = base.select(*block_cols).join(
+            F.broadcast(stats), ["field", "term", "shard_id"]
+        )
+        field_stats = {
+            f: {
+                int(s): (float(st["n_docs"]), float(st["avgdl"]))
+                for s, st in ctx.shard_field_stats(f).items()
+            }
+            for f in fields
+        }
+    else:
+        stats = (
+            ctx.stats()
+            .filter(F.col("field").isin(fields) & term_pred)
+            .select("field", "term", "df")
+        )
+        blocks = base.select(*block_cols).join(
+            F.broadcast(stats), ["field", "term"]
+        )
+        field_stats = {
+            f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
+        }
     grouped, cogrouped = _make_batch_scorer(
-        field_stats, specs, ctx.k1, ctx.b, phrase_terms, ctx.docid_id_order
+        field_stats, specs, ctx.k1, ctx.b, phrase_terms, ctx.docid_id_order,
+        per_shard_stats=ctx.per_shard_stats,
     )
 
     # gate side: per-query allow sets (tagged query_id) + the shared

@@ -368,9 +368,17 @@ def _make_shard_scorer(
     conj_restrict: Optional[bool] = None,
     docid_id_order: bool = False,
     bool_group_specs: Tuple[Tuple[str, Tuple, Tuple, Tuple], ...] = (),
+    per_shard_stats: bool = False,
 ):
     """idf is derived in-task from the broadcast-joined ``df`` column —
     no eager stats collect on the driver, so a whole search is ONE job.
+
+    ``per_shard_stats`` (round 5 — reference numNodes>1 parity on the
+    FAST path): ``field_stats`` values are {shard_id: (n_docs, avgdl)}
+    instead of (n_docs, avgdl), and the joined ``df`` column is already
+    per-shard — every shard then scores like an independent index. All
+    pruning stays lossless because every bound this scorer computes is
+    already shard-local; only the (N, avgdl, df) inputs change.
 
     ``gate_mode`` selects how the cogrouped gate docids apply:
     'allow' — only gate members may score (filtered search: Lucene's
@@ -461,6 +469,12 @@ def _make_shard_scorer(
 
     def score_shard(key, pdf: pd.DataFrame, gate_docs: np.ndarray) -> pd.DataFrame:
         shard_id = int(key[0])
+
+        def fs(fld: str) -> Tuple[float, float]:
+            # per-shard-stats mode: THIS shard's (N, avgdl)
+            v = field_stats[fld]
+            return v[shard_id] if per_shard_stats else v
+
         if gate_mode == "allow" and gate_docs.size == 0:
             return pd.DataFrame({"shard_id": [], "__docid": [], "score": []}).astype(
                 {"shard_id": np.int32, "__docid": np.int64, "score": np.float64}
@@ -483,7 +497,7 @@ def _make_shard_scorer(
         sc_pdf = pdf[pdf["term"].isin(scoring_set | bg_term_set)]
         for (fld, term), g in sc_pdf.groupby(["field", "term"], sort=False):
             g = g.sort_values("first_doc")
-            n_docs, avgdl = field_stats[fld]
+            n_docs, avgdl = fs(fld)
             df = float(g["df"].iloc[0])
             idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             max_tf = g["max_tf"].to_numpy(np.float64)
@@ -705,7 +719,7 @@ def _make_shard_scorer(
                         out[t] = (docs2, tfs2, dls2, pos2)
                     return out
 
-                n_docs, avgdl = field_stats[fld]
+                n_docs, avgdl = fs(fld)
                 for pkey, matcher, kind in (
                     [(pk, ("prefix", st), kd) for pk, st, kd in prefix_specs]
                     + [(pk, ("set", ts), kd) for pk, ts, kd in termset_specs]
@@ -1007,7 +1021,7 @@ def _make_shard_scorer(
                 # positions of terms[0], so phrase_tf <= tf(terms[0])).
                 for fld in sorted(set(pdf["field"]) & set(field_stats)):
                     fp = pdf[pdf["field"] == fld]
-                    n_docs, avgdl = field_stats[fld]
+                    n_docs, avgdl = fs(fld)
                     dfs: Dict[str, float] = {}
                     for t in dict.fromkeys(terms):
                         tg = fp[fp["term"] == t]
@@ -1212,12 +1226,6 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     """
     from byzer_retrieval_spark.operators.filtering import gate_frame
 
-    if ctx.per_shard_stats:
-        # per-shard-stats mode (reference numNodes>1 parity): idf varies
-        # by shard, so the driver-computed per-clause upper bounds this
-        # scorer prunes with are not valid — the declarative scorer
-        # handles the mode (its stats joins are shard-keyed there)
-        return None
     parsed = parse_keyword(query.keyword, ctx.analyzer)
     if parsed.match_all or parsed.empty:
         return None
@@ -1331,9 +1339,6 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     # scan — no eager driver collect, so the whole search stays ONE job.
     # A MUST term absent from the corpus simply never satisfies the
     # must-count gate (no postings → no rows), matching Lucene.
-    stats = ctx.stats().filter(
-        F.col("field").isin(fields) & term_pred
-    ).select("field", "term", "df")
     block_cols = [
         "shard_id", "field", "term", "first_doc", "last_doc",
         "max_tf", "min_dl", "doc_gaps", "tfs", "dls",
@@ -1342,12 +1347,36 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         # positions read ONLY for phrase queries (column pruning keeps
         # the extra varbyte column off every non-phrase scan)
         block_cols.append("positions")
-    blocks = ctx.postings().filter(
-        F.col("field").isin(fields) & term_pred
-    ).select(*block_cols).join(F.broadcast(stats), ["field", "term"])
-    field_stats = {
-        f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
-    }
+    base = ctx.postings().filter(F.col("field").isin(fields) & term_pred)
+    if ctx.per_shard_stats:
+        # per-shard-stats mode (round 5 — reference numNodes>1 parity
+        # on the FAST path): df per (field, term, SHARD) aggregated
+        # from the same term-pruned scan, N/avgdl per shard from the
+        # snapshot — every WAND bound is already shard-local, so the
+        # block-max proof holds shard by shard with these inputs
+        stats = base.groupBy("field", "term", "shard_id").agg(
+            F.sum("df_block").alias("df")
+        )
+        blocks = base.select(*block_cols).join(
+            F.broadcast(stats), ["field", "term", "shard_id"]
+        )
+        field_stats = {
+            f: {
+                int(s): (float(st["n_docs"]), float(st["avgdl"]))
+                for s, st in ctx.shard_field_stats(f).items()
+            }
+            for f in fields
+        }
+    else:
+        stats = ctx.stats().filter(
+            F.col("field").isin(fields) & term_pred
+        ).select("field", "term", "df")
+        blocks = base.select(*block_cols).join(
+            F.broadcast(stats), ["field", "term"]
+        )
+        field_stats = {
+            f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
+        }
     gate_df, gate_mode = gate_frame(ctx, query.filters, ctx.doc_bits)
     scorer = _make_shard_scorer(
         field_stats,
@@ -1364,6 +1393,7 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         scorer_groups,
         docid_id_order=ctx.docid_id_order,
         bool_group_specs=tuple(bg_specs),
+        per_shard_stats=ctx.per_shard_stats,
     )
     if gate_mode == "none":
         return blocks.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)

@@ -105,19 +105,43 @@ def test_per_shard_stats_phrase_and_multiterm(pss_engine):
         )
 
 
-def test_per_shard_stats_routes_to_declarative_path(pss_engine):
-    """The WAND fast path declines (its driver-computed upper bounds
-    assume one global idf); search() and batch_search() still serve the
-    query via the declarative scorer."""
+def test_per_shard_stats_wand_and_declarative_agree(pss_engine):
+    """Round 5: the WAND fast path serves per-shard-stats mode too (its
+    bounds are shard-local; only the (df, N, avgdl) inputs change to
+    per-shard values) — both scorer paths must match the merged
+    per-shard oracle, scores within fp tolerance."""
     eng, rows, shard_of, _, _ = pss_engine
     q = SearchQuery(keyword="hot cold", fields=["content"], limit=5)
     ctx = eng.ctx()
-    assert search_fast(ctx, q) is None
-    direct = [(r["_id"], r["_score"]) for r in search_df(ctx, q).collect()]
     exp = _merged_oracle(rows, shard_of, "hot cold", 5)
-    assert [d[0] for d in direct] == [e[0] for e in exp]
+    fast = [(r["_id"], r["_score"]) for r in search_fast(ctx, q).collect()]
+    direct = [(r["_id"], r["_score"]) for r in search_df(ctx, q).collect()]
+    assert [f[0] for f in fast] == [d[0] for d in direct] == [e[0] for e in exp]
+    for (fid, fsc), (_, esc) in zip(fast, exp):
+        assert abs(fsc - esc) < 1e-6, (fid, fsc, esc)
     batch = eng.batch_search([q]).collect()
     assert [(r["_id"]) for r in batch] == [e[0] for e in exp]
+
+
+def test_per_shard_stats_batch_mixed(pss_engine):
+    """Round 5: a mixed batch (plain terms, MUST, NOT, phrase, prefix)
+    rides the ONE-job batch scorer in per-shard-stats mode — every
+    member must match its merged per-shard oracle, scores included
+    (constant-score prefix members are stats-independent; the BM25
+    members pick up the shard-local df/N/avgdl)."""
+    eng, rows, shard_of, _, _ = pss_engine
+    kws = ["hot", '"cold base"', "+hot cold", "w* tail", "hot -cold"]
+    qs = [SearchQuery(keyword=k, fields=["content"], limit=8) for k in kws]
+    by_q: dict = {}
+    for r in eng.batch_search(qs).collect():
+        by_q.setdefault(r["query_id"], []).append((r["_id"], r["_score"]))
+    for qid, kw in enumerate(kws):
+        exp = _merged_oracle(rows, shard_of, kw, 8)
+        got = by_q.get(qid, [])
+        assert [g[0] for g in got] == [e[0] for e in exp], kw
+        np.testing.assert_allclose(
+            [g[1] for g in got], [e[1] for e in exp], rtol=1e-9, err_msg=kw
+        )
 
 
 def test_per_shard_stats_survive_upsert(pss_engine, spark):
