@@ -458,9 +458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": _q_audio_features,
         # round 5: REAL Y4M video decode + frame sampling (pure numpy)
         "multimodal_video_features": _q_video_features,
-        # round 5: per-shard-stats scoring mode (rows-only driver
-        # check — sharding is xxhash64, not expressible in DuckDB;
-        # score parity is pinned in tests/test_per_shard_stats.py)
+        # round 5: per-shard-stats scoring mode (full oracle — the
+        # xxhash64 shard map is reproduced by pure-python XXH64 and
+        # embedded in the SQL as a VALUES table)
         "bm25_per_shard_stats": _q_per_shard_stats,
         # --- event-time windows (Structured-Streaming-native shapes;
         #     same functions run batch and under readStream) ------------
@@ -754,11 +754,14 @@ WHERE h_top = 1 OR (h_must = 1 AND h_not = 0)
     """
     # real WAV decode: inputs are synthesized (sf-invariant), so the
     # oracle is the pinned golden table — a full regression pin over
-    # the stdlib-wave decode + feature path. bm25_per_shard_stats has
-    # NO oracle on purpose (rows-only driver check): the xxhash64
-    # shard assignment is not expressible in standalone DuckDB SQL.
+    # the stdlib-wave decode + feature path.
     sqls["multimodal_audio_features"] = _audio_features_sql()
     sqls["multimodal_video_features"] = _video_features_sql()
+    # per-shard-stats BM25 (round 5): upgraded from rows-only to a full
+    # oracle — the engine's pmod(xxhash64(_id), 4) shard assignment is
+    # bit-exactly reproduced by routing.xxhash64 (pure-python XXH64)
+    # and shipped inside the SQL as a doc_id→shard VALUES map
+    sqls["bm25_per_shard_stats"] = _per_shard_stats_sql(["merge", "spark"])
     # event-time window twins live next to the operators
     from byzer_retrieval_spark.streaming.windows import sessions_sql, tumbling_sql
 
@@ -1667,16 +1670,75 @@ FROM (VALUES {vals})
 """
 
 
+def _per_shard_stats_sql(
+    terms: list[str], num_shards: int = 4, limit: int = 10,
+    max_docs: int = 5000,
+) -> str:
+    """Full DuckDB oracle for per_shard_stats mode: df/N/avgdl grouped
+    by shard. The shard assignment is Spark's xxhash64 (seed 42) —
+    inexpressible in DuckDB SQL, but PREDICTABLE: routing.xxhash64 is a
+    bit-exact pure-python XXH64 (JVM-validated in test_pure_units), so
+    the doc_id→shard map is embedded as a VALUES table for doc_id
+    0..max_docs-1 (testdata doc_ids are dense from 0; surplus rows
+    drop out of the join)."""
+    from byzer_retrieval_spark.functions.routing import engine_shard
+
+    shard_vals = ", ".join(
+        f"({i}, {engine_shard(str(i), num_shards)})" for i in range(max_docs)
+    )
+    sc_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH shards AS (
+  SELECT * FROM (VALUES {shard_vals}) AS s(doc_id, shard)
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+),
+sstats AS (
+  SELECT s.shard, count(*)::DOUBLE AS n, avg(dl.dl) AS avgdl
+  FROM dl JOIN shards s USING (doc_id) GROUP BY s.shard
+),
+sdf AS (
+  SELECT s.shard, tf.term, count(*)::DOUBLE AS df
+  FROM tf JOIN shards s USING (doc_id)
+  WHERE tf.term IN ({sc_list})
+  GROUP BY s.shard, tf.term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl))
+         ) AS raw_score
+  FROM tf
+  JOIN shards s USING (doc_id)
+  JOIN sdf d ON d.shard = s.shard AND d.term = tf.term
+  JOIN dl USING (doc_id)
+  JOIN sstats st ON st.shard = s.shard
+  WHERE tf.term IN ({sc_list})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, 5) AS score FROM scored
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT {limit}
+"""
+
+
 def _q_per_shard_stats(spark: SparkSession, sf: str) -> DataFrame:
     """per_shard_stats scoring mode (round 5 — reference numNodes>1
     parity): every shard scores with its OWN df/N/avgdl and the merge
     is by score. Served by the WAND fast path and the one-job batch
     too (per-shard df rides the stats join keyed on shard_id; every
-    WAND bound is already shard-local). No DuckDB oracle: the shard
-    assignment is Spark's xxhash64, inexpressible in standalone SQL —
-    the driver records the rows-only check; exact score parity vs
-    merged per-shard python oracles (both scorer paths) is pinned in
-    tests/test_per_shard_stats.py."""
+    WAND bound is already shard-local). Full DuckDB oracle as of r5:
+    the engine's xxhash64 shard assignment is reproduced driver-side
+    by routing.xxhash64 (bit-exact pure-python XXH64) and embedded in
+    the SQL as a doc_id→shard VALUES map (_per_shard_stats_sql); exact
+    score parity vs merged per-shard python oracles (both scorer
+    paths) is additionally pinned in tests/test_per_shard_stats.py."""
     tag = os.path.basename(os.path.normpath(sf))
     eng = RetrievalEngine(spark, os.path.join(IDX_ROOT, tag))
     store = eng.store("db", "documents_pss")

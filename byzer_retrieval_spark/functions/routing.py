@@ -57,6 +57,73 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
     return h - 0x100000000 if h >= 0x80000000 else h
 
 
+_M64 = 0xFFFFFFFFFFFFFFFF
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64(data: bytes, seed: int = 42) -> int:
+    """Pure-python XXH64 (Yann Collet's public spec), signed-64 result.
+
+    Bit-for-bit equal to Spark's ``F.xxhash64`` on a string/binary
+    column (Spark hashes the UTF-8 bytes with seed 42), so driver-side
+    code — e.g. DuckDB-oracle generators — can predict the engine's
+    ``pmod(xxhash64(_id), num_shards)`` shard assignment without a
+    SparkSession. Validated against the JVM in tests/test_pure_units.py.
+    """
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            v1 = (_rotl64((v1 + int.from_bytes(data[i : i + 8], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v2 = (_rotl64((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v3 = (_rotl64((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v4 = (_rotl64((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = (h * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl64((int.from_bytes(data[i : i + 8], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = (_rotl64(h ^ k, 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXP1) & _M64
+        h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - 0x10000000000000000 if h >= 0x8000000000000000 else h
+
+
+def engine_shard(_id: str, num_shards: int) -> int:
+    """The engine's own shard assignment (indexer.py:144) predicted
+    driver-side: ``pmod(xxhash64(utf8(_id)), num_shards)``."""
+    return xxhash64(str(_id).encode("utf-8")) % num_shards
+
+
 def route(doc_id, num_shards: int) -> int:
     """Reference-exact shard routing (Utils.route semantics)."""
     if isinstance(doc_id, (int, np.integer)) and not isinstance(doc_id, bool):

@@ -111,3 +111,28 @@ def test_shard_manifests_lineage(corpus_engine):
     snap = store.current_snapshot()
     assert snap["n_docs"] == 200
     assert "avgdl" in snap["field_stats"]["content"]
+
+
+def test_python_xxhash64_matches_jvm(spark):
+    """routing.xxhash64 is bit-exact vs Spark's F.xxhash64 over random
+    strings (lengths straddle the 32-byte stripe + 8/4/1-byte tails,
+    plus multi-byte UTF-8) — this is what lets DuckDB oracles predict
+    the engine's pmod(xxhash64(_id), n) shard assignment driver-side."""
+    import random
+    import string
+
+    from byzer_retrieval_spark.functions.routing import engine_shard, xxhash64
+
+    rng = random.Random(11)
+    strs = [
+        "".join(rng.choices(string.printable[:94], k=L))
+        for L in [0, 1, 3, 4, 7, 8, 9, 15, 16, 31, 32, 33, 40, 64, 65, 200]
+    ] + [str(i) for i in range(8)] + ["naïve ☃ 日本語", "a b"]
+    got = spark.createDataFrame([(s,) for s in strs], "s string").select(
+        "s",
+        F.xxhash64("s").alias("h"),
+        F.pmod(F.xxhash64("s"), F.lit(7)).alias("m"),
+    ).collect()
+    for r in got:
+        assert xxhash64(r["s"].encode("utf-8")) == r["h"], repr(r["s"])
+        assert engine_shard(r["s"], 7) == r["m"], repr(r["s"])

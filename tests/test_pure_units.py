@@ -201,3 +201,38 @@ def test_embedding_generator_deterministic_and_normalized():
     )
     # distinct ids → distinct vectors (non-vacuous)
     assert not np.array_equal(a[0], a[1])
+
+
+def test_xxhash64_known_vectors():
+    """Pinned XXH64 values, JVM-validated: every (input, seed) pair was
+    checked bit-for-bit against Spark's F.xxhash64 (seed 42) and, for
+    b'' at seed 0, against the published XXH64 reference vector
+    0xEF46DB3751D8E999. Inputs cross the 32-byte stripe boundary and
+    include multi-byte UTF-8."""
+    from byzer_retrieval_spark.functions.routing import engine_shard, xxhash64
+
+    pinned = [
+        (b"", 42, -7444071767201028348),
+        (b"", 0, -1205034819632174695),  # == 0xEF46DB3751D8E999 signed
+        (b"a", 42, -8582455328737087284),
+        (b"abc", 42, 1423657621850124518),
+        (b"12345678", 42, 6863040065134489090),
+        (b"0123456789abcdef0123456789abcdef", 42, 7380026953736478117),
+        (b"0123456789abcdef0123456789abcdefX", 42, 6490393984247241068),
+        ("héllo ☃".encode(), 42, -795967252315003436),
+    ]
+    for data, seed, want in pinned:
+        assert xxhash64(data, seed=seed) == want, (data, seed)
+    # engine_shard = pmod(xxhash64(str(_id)), n) — the indexer's routing
+    assert [engine_shard(str(i), 4) for i in range(12)] == [
+        0, 0, 1, 2, 2, 2, 3, 1, 0, 0, 0, 3,
+    ]
+
+
+@given(st.binary(max_size=100), st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=200, deadline=None)
+def test_xxhash64_signed_range(data, seed):
+    from byzer_retrieval_spark.functions.routing import xxhash64
+
+    h = xxhash64(data, seed=seed)
+    assert -(2**63) <= h < 2**63
