@@ -234,6 +234,104 @@ def test_full_grammar_batch_fuzz(rand_engine_full):
     assert n_nonempty >= 100  # non-vacuous: most queries return rows
 
 
+# ---- round 5: the same full grammar under per_shard_stats mode (each
+# shard scores with its OWN df/N/avgdl — reference numNodes>1 parity).
+# The oracle is the merge of per-shard BM25Oracles, with the shard
+# membership predicted driver-side by routing.engine_shard (pure-python
+# XXH64) — so this fuzz also end-to-end-validates the hash against the
+# engine's real pmod(xxhash64(_id), n) sharding: a single hash mismatch
+# would misplace a doc's stats and break rank identity.
+
+
+@pytest.fixture(scope="module")
+def rand_engine_pss(spark, tmp_path_factory):
+    rng = random.Random(20260818)
+    rows = _gen_docs_full(rng, 120)
+    eng = RetrievalEngine(spark, str(tmp_path_factory.mktemp("idx_rand_pss")))
+    eng.build(
+        spark.createDataFrame(rows),
+        cfg=IndexConfig(
+            num_shards=3,
+            analyzed_fields=("content",),
+            id_columns=(),
+            per_shard_stats=True,
+        ),
+        resume=False,
+    )
+    return eng, rows
+
+
+def _merged_pss_oracle(rows, kw, filt, limit, num_shards=3):
+    from byzer_retrieval_spark.functions.routing import engine_shard
+
+    out = []
+    for s in range(num_shards):
+        sub_rows = [r for r in rows if engine_shard(r["_id"], num_shards) == s]
+        if not sub_rows:
+            continue
+        sub = BM25Oracle(sub_rows, text_field="content", key_field="_id")
+        out.extend(sub.search(kw, filters=filt, limit=limit))
+    out.sort(key=lambda kv: (-kv[1], kv[0]))
+    return out[:limit]
+
+
+def test_full_grammar_batch_fuzz_per_shard_stats(rand_engine_pss):
+    """N=120 full-grammar queries (signed groups, sloppy phrases,
+    fuzzies, filters) through the ONE-JOB batch on a per-shard-stats
+    index, each vs the merged per-shard oracle (ids AND scores)."""
+    eng, rows = rand_engine_pss
+    rng = random.Random(515)
+    queries, specs = [], []
+    for _ in range(120):
+        kw = _gen_query_full(rng)
+        filt = _gen_filters(rng) if rng.random() < 0.4 else {}
+        queries.append(
+            SearchQuery(keyword=kw, filters=filt, fields=["content"], limit=15)
+        )
+        specs.append((kw, filt))
+    by_q = {}
+    for r in eng.batch_search(queries).collect():
+        by_q.setdefault(r["query_id"], []).append((r["_id"], r["_score"]))
+    n_nonempty = 0
+    for qid, (kw, filt) in enumerate(specs):
+        got = sorted(by_q.get(qid, []), key=lambda kv: (-kv[1], kv[0]))
+        exp = _merged_pss_oracle(rows, kw, filt, 15)
+        assert [g[0] for g in got] == [e[0] for e in exp], (qid, kw, filt)
+        if got:
+            n_nonempty += 1
+            np.testing.assert_allclose(
+                [g[1] for g in got], [e[1] for e in exp], rtol=1e-9,
+                err_msg=f"{qid}: {kw} {filt}",
+            )
+    assert n_nonempty >= 60
+
+
+def test_full_grammar_pss_dual_path_sample(rand_engine_pss):
+    """A seeded sample through BOTH single-query paths on the
+    per-shard-stats index (WAND fast path serves the mode as of r5)."""
+    eng, rows = rand_engine_pss
+    rng = random.Random(616)
+    ctx = eng.ctx()
+    n_fast = 0
+    for _ in range(8):
+        kw = _gen_query_full(rng)
+        q = SearchQuery(keyword=kw, fields=["content"], limit=15)
+        exp = _merged_pss_oracle(rows, kw, {}, 15)
+        fast_df = search_fast(ctx, q)
+        slow = [(r["_id"], r["_score"]) for r in search_df(ctx, q).collect()]
+        assert [s[0] for s in slow] == [e[0] for e in exp], (kw, slow[:5], exp[:5])
+        if fast_df is not None:
+            n_fast += 1
+            fast = [(r["_id"], r["_score"]) for r in fast_df.collect()]
+            assert [f[0] for f in fast] == [e[0] for e in exp], kw
+            if fast:
+                np.testing.assert_allclose(
+                    [f[1] for f in fast], [e[1] for e in exp], rtol=1e-9,
+                    err_msg=kw,
+                )
+    assert n_fast >= 4  # the fast path actually served most shapes
+
+
 def test_full_grammar_dual_path_sample(rand_engine_full):
     """A seeded sample of the same grammar through BOTH single-query
     paths (WAND fast + declarative) — guards path-specific drift that
