@@ -9,6 +9,7 @@ DataFrame with ``_score`` injected (RetrievalMaster.java:359-364).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Iterable, List, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -897,9 +898,16 @@ class RetrievalEngine:
           the single-query path;
         - everything funnels into ONE DPP-pruned stored-field join.
 
-        Only match-all keywords, filtered/stale-ANN vector queries and
-        match-all-keyword hybrids fall back to per-query ``search``
-        (their plans stay lazy — the union still collects together)."""
+        Match-all keyword members (round 5) ride the batch_filter
+        one-scan machinery: ALL of them share ONE tombstone-excluded
+        docs scan (score is the constant 1.0, the order is the
+        match-all tie order ``_id asc``, filters — stored AND analyzed
+        leaves — compile into the same tagged explode), so a batch of
+        N match-all queries no longer adds N docs-scan branches to the
+        plan. Only filtered/stale-ANN vector queries, match-all-keyword
+        hybrids, and falsy-limit match-alls fall back to per-query
+        ``search`` (their plans stay lazy — the union still collects
+        together)."""
         from byzer_retrieval_spark.operators.batch import (
             batch_search_winners,
             is_batchable,
@@ -921,6 +929,7 @@ class RetrievalEngine:
         kw_specs: List[tuple] = []          # (pos, caller_qid, is_hybrid)
         vec_items: Dict[str, list] = {}     # vector_field → [(qid, q)]
         hyb_items: Dict[str, list] = {}
+        ma_items: List[tuple] = []          # match-all keyword members
         fallback: List[tuple] = []
         ann_cache: Dict[str, Any] = {}
         for qid, q in enumerate(queries):
@@ -930,6 +939,8 @@ class RetrievalEngine:
                 if is_batchable(parsed, q):
                     kw_queries.append(q)
                     kw_specs.append((len(kw_queries) - 1, qid, False))
+                elif parsed.match_all and q.limit:
+                    ma_items.append((qid, q))
                 else:
                     fallback.append((qid, q))
                 continue
@@ -1013,6 +1024,32 @@ class RetrievalEngine:
                 ctx.docs()
                 .join(F.broadcast(wall), ["shard_id", "__docid"])
                 .select("query_id", "_score", *stored)
+            )
+        if ma_items:
+            # match-all members: score is constant 1.0 and the order is
+            # the match-all tie order (_id asc) — exactly batch_filter's
+            # batched branch with sorts=[], so ALL of them share its ONE
+            # docs scan (and its batch-wide analyzed-leaf join)
+            # sorts are stripped: search() ignores q.sorts for match-all
+            # (score-ordered surface), so the batch must too
+            mf = self.batch_filter(
+                [
+                    dataclasses.replace(q, sorts=[])
+                    for _, q in ma_items
+                ],
+                database,
+                table,
+            )
+            remap = spark.createDataFrame(
+                [(pos, int(qid)) for pos, (qid, _) in enumerate(ma_items)],
+                "query_id int, __cqid int",
+            )
+            parts.append(
+                mf.join(F.broadcast(remap), "query_id").select(
+                    F.col("__cqid").alias("query_id"),
+                    F.lit(1.0).alias("_score"),
+                    *stored,
+                )
             )
         for qid, q in fallback:
             parts.append(

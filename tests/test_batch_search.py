@@ -266,3 +266,49 @@ def test_batch_bool_groups_match_single(corpus_engine):
             np.testing.assert_allclose(
                 [g[1] for g in got], [s[1] for s in single], rtol=1e-9
             )
+
+
+def test_batch_match_all_members(corpus_engine):
+    """Round 5: match-all keyword members of a batch ride the
+    batch_filter one-scan machinery (shared docs scan, constant 1.0
+    score, _id tie order) instead of per-query fallback — results must
+    be identical to per-query search(): filters honored (stored AND
+    analyzed leaves), q.sorts IGNORED exactly like search() does."""
+    qs = [
+        SearchQuery(keyword="*", fields=["content"], limit=7),
+        SearchQuery(
+            keyword="*",
+            filters={"and": [{"field": "lang", "value": "python"}]},
+            limit=5,
+        ),
+        SearchQuery(
+            keyword="*",
+            filters={"field": "content", "value": "import"},
+            limit=6,
+        ),
+        SearchQuery(keyword="def return", fields=["content"], limit=5),
+        # sorts must be ignored for match-all (score-ordered surface)
+        SearchQuery(
+            keyword="*",
+            sorts=[{"field": "path", "order": "desc"}],
+            limit=4,
+        ),
+        # a filter matching nothing → empty member, others unaffected
+        SearchQuery(
+            keyword="*",
+            filters={"and": [{"field": "lang", "value": "cobol"}]},
+            limit=3,
+        ),
+    ]
+    rows = corpus_engine.batch_search(qs).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append((r["_id"], r["_score"]))
+    assert by_qid.get(5, []) == []
+    for qid, q in enumerate(qs):
+        single = [
+            (r["_id"], r["_score"]) for r in corpus_engine.search(q).collect()
+        ]
+        got = by_qid.get(qid, [])
+        assert [g[0] for g in got] == [s[0] for s in single], qid
+        assert [g[1] for g in got] == [s[1] for s in single], qid
