@@ -204,6 +204,44 @@ def main() -> None:
          cap(eng2.batch_search(vqs)))
     )
 
+    # match-all batch members (round 5): all of them share batch_filter's
+    # ONE tombstone-excluded docs scan instead of a scan branch per query
+    qs_ma = [
+        SearchQuery(keyword="*", limit=5),
+        SearchQuery(
+            keyword="*",
+            filters={"and": [{"field": "lang", "value": "java"}]},
+            limit=5,
+        ),
+        SearchQuery(keyword="*", limit=3),
+    ]
+    sections.append(
+        ("BATCH with 3 MATCH-ALL members (round 5) — check ONE FileScan "
+         "of docs feeds the Generate(explode) query-id tagging for all "
+         "three (plan size constant in the number of match-all members)",
+         cap(eng.batch_search(qs_ma)))
+    )
+
+    # per-shard-stats mode (round 5): per-(field, term, shard) df is
+    # aggregated from the SAME term-pruned postings scan and broadcast
+    # back — every WAND bound is shard-local, so pruning stays lossless
+    eng3 = RetrievalEngine(spark, "/tmp/plans_idx_pss")
+    shutil.rmtree("/tmp/plans_idx_pss", ignore_errors=True)
+    eng3.build(
+        spark.createDataFrame(gen_rows(120)),
+        cfg=IndexConfig(
+            num_shards=4, hot_term_split_threshold=64, per_shard_stats=True
+        ),
+        resume=False,
+    )
+    sections.append(
+        ("PER-SHARD-STATS WAND (round 5, numNodes>1 parity) — check the "
+         "df aggregation (HashAggregate over field,term,shard_id) feeds "
+         "a BroadcastHashJoin back onto the SAME term-pruned postings "
+         "scan; no extra stats-table read, bounds stay shard-local",
+         cap(search_wand(eng3.ctx(), q)))
+    )
+
     # LSH probe plan: partition pruning on (tbl, bucket)
     emb_rows = [(i, [float((i * 7 + j) % 13) / 13.0 for j in range(16)]) for i in range(200)]
     emb = spark.createDataFrame(emb_rows, ["id", "vec"])
@@ -250,6 +288,13 @@ and what the plans show:
   (shard_id, __docid) through the fusion, so the final stored-field
   scan shows dynamicpruning instead of a full-table `_id` equi-join
   (round-2 weak path, fixed r3).
+- **Match-all batch members share ONE docs scan** (round 5): N
+  match-all queries in a batch_search ride batch_filter's tagged
+  explode — one FileScan regardless of N, not a scan branch per query.
+- **Per-shard-stats mode adds no extra read** (round 5): per-(field,
+  term, shard) df aggregates from the SAME term-pruned postings scan
+  and broadcasts back; every WAND bound is shard-local so block-max
+  pruning stays lossless with per-shard (df, N, avgdl) inputs.
 - **AQE on** (`AdaptiveSparkPlan`).
 
 Raw captures below.
