@@ -541,6 +541,9 @@ WHERE h_top = 1 OR (h_must = 1 AND h_not = 0)
             " UNION ALL "
             f"SELECT 2, doc_id, score FROM ("
             f"{_bm25_phrase_sql(['part', 'filter'], ['merge'])})"
+            " UNION ALL "
+            "SELECT 3, doc_id, 1.0 AS score FROM documents"
+            " WHERE source = 'src1'"
         ),
         "term_stats": f"""
             WITH toks AS (
@@ -964,11 +967,12 @@ def _q_batch_fanout(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_batch_mixed(spark: SparkSession, sf: str) -> DataFrame:
-    """A FILTERED query, a PREFIX query and a PHRASE query in the SAME
-    one-job batch (round-4: operators/batch.py batches any
-    non-match-all/non-vector SearchQuery — per-query filter allow-sets
-    ride the shard cogroup tagged by query_id, and phrase positions
-    ride the shared postings scan; reference filter() parity,
+    """A FILTERED query, a PREFIX query, a PHRASE query and (round 5) a
+    MATCH-ALL query in the SAME batch collect (operators/batch.py
+    batches any non-match-all/non-vector SearchQuery — per-query filter
+    allow-sets ride the shard cogroup tagged by query_id, phrase
+    positions ride the shared postings scan, and match-all members
+    share batch_filter's ONE docs scan; reference filter() parity,
     RetrievalMaster.java:201-250)."""
     eng = _engine_for(spark, sf)
     n = _documents(spark, sf).count()
@@ -981,6 +985,11 @@ def _q_batch_mixed(spark: SparkSession, sf: str) -> DataFrame:
         ),
         SearchQuery(keyword="mer* vector", fields=["text"], limit=n),
         SearchQuery(keyword='"part filter" merge', fields=["text"], limit=n),
+        SearchQuery(
+            keyword="*",
+            filters={"and": [{"field": "source", "value": "src1"}]},
+            limit=n,
+        ),
     ]
     out = eng.batch_search(qs, "db", "documents")
     return out.select(
