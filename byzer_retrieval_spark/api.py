@@ -904,10 +904,12 @@ class RetrievalEngine:
         match-all tie order ``_id asc``, filters — stored AND analyzed
         leaves — compile into the same tagged explode), so a batch of
         N match-all queries no longer adds N docs-scan branches to the
-        plan. Only filtered/stale-ANN vector queries, match-all-keyword
-        hybrids, and falsy-limit match-alls fall back to per-query
-        ``search`` (their plans stay lazy — the union still collects
-        together)."""
+        plan. Match-all/empty-keyword HYBRIDS batch too (round 5): their
+        keyword recall is one shared _id-ordered constant-score head of
+        docs, fused with the batched vector probe. Only filtered or
+        stale-ANN vector queries and falsy-limit match-alls fall back
+        to per-query ``search`` (their plans stay lazy — the union
+        still collects together)."""
         from byzer_retrieval_spark.operators.batch import (
             batch_search_winners,
             is_batchable,
@@ -929,6 +931,7 @@ class RetrievalEngine:
         kw_specs: List[tuple] = []          # (pos, caller_qid, is_hybrid)
         vec_items: Dict[str, list] = {}     # vector_field → [(qid, q)]
         hyb_items: Dict[str, list] = {}
+        hyb_ma_items: Dict[str, list] = {}  # match-all-keyword hybrids
         ma_items: List[tuple] = []          # match-all keyword members
         fallback: List[tuple] = []
         ann_cache: Dict[str, Any] = {}
@@ -969,6 +972,13 @@ class RetrievalEngine:
                     hyb_items.setdefault(fld, []).append((qid, q))
                     kw_queries.append(kw_only)
                     kw_specs.append((len(kw_queries) - 1, qid, True))
+                elif (parsed.match_all or parsed.empty) and q.limit:
+                    # match-all/empty-keyword hybrid (round 5): the
+                    # keyword recall is the constant-score _id-ordered
+                    # head of docs (same as search()'s match-all keyed
+                    # winners) — ONE shared subplan serves every such
+                    # member, fused below with its batched vector probe
+                    hyb_ma_items.setdefault(fld, []).append((qid, q))
                 else:
                     fallback.append((qid, q))
 
@@ -994,18 +1004,71 @@ class RetrievalEngine:
             win_parts.append(
                 batch_vector_winners_ann(ctx, items, idx, **probe_kw).drop("_id")
             )
-        if hyb_items:
-            both = kw_hyb.withColumn("__recall", F.lit(0))
-            for fld, items in hyb_items.items():
+        if hyb_items or hyb_ma_items:
+            from pyspark.sql import Window
+
+            both_parts: List[DataFrame] = []
+            if kw_hyb is not None:
+                both_parts.append(kw_hyb.withColumn("__recall", F.lit(0)))
+            if hyb_ma_items:
+                # shared keyword recall for ALL match-all hybrids: the
+                # _id-ordered constant-score head of docs (mirrors
+                # search()'s match-all keyed winners), ranked once and
+                # cut per member limit via a literal (qid, k) explode —
+                # bounded at max-limit rows, no extra scan per member
+                all_ma = [
+                    (qid, q)
+                    for items in hyb_ma_items.values()
+                    for qid, q in items
+                ]
+                maxk = max(q.limit for _, q in all_ma)
+                kw_base = (
+                    ctx.exclude_tombstones(ctx.docs())
+                    .orderBy(F.col("_id").asc())
+                    .limit(int(maxk))
+                    .select(
+                        "shard_id", "__docid", "_id",
+                        F.lit(1.0).alias("_score"),
+                    )
+                    .withColumn(
+                        "__rn",
+                        F.row_number().over(Window.orderBy(F.col("_id").asc())),
+                    )
+                )
+                pairs = F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(qid)).alias("q"),
+                            F.lit(int(q.limit)).alias("k"),
+                        )
+                        for qid, q in all_ma
+                    ]
+                )
+                both_parts.append(
+                    kw_base.withColumn("__p", F.explode(pairs))
+                    .filter(F.col("__rn") <= F.col("__p.k"))
+                    .select(
+                        F.col("__p.q").alias("query_id"),
+                        "shard_id", "__docid", "_id", "_score",
+                    )
+                    .withColumn("__recall", F.lit(0))
+                )
+            for fld, items in list(hyb_items.items()) + list(
+                hyb_ma_items.items()
+            ):
                 idx, probe_kw = ann_cache[fld]
-                both = both.unionByName(
+                both_parts.append(
                     batch_vector_winners_ann(ctx, items, idx, **probe_kw)
                     .withColumn("__recall", F.lit(1))
                 )
+            both = both_parts[0]
+            for p in both_parts[1:]:
+                both = both.unionByName(p)
             limits = spark.createDataFrame(
                 [
                     (int(qid), int(q.limit))
-                    for items in hyb_items.values()
+                    for items in list(hyb_items.values())
+                    + list(hyb_ma_items.values())
                     for qid, q in items
                 ],
                 "query_id int, __klim int",

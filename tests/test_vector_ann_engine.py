@@ -387,3 +387,44 @@ def test_batch_vector_probe_is_shared(vec_engine):
     j2 = run(2, "vb2")
     j8 = run(8, "vb8")
     assert j8 <= j2 + 1, (j2, j8)
+
+
+def test_batch_match_all_hybrid_members(vec_engine):
+    """Round 5: hybrids whose keyword side is match-all ('*') batch too
+    — ONE shared _id-ordered constant-score keyword head (ranked once,
+    cut per member limit) fuses with the shared tagged ANN probe via
+    the keyed RRF. Every member must equal its single-query search."""
+    import numpy as np
+
+    def qv(seed):
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(64)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    qs = [
+        SearchQuery(
+            keyword="*", fields=["text"], vector=qv(11),
+            vector_field="embedding", limit=8,
+        ),
+        SearchQuery(keyword="doc", fields=["text"], limit=6),
+        SearchQuery(
+            keyword="*", fields=["text"], vector=qv(12),
+            vector_field="embedding", limit=5,
+        ),
+        SearchQuery(vector=qv(13), vector_field="embedding", limit=7),
+        SearchQuery(
+            keyword="doc", fields=["text"], vector=qv(14),
+            vector_field="embedding", limit=8,
+        ),
+    ]
+    by_qid = {}
+    for r in vec_engine.batch_search(qs).collect():
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["_score"], 9))
+        )
+    for qid, q in enumerate(qs):
+        single = [
+            (r["doc_id"], round(r["_score"], 9))
+            for r in vec_engine.search(q).collect()
+        ]
+        assert by_qid.get(qid, []) == single, (qid, q.keyword)
