@@ -906,10 +906,13 @@ class RetrievalEngine:
         N match-all queries no longer adds N docs-scan branches to the
         plan. Match-all/empty-keyword HYBRIDS batch too (round 5): their
         keyword recall is one shared _id-ordered constant-score head of
-        docs, fused with the batched vector probe. Only filtered or
-        stale-ANN vector queries and falsy-limit match-alls fall back
-        to per-query ``search`` (their plans stay lazy — the union
-        still collects together)."""
+        docs, fused with the batched vector probe. FILTERED vector
+        members batch as well (round 5): one shared tagged probe, gated
+        per query via one filtered_docs scan per distinct tree, with
+        the single-query can-fill-k contract intact. Only filtered
+        hybrids, stale-ANN vector queries, underfilled filtered vectors
+        (gated candidates < k — exact-scan recall guarantee) and
+        falsy-limit members fall back to per-query ``search``."""
         from byzer_retrieval_spark.operators.batch import (
             batch_search_winners,
             is_batchable,
@@ -930,6 +933,7 @@ class RetrievalEngine:
         kw_queries: List[SearchQuery] = []  # keyword batch (incl. hybrid kw sides)
         kw_specs: List[tuple] = []          # (pos, caller_qid, is_hybrid)
         vec_items: Dict[str, list] = {}     # vector_field → [(qid, q)]
+        fvec_items: Dict[str, list] = {}    # FILTERED vector members
         hyb_items: Dict[str, list] = {}
         hyb_ma_items: Dict[str, list] = {}  # match-all-keyword hybrids
         ma_items: List[tuple] = []          # match-all keyword members
@@ -951,19 +955,23 @@ class RetrievalEngine:
             if fld not in ann_cache:
                 ann_cache[fld] = self._current_ann(store, fld)
             ann = ann_cache[fld]
-            # the batched probe needs the physical key in the index
-            # rows and an unfiltered query (filtered vector queries keep
-            # the per-query can-fill-k dispatch)
+            # the batched probe needs the physical key in the index rows
             usable = (
-                ann is not None
-                and not q.filters
-                and "__docid" in ann[0]._extra_cols()
+                ann is not None and "__docid" in ann[0]._extra_cols()
             )
             has_kw = q.keyword is not None and q.keyword.strip() != ""
-            if not usable:
+            if not usable or (q.filters and (has_kw or not q.limit)):
+                # filtered HYBRIDS (and falsy-limit filtered vectors)
+                # keep the per-query dispatch
                 fallback.append((qid, q))
             elif not has_kw:
-                vec_items.setdefault(fld, []).append((qid, q))
+                if q.filters:
+                    # filtered vector members: batched probe + per-query
+                    # gate + can-fill-k (knn.batch_vector_winners_ann_
+                    # filtered); underfilled ones fall back per query
+                    fvec_items.setdefault(fld, []).append((qid, q))
+                else:
+                    vec_items.setdefault(fld, []).append((qid, q))
             else:
                 kw_only = SearchQuery(
                     keyword=q.keyword, fields=list(q.fields), limit=q.limit
@@ -1004,6 +1012,18 @@ class RetrievalEngine:
             win_parts.append(
                 batch_vector_winners_ann(ctx, items, idx, **probe_kw).drop("_id")
             )
+        for fld, items in fvec_items.items():
+            from byzer_retrieval_spark.operators.knn import (
+                batch_vector_winners_ann_filtered,
+            )
+
+            idx, probe_kw = ann_cache[fld]
+            fw, under = batch_vector_winners_ann_filtered(
+                ctx, items, idx, **probe_kw
+            )
+            if fw is not None:
+                win_parts.append(fw.drop("_id"))
+            fallback.extend(under)
         if hyb_items or hyb_ma_items:
             from pyspark.sql import Window
 

@@ -118,38 +118,13 @@ def vector_winners_ann(
     )
 
 
-def batch_vector_winners_ann(
-    ctx: IndexContext, items, index, **probe_kw
-) -> DataFrame:
-    """MANY unfiltered vector queries against ONE persisted ANN index
-    in ONE partition-pruned scan (round 5 — the batched analog of
-    ``vector_winners_ann``).
-
-    ``items``: [(query_id, SearchQuery)], all on this index's field.
-    Every query's probe set is enumerated DRIVER-side as explicit
-    partition keys (``index.probe_keys``); the scan gets a static IN
-    filter over the distinct keys (partition pruning keeps the read at
-    the union of probe sets, never the index) and each surviving row is
-    tagged with its query ids by ONE broadcast hash join on the
-    partition key — per-row cost is O(1) in batch size, where the
-    previous when-array tagging was O(batch) comparisons per row. The
-    per-query vector rides in via a second broadcast join (cosine
-    arithmetic mirrors the per-query literal path
-    operation-for-operation, see _cosine_expr_col), tombstones
-    anti-join once, and one window takes each query's top-limit by
-    (_score desc, id asc). When some query's probe set is not
-    enumerable (LSH exact mode, nprobe >= num_clusters) the
-    predicate-OR tagging path is kept as fallback.
-
-    Returns (query_id, shard_id, __docid, _id, _score) — the keyed
-    winners frame hybrid fusion consumes. A 100-query batch with N
-    vector members pays ONE index scan instead of N."""
-    from pyspark.sql import Window
-
-    from byzer_retrieval_spark.functions.similarity import (
-        _cosine_expr_col,
-        _qnorm,
-    )
+def _batch_tagged_candidates(ctx: IndexContext, items, index, **probe_kw):
+    """Shared tagged probe for the batched vector paths: ONE
+    partition-pruned index scan for all queries, each surviving row
+    tagged with its query ids, LIVE rows only. Returns (tagged, qrows)
+    where tagged = (query_id, id, vec, *extras) and qrows carries each
+    query's (id, vector, qnorm, limit) for the scoring join."""
+    from byzer_retrieval_spark.functions.similarity import _qnorm
 
     spark = ctx.spark
     extras = index._extra_cols()
@@ -201,7 +176,133 @@ def batch_vector_winners_ann(
             # the tombstone anti-join (same discipline as candidates())
             .dropDuplicates(dedup_cols)
         )
-    tagged = ctx.exclude_tombstones(tagged)
+    return ctx.exclude_tombstones(tagged), qrows
+
+
+def batch_vector_winners_ann_filtered(ctx: IndexContext, items, index, **probe_kw):
+    """FILTERED vector batch members (round 5): the same ONE tagged
+    probe as the unfiltered batch, gated per query by its filter tree
+    with single-query parity, and the per-query can-fill-k dispatch
+    decided from one materialized frame.
+
+    Gate shape (all broadcast joins, no shuffle join): the candidates'
+    slim KEYS (query_id, shard_id, __docid) broadcast into ONE
+    ``filtered_docs`` scan per DISTINCT filter tree (the same machinery
+    the single-query gate uses — analyzed leaves included; scans are
+    DPP-pruned to candidate shards with predicates pushed down), and
+    the surviving keys broadcast back onto the fat (vec-carrying)
+    candidate rows. The gated frame is localCheckpointed once; the
+    per-query counts and the scoring both read it — mirroring the
+    single-query ``_ann_filtered_cand`` contract, so a query whose
+    gated candidates can't fill k falls back to its exact filtered
+    scan and recall never drops below the unfiltered ANN's.
+
+    Returns (winners_df_or_None, underfilled_items): winners for every
+    query whose gated candidates fill k, and the (qid, query) list the
+    caller must serve per-query."""
+    import json as _json
+
+    from pyspark.sql import Window
+
+    from byzer_retrieval_spark.functions.similarity import _cosine_expr_col
+    from byzer_retrieval_spark.operators.filtering import filtered_docs
+
+    spark = ctx.spark
+    tagged, qrows = _batch_tagged_candidates(ctx, items, index, **probe_kw)
+    tagged = tagged.withColumn(
+        "shard_id", F.shiftright("__docid", ctx.doc_bits).cast("int")
+    )
+    # one allow scan per DISTINCT filter tree, tagged by tree id
+    tree_gid: dict = {}
+    qid_gid = []
+    for qid, q in items:
+        key = _json.dumps(q.filters, sort_keys=True)
+        gid = tree_gid.setdefault(key, (len(tree_gid), q.filters))[0]
+        qid_gid.append((int(qid), gid))
+    allow = None
+    for gid, tree in sorted(tree_gid.values()):
+        part = filtered_docs(ctx, tree).select(
+            "shard_id", "__docid", F.lit(gid).alias("__gid")
+        )
+        allow = part if allow is None else allow.unionByName(part)
+    gmap = spark.createDataFrame(qid_gid, "query_id int, __gid int")
+    keys = tagged.join(F.broadcast(gmap), "query_id").select(
+        "query_id", "shard_id", "__docid", "__gid"
+    )
+    survivors = allow.join(
+        F.broadcast(keys), ["shard_id", "__docid", "__gid"]
+    ).select("query_id", "__docid")
+    gated = tagged.join(
+        F.broadcast(survivors), ["query_id", "__docid"]
+    ).localCheckpoint(eager=True)
+    counts = {
+        r["query_id"]: r["n"]
+        for r in gated.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    filled = [(qid, q) for qid, q in items if counts.get(int(qid), 0) >= q.limit]
+    under = [(qid, q) for qid, q in items if counts.get(int(qid), 0) < q.limit]
+    if not filled:
+        return None, under
+    filled_ids = {int(qid) for qid, _ in filled}
+    keep = F.col("query_id").isin(sorted(filled_ids))
+    qdf = spark.createDataFrame(
+        [r for r in qrows if int(r[0]) in filled_ids],
+        "query_id int, __qvec array<double>, __qnorm double, __klim int",
+    )
+    scored = (
+        gated.filter(keep)
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("_score", _cosine_expr_col("vec", "__qvec", "__qnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("id").asc()
+    )
+    winners = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__klim"))
+        .select(
+            "query_id",
+            "shard_id",
+            "__docid",
+            F.col("id").alias("_id"),
+            "_score",
+        )
+    )
+    return winners, under
+
+
+def batch_vector_winners_ann(
+    ctx: IndexContext, items, index, **probe_kw
+) -> DataFrame:
+    """MANY unfiltered vector queries against ONE persisted ANN index
+    in ONE partition-pruned scan (round 5 — the batched analog of
+    ``vector_winners_ann``).
+
+    ``items``: [(query_id, SearchQuery)], all on this index's field.
+    Every query's probe set is enumerated DRIVER-side as explicit
+    partition keys (``index.probe_keys``); the scan gets a static IN
+    filter over the distinct keys (partition pruning keeps the read at
+    the union of probe sets, never the index) and each surviving row is
+    tagged with its query ids by ONE broadcast hash join on the
+    partition key — per-row cost is O(1) in batch size, where the
+    previous when-array tagging was O(batch) comparisons per row. The
+    per-query vector rides in via a second broadcast join (cosine
+    arithmetic mirrors the per-query literal path
+    operation-for-operation, see _cosine_expr_col), tombstones
+    anti-join once, and one window takes each query's top-limit by
+    (_score desc, id asc). When some query's probe set is not
+    enumerable (LSH exact mode, nprobe >= num_clusters) the
+    predicate-OR tagging path is kept as fallback.
+
+    Returns (query_id, shard_id, __docid, _id, _score) — the keyed
+    winners frame hybrid fusion consumes. A 100-query batch with N
+    vector members pays ONE index scan instead of N."""
+    from pyspark.sql import Window
+
+    from byzer_retrieval_spark.functions.similarity import _cosine_expr_col
+
+    spark = ctx.spark
+    tagged, qrows = _batch_tagged_candidates(ctx, items, index, **probe_kw)
     qdf = spark.createDataFrame(
         qrows, "query_id int, __qvec array<double>, __qnorm double, __klim int"
     )

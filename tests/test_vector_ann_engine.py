@@ -428,3 +428,47 @@ def test_batch_match_all_hybrid_members(vec_engine):
             for r in vec_engine.search(q).collect()
         ]
         assert by_qid.get(qid, []) == single, (qid, q.keyword)
+
+
+def test_batch_filtered_vector_members(vec_engine):
+    """Round 5: FILTERED vector members batch too — one shared tagged
+    probe, per-DISTINCT-tree filtered_docs gate (broadcast key joins),
+    per-query can-fill-k decided from one materialized frame. An
+    underfilled member (selective filter: gated candidates < k) falls
+    back to its exact filtered scan, preserving the single-query
+    recall contract. Every member must equal its single-query search."""
+    import numpy as np
+
+    def qv(seed):
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(64)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    en = {"and": [{"field": "lang", "value": "en"}]}
+    qs = [
+        SearchQuery(
+            vector=qv(21), vector_field="embedding", limit=5, filters=en
+        ),
+        SearchQuery(
+            vector=qv(22), vector_field="embedding", limit=5, filters=en
+        ),
+        SearchQuery(
+            vector=qv(23), vector_field="embedding", limit=10,
+            filters={"field": "doc_id", "min": 0, "max": 3},  # underfill
+        ),
+        SearchQuery(vector=qv(24), vector_field="embedding", limit=6),
+        SearchQuery(keyword="doc", fields=["text"], limit=5),
+    ]
+    by_qid = {}
+    for r in vec_engine.batch_search(qs).collect():
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["_score"], 9))
+        )
+    for qid, q in enumerate(qs):
+        single = [
+            (r["doc_id"], round(r["_score"], 9))
+            for r in vec_engine.search(q).collect()
+        ]
+        assert by_qid.get(qid, []) == single, (qid, q.filters)
+    # non-vacuous: the underfilled member still returned its (≤4) docs
+    assert 0 < len(by_qid.get(2, [])) <= 4
