@@ -907,12 +907,15 @@ class RetrievalEngine:
         plan. Match-all/empty-keyword HYBRIDS batch too (round 5): their
         keyword recall is one shared _id-ordered constant-score head of
         docs, fused with the batched vector probe. FILTERED vector
-        members batch as well (round 5): one shared tagged probe, gated
-        per query via one filtered_docs scan per distinct tree, with
-        the single-query can-fill-k contract intact. Only filtered
-        hybrids, stale-ANN vector queries, underfilled filtered vectors
-        (gated candidates < k — exact-scan recall guarantee) and
-        falsy-limit members fall back to per-query ``search``."""
+        members AND filtered hybrids batch as well (round 5): one
+        shared tagged probe, gated per query via one filtered_docs
+        scan per distinct tree, with the single-query can-fill-k
+        contract intact (a filtered hybrid's filters gate both recalls
+        — the keyword side rides the batch as a tagged allow set).
+        Only stale-ANN vector queries, underfilled filtered members
+        (gated candidates < k — exact-scan recall guarantee),
+        filtered match-all hybrids and falsy-limit members fall back
+        to per-query ``search``."""
         from byzer_retrieval_spark.operators.batch import (
             batch_search_winners,
             is_batchable,
@@ -934,6 +937,7 @@ class RetrievalEngine:
         kw_specs: List[tuple] = []          # (pos, caller_qid, is_hybrid)
         vec_items: Dict[str, list] = {}     # vector_field → [(qid, q)]
         fvec_items: Dict[str, list] = {}    # FILTERED vector members
+        fhyb_items: Dict[str, list] = {}    # FILTERED hybrid members
         hyb_items: Dict[str, list] = {}
         hyb_ma_items: Dict[str, list] = {}  # match-all-keyword hybrids
         ma_items: List[tuple] = []          # match-all keyword members
@@ -960,9 +964,7 @@ class RetrievalEngine:
                 ann is not None and "__docid" in ann[0]._extra_cols()
             )
             has_kw = q.keyword is not None and q.keyword.strip() != ""
-            if not usable or (q.filters and (has_kw or not q.limit)):
-                # filtered HYBRIDS (and falsy-limit filtered vectors)
-                # keep the per-query dispatch
+            if not usable or (q.filters and not q.limit):
                 fallback.append((qid, q))
             elif not has_kw:
                 if q.filters:
@@ -973,14 +975,27 @@ class RetrievalEngine:
                 else:
                     vec_items.setdefault(fld, []).append((qid, q))
             else:
+                # the hybrid's keyword recall keeps the query's filters
+                # (they gate BOTH recalls, reference semantics) — they
+                # ride the keyword batch as a tagged allow set
                 kw_only = SearchQuery(
-                    keyword=q.keyword, fields=list(q.fields), limit=q.limit
+                    keyword=q.keyword,
+                    fields=list(q.fields),
+                    filters=dict(q.filters or {}),
+                    limit=q.limit,
                 )
                 if is_batchable(parsed, kw_only):
-                    hyb_items.setdefault(fld, []).append((qid, q))
+                    if q.filters:
+                        # FILTERED hybrid (round 5): vector side goes
+                        # through the gated batched probe; if it
+                        # underfills, the whole query falls back and
+                        # its kw winners are dropped from the fusion
+                        fhyb_items.setdefault(fld, []).append((qid, q))
+                    else:
+                        hyb_items.setdefault(fld, []).append((qid, q))
                     kw_queries.append(kw_only)
                     kw_specs.append((len(kw_queries) - 1, qid, True))
-                elif (parsed.match_all or parsed.empty) and q.limit:
+                elif (parsed.match_all or parsed.empty) and q.limit and not q.filters:
                     # match-all/empty-keyword hybrid (round 5): the
                     # keyword recall is the constant-score _id-ordered
                     # head of docs (same as search()'s match-all keyed
@@ -1024,12 +1039,42 @@ class RetrievalEngine:
             if fw is not None:
                 win_parts.append(fw.drop("_id"))
             fallback.extend(under)
-        if hyb_items or hyb_ma_items:
+        fhyb_filled: Dict[str, list] = {}
+        if fhyb_items:
+            # filtered-hybrid vector sides: gated batched probe with the
+            # can-fill contract; an underfilled member falls back WHOLE
+            # (its kw winners are dropped from the fusion below)
+            from byzer_retrieval_spark.operators.knn import (
+                batch_vector_winners_ann_filtered,
+            )
+
+            under_ids: set = set()
+            fhyb_vec_parts: List[DataFrame] = []
+            for fld, items in fhyb_items.items():
+                idx, probe_kw = ann_cache[fld]
+                fw, under = batch_vector_winners_ann_filtered(
+                    ctx, items, idx, **probe_kw
+                )
+                uq = {int(qid) for qid, _ in under}
+                under_ids |= uq
+                fallback.extend(under)
+                filled = [(qid, q) for qid, q in items if int(qid) not in uq]
+                if filled:
+                    fhyb_filled[fld] = filled
+                if fw is not None:
+                    fhyb_vec_parts.append(fw)
+            if under_ids and kw_hyb is not None:
+                kw_hyb = kw_hyb.filter(
+                    ~F.col("query_id").isin(sorted(under_ids))
+                )
+        if hyb_items or hyb_ma_items or fhyb_filled:
             from pyspark.sql import Window
 
             both_parts: List[DataFrame] = []
             if kw_hyb is not None:
                 both_parts.append(kw_hyb.withColumn("__recall", F.lit(0)))
+            for fw in fhyb_vec_parts if fhyb_items else []:
+                both_parts.append(fw.withColumn("__recall", F.lit(1)))
             if hyb_ma_items:
                 # shared keyword recall for ALL match-all hybrids: the
                 # _id-ordered constant-score head of docs (mirrors
@@ -1089,6 +1134,7 @@ class RetrievalEngine:
                     (int(qid), int(q.limit))
                     for items in list(hyb_items.values())
                     + list(hyb_ma_items.values())
+                    + list(fhyb_filled.values())
                     for qid, q in items
                 ],
                 "query_id int, __klim int",

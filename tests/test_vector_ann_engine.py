@@ -472,3 +472,51 @@ def test_batch_filtered_vector_members(vec_engine):
         assert by_qid.get(qid, []) == single, (qid, q.filters)
     # non-vacuous: the underfilled member still returned its (≤4) docs
     assert 0 < len(by_qid.get(2, [])) <= 4
+
+
+def test_batch_filtered_hybrid_members(vec_engine):
+    """Round 5: FILTERED hybrids batch — the filter gates BOTH recalls
+    (keyword side rides the batch as a tagged allow set, vector side
+    the gated probe); an underfilled vector side drops the member to
+    the per-query path WHOLE (its batched kw winners are excluded from
+    the fusion). Every member must equal its single-query search."""
+    import numpy as np
+
+    def qv(seed):
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(64)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    en = {"and": [{"field": "lang", "value": "en"}]}
+    qs = [
+        SearchQuery(
+            keyword="doc", fields=["text"], vector=qv(31),
+            vector_field="embedding", limit=5, filters=en,
+        ),
+        SearchQuery(
+            keyword="doc text", fields=["text"], vector=qv(32),
+            vector_field="embedding", limit=6, filters=en,
+        ),
+        SearchQuery(
+            keyword="doc", fields=["text"], vector=qv(33),
+            vector_field="embedding", limit=10,
+            filters={"field": "doc_id", "min": 0, "max": 3},  # underfill
+        ),
+        SearchQuery(
+            keyword="doc", fields=["text"], vector=qv(34),
+            vector_field="embedding", limit=5,  # unfiltered hybrid
+        ),
+        SearchQuery(keyword="doc", fields=["text"], limit=5, filters=en),
+    ]
+    by_qid = {}
+    for r in vec_engine.batch_search(qs).collect():
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["_score"], 9))
+        )
+    for qid, q in enumerate(qs):
+        single = [
+            (r["doc_id"], round(r["_score"], 9))
+            for r in vec_engine.search(q).collect()
+        ]
+        assert by_qid.get(qid, []) == single, (qid, q.keyword, q.filters)
+    assert by_qid.get(2), "underfilled hybrid must still return rows"
