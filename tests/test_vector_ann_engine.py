@@ -520,3 +520,57 @@ def test_batch_filtered_hybrid_members(vec_engine):
         ]
         assert by_qid.get(qid, []) == single, (qid, q.keyword, q.filters)
     assert by_qid.get(2), "underfilled hybrid must still return rows"
+
+
+def test_batch_all_member_kinds_random_mix(vec_engine):
+    """Round 5 routing fuzz: one randomized batch mixing EVERY member
+    kind the dispatcher routes — keyword grammar, match-all (bare,
+    filtered, sorted), vector (bare + filtered incl. underfilling),
+    hybrids (plain, filtered, match-all-keyword) — must be identical,
+    member by member, to per-query search(). Seeded; semantic depth is
+    covered by the grammar fuzzes, this pins the ROUTES."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(20260818)
+
+    def qv(seed):
+        g = np.random.default_rng(seed)
+        v = g.standard_normal(64)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    kws = ["doc", '"doc text"', "do*", "+doc -text", "doc text", "*", None]
+    en = {"and": [{"field": "lang", "value": "en"}]}
+    tight = {"field": "doc_id", "min": 0, "max": 3}
+    qs = []
+    for i in range(40):
+        kw = rng.choice(kws)
+        vec = rng.random() < 0.5
+        filt = rng.choice([{}, {}, en, tight])
+        if kw is None and not vec:
+            kw = "doc"
+        qs.append(
+            SearchQuery(
+                keyword=kw,
+                fields=["text"],
+                vector=qv(3000 + i) if vec else [],
+                vector_field="embedding" if vec else None,
+                filters=filt,
+                limit=rng.choice([3, 5, 10]),
+            )
+        )
+    by_qid = {}
+    for r in vec_engine.batch_search(qs).collect():
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["_score"], 9))
+        )
+    n_nonempty = 0
+    for qid, q in enumerate(qs):
+        single = [
+            (r["doc_id"], round(r["_score"], 9))
+            for r in vec_engine.search(q).collect()
+        ]
+        assert by_qid.get(qid, []) == single, (qid, q.keyword, q.filters)
+        n_nonempty += bool(single)
+    assert n_nonempty >= 20
