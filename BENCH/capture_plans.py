@@ -204,6 +204,37 @@ def main() -> None:
          cap(eng2.batch_search(vqs)))
     )
 
+    # filtered vector batch members (round 5): shared tagged probe +
+    # one filtered_docs gate per distinct tree, ALL broadcast joins
+    from byzer_retrieval_spark.operators.knn import (
+        batch_vector_winners_ann_filtered,
+    )
+
+    fvqs = [
+        (
+            k,
+            SearchQuery(
+                vector=[float((k * 5 + j) % 17) / 17.0 for j in range(8)],
+                vector_field="embedding",
+                filters={"and": [{"field": "lang", "value": "java"}]},
+                limit=3,
+            ),
+        )
+        for k in range(4)
+    ]
+    fidx, fprobe = eng2._current_ann(eng2.store(), "embedding")
+    fw, _under = batch_vector_winners_ann_filtered(
+        eng2.ctx(), fvqs, fidx, **fprobe
+    )
+    if fw is not None:
+        sections.append(
+            ("BATCHED FILTERED vector probe (round 5) — check the gate is "
+             "all BroadcastHashJoins (candidate keys into the filtered "
+             "docs scan, survivors back onto the fat rows); the docs scan "
+             "carries the pushed lang filter; no shuffle join anywhere",
+             cap(fw))
+        )
+
     # match-all batch members (round 5): all of them share batch_filter's
     # ONE tombstone-excluded docs scan instead of a scan branch per query
     qs_ma = [
