@@ -200,6 +200,23 @@ def main() -> None:
     vec_mixed_sec = time.time() - tb
     timings["batch100_vec_mixed"] = round(vec_mixed_sec, 3)
 
+    # FILTERED vector batch (round 5): the gated shared probe with the
+    # per-query can-fill-k contract (knn.batch_vector_winners_ann_
+    # filtered) — previously this shape always fell back per query
+    fvec_qs = [
+        SearchQuery(
+            vector=_qvec(1000 + i),
+            vector_field="embedding",
+            filters={"and": [{"field": "lang", "value": "python"}]},
+            limit=10,
+        )
+        for i in range(100)
+    ]
+    tb = time.time()
+    eng_vec.batch_search(fvec_qs).collect()
+    fvec_sec = time.time() - tb
+    timings["batch100_vec_filtered"] = round(fvec_sec, 3)
+
     total = build_sec + sum(q_times)
     out = {
         "metric": "index_build_plus_bm25_query_e2e",
@@ -213,6 +230,7 @@ def main() -> None:
         "batch_queries_per_sec": round(100.0 / batch_sec, 1),
         "batch_mixed_queries_per_sec": round(100.0 / mixed_sec, 1),
         "batch_vec_mixed_queries_per_sec": round(100.0 / vec_mixed_sec, 1),
+        "batch_vec_filtered_queries_per_sec": round(100.0 / fvec_sec, 1),
         "cpus": cpus,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
