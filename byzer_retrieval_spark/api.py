@@ -912,10 +912,10 @@ class RetrievalEngine:
         scan per distinct tree, with the single-query can-fill-k
         contract intact (a filtered hybrid's filters gate both recalls
         — the keyword side rides the batch as a tagged allow set).
-        Only stale-ANN vector queries, underfilled filtered members
-        (gated candidates < k — exact-scan recall guarantee),
-        filtered match-all hybrids and falsy-limit members fall back
-        to per-query ``search``."""
+        Every SearchQuery SHAPE batches; the only per-query fallbacks
+        left are data- or config-dependent: a stale/absent ANN index,
+        an underfilled gated probe (candidates < k — the exact-scan
+        recall guarantee), and falsy-limit members."""
         from byzer_retrieval_spark.operators.batch import (
             batch_search_winners,
             is_batchable,
@@ -995,11 +995,12 @@ class RetrievalEngine:
                         hyb_items.setdefault(fld, []).append((qid, q))
                     kw_queries.append(kw_only)
                     kw_specs.append((len(kw_queries) - 1, qid, True))
-                elif (parsed.match_all or parsed.empty) and q.limit and not q.filters:
+                elif (parsed.match_all or parsed.empty) and q.limit:
                     # match-all/empty-keyword hybrid (round 5): the
                     # keyword recall is the constant-score _id-ordered
-                    # head of docs (same as search()'s match-all keyed
-                    # winners) — ONE shared subplan serves every such
+                    # head of the (optionally filtered) docs — same as
+                    # search()'s match-all keyed winners; one shared
+                    # subplan per distinct filter tree serves every such
                     # member, fused below with its batched vector probe
                     hyb_ma_items.setdefault(fld, []).append((qid, q))
                 else:
@@ -1067,60 +1068,97 @@ class RetrievalEngine:
                 kw_hyb = kw_hyb.filter(
                     ~F.col("query_id").isin(sorted(under_ids))
                 )
-        if hyb_items or hyb_ma_items or fhyb_filled:
+        # match-all hybrids: split per member — unfiltered vector sides
+        # ride the plain batched probe, FILTERED ones the gated probe
+        # with the can-fill contract (underfilled members fall back
+        # whole; their kw head is simply never built)
+        hyb_ma_filled: List[tuple] = []
+        hyb_ma_vec_parts: List[DataFrame] = []
+        if hyb_ma_items:
+            from byzer_retrieval_spark.operators.knn import (
+                batch_vector_winners_ann_filtered as _bvwaf,
+            )
+
+            for fld, items in hyb_ma_items.items():
+                idx, probe_kw = ann_cache[fld]
+                unf = [(qid, q) for qid, q in items if not q.filters]
+                flt = [(qid, q) for qid, q in items if q.filters]
+                if unf:
+                    hyb_ma_vec_parts.append(
+                        batch_vector_winners_ann(ctx, unf, idx, **probe_kw)
+                    )
+                    hyb_ma_filled.extend(unf)
+                if flt:
+                    fw, under = _bvwaf(ctx, flt, idx, **probe_kw)
+                    if fw is not None:
+                        hyb_ma_vec_parts.append(fw)
+                    fallback.extend(under)
+                    uq = {int(qid) for qid, _ in under}
+                    hyb_ma_filled.extend(
+                        (qid, q) for qid, q in flt if int(qid) not in uq
+                    )
+        if hyb_items or hyb_ma_filled or fhyb_filled:
+            import json as _json
+
             from pyspark.sql import Window
+
+            from byzer_retrieval_spark.operators.filtering import filtered_docs
 
             both_parts: List[DataFrame] = []
             if kw_hyb is not None:
                 both_parts.append(kw_hyb.withColumn("__recall", F.lit(0)))
             for fw in fhyb_vec_parts if fhyb_items else []:
                 both_parts.append(fw.withColumn("__recall", F.lit(1)))
-            if hyb_ma_items:
-                # shared keyword recall for ALL match-all hybrids: the
-                # _id-ordered constant-score head of docs (mirrors
-                # search()'s match-all keyed winners), ranked once and
-                # cut per member limit via a literal (qid, k) explode —
-                # bounded at max-limit rows, no extra scan per member
-                all_ma = [
-                    (qid, q)
-                    for items in hyb_ma_items.values()
-                    for qid, q in items
-                ]
-                maxk = max(q.limit for _, q in all_ma)
-                kw_base = (
-                    ctx.exclude_tombstones(ctx.docs())
-                    .orderBy(F.col("_id").asc())
-                    .limit(int(maxk))
-                    .select(
-                        "shard_id", "__docid", "_id",
-                        F.lit(1.0).alias("_score"),
-                    )
-                    .withColumn(
-                        "__rn",
-                        F.row_number().over(Window.orderBy(F.col("_id").asc())),
-                    )
-                )
-                pairs = F.array(
-                    *[
-                        F.struct(
-                            F.lit(int(qid)).alias("q"),
-                            F.lit(int(q.limit)).alias("k"),
+            for fw in hyb_ma_vec_parts:
+                both_parts.append(fw.withColumn("__recall", F.lit(1)))
+            if hyb_ma_filled:
+                # shared keyword recall per DISTINCT filter tree: the
+                # _id-ordered constant-score head of the (filtered) docs
+                # (mirrors search()'s match-all keyed winners), ranked
+                # once and cut per member limit via a literal (qid, k)
+                # explode — bounded at max-limit rows per tree
+                groups: Dict[str, list] = {}
+                for qid, q in hyb_ma_filled:
+                    key = _json.dumps(q.filters or {}, sort_keys=True)
+                    groups.setdefault(key, []).append((qid, q))
+                for members in groups.values():
+                    tree = members[0][1].filters or {}
+                    base = filtered_docs(ctx, tree) if tree else ctx.docs()
+                    maxk = max(q.limit for _, q in members)
+                    kw_base = (
+                        ctx.exclude_tombstones(base)
+                        .orderBy(F.col("_id").asc())
+                        .limit(int(maxk))
+                        .select(
+                            "shard_id", "__docid", "_id",
+                            F.lit(1.0).alias("_score"),
                         )
-                        for qid, q in all_ma
-                    ]
-                )
-                both_parts.append(
-                    kw_base.withColumn("__p", F.explode(pairs))
-                    .filter(F.col("__rn") <= F.col("__p.k"))
-                    .select(
-                        F.col("__p.q").alias("query_id"),
-                        "shard_id", "__docid", "_id", "_score",
+                        .withColumn(
+                            "__rn",
+                            F.row_number().over(
+                                Window.orderBy(F.col("_id").asc())
+                            ),
+                        )
                     )
-                    .withColumn("__recall", F.lit(0))
-                )
-            for fld, items in list(hyb_items.items()) + list(
-                hyb_ma_items.items()
-            ):
+                    pairs = F.array(
+                        *[
+                            F.struct(
+                                F.lit(int(qid)).alias("q"),
+                                F.lit(int(q.limit)).alias("k"),
+                            )
+                            for qid, q in members
+                        ]
+                    )
+                    both_parts.append(
+                        kw_base.withColumn("__p", F.explode(pairs))
+                        .filter(F.col("__rn") <= F.col("__p.k"))
+                        .select(
+                            F.col("__p.q").alias("query_id"),
+                            "shard_id", "__docid", "_id", "_score",
+                        )
+                        .withColumn("__recall", F.lit(0))
+                    )
+            for fld, items in hyb_items.items():
                 idx, probe_kw = ann_cache[fld]
                 both_parts.append(
                     batch_vector_winners_ann(ctx, items, idx, **probe_kw)
@@ -1132,10 +1170,13 @@ class RetrievalEngine:
             limits = spark.createDataFrame(
                 [
                     (int(qid), int(q.limit))
-                    for items in list(hyb_items.values())
-                    + list(hyb_ma_items.values())
-                    + list(fhyb_filled.values())
-                    for qid, q in items
+                    for qid, q in [
+                        (qid, q)
+                        for items in list(hyb_items.values())
+                        + list(fhyb_filled.values())
+                        for qid, q in items
+                    ]
+                    + hyb_ma_filled
                 ],
                 "query_id int, __klim int",
             )

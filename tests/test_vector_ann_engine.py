@@ -574,3 +574,46 @@ def test_batch_all_member_kinds_random_mix(vec_engine):
         assert by_qid.get(qid, []) == single, (qid, q.keyword, q.filters)
         n_nonempty += bool(single)
     assert n_nonempty >= 20
+
+
+def test_batch_filtered_match_all_hybrid_members(vec_engine):
+    """Round 5 closure: even filtered MATCH-ALL hybrids batch — the
+    keyword head is one filtered_docs scan per distinct tree, the
+    vector side the gated probe. With this, every SearchQuery SHAPE
+    batches; remaining fallbacks are data-dependent only."""
+    import numpy as np
+
+    def qv(seed):
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(64)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    en = {"and": [{"field": "lang", "value": "en"}]}
+    qs = [
+        SearchQuery(
+            keyword="*", fields=["text"], vector=qv(41),
+            vector_field="embedding", limit=5, filters=en,
+        ),
+        SearchQuery(
+            keyword="*", fields=["text"], vector=qv(42),
+            vector_field="embedding", limit=6,
+        ),
+        SearchQuery(
+            keyword="*", fields=["text"], vector=qv(43),
+            vector_field="embedding", limit=10,
+            filters={"field": "doc_id", "min": 0, "max": 3},  # underfill
+        ),
+        SearchQuery(keyword="doc", fields=["text"], limit=5),
+    ]
+    by_qid = {}
+    for r in vec_engine.batch_search(qs).collect():
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["_score"], 9))
+        )
+    for qid, q in enumerate(qs):
+        single = [
+            (r["doc_id"], round(r["_score"], 9))
+            for r in vec_engine.search(q).collect()
+        ]
+        assert by_qid.get(qid, []) == single, (qid, q.filters)
+    assert by_qid.get(0) and by_qid.get(2)
