@@ -311,14 +311,24 @@ SELECT doc_id, round(sum(sc), 5) AS score FROM u GROUP BY doc_id
 """
 
 
-def _hybrid_rrf_sql(terms: list[str], k: int) -> str:
+def _hybrid_rrf_sql(terms: list[str], k: int, doc_filter: str | None = None) -> str:
     """Oracle for the keyword+vector RRF hybrid: two top-k recalls
     ranked by RAW (unrounded) scores with (score desc, doc_id-as-string
-    asc) tie-break — exactly api.search's dispatch → rrf_fuse."""
+    asc) tie-break — exactly api.search's dispatch → rrf_fuse.
+    ``doc_filter`` (a bare predicate like "lang = 'en'") gates BOTH
+    recalls BEFORE their top-k cuts (Occur.FILTER is non-scoring, so
+    keyword stats stay corpus-global) — the engine's filtered-hybrid
+    semantics."""
     from byzer_retrieval_spark.functions.similarity import cosine_sql_expr
 
     sc_list = ", ".join(f"'{t}'" for t in terms)
     c = cosine_sql_expr("v.embedding", _query_vec())
+    kw_gate = (
+        f"JOIN documents dd ON dd.doc_id = tf.doc_id AND (dd.{doc_filter})"
+        if doc_filter
+        else ""
+    )
+    vec_gate = f"WHERE d.{doc_filter}" if doc_filter else ""
     return f"""
 WITH corpus AS (
   -- the hybrid index is built over documents ⋈ embeddings, so ALL
@@ -346,12 +356,14 @@ kw AS (
          sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS s
   FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  {kw_gate}
   WHERE tf.term IN ({sc_list}) GROUP BY tf.doc_id
   ORDER BY s DESC, CAST(tf.doc_id AS VARCHAR) ASC LIMIT {k}
 ),
 vec AS (
   SELECT d.doc_id, {c} AS s
   FROM documents d JOIN embeddings v ON v.vec_id = d.doc_id
+  {vec_gate}
   ORDER BY {c} DESC, CAST(d.doc_id AS VARCHAR) ASC LIMIT {k}
 ),
 rk AS (
@@ -369,6 +381,20 @@ u AS (
 fz AS (SELECT doc_id, sum(cb) AS s FROM u GROUP BY doc_id)
 SELECT doc_id, round(s, 6) AS score FROM fz
 ORDER BY s DESC, CAST(doc_id AS VARCHAR) ASC LIMIT {k}
+"""
+
+
+def _vec_filtered_sql(k: int, doc_filter: str) -> str:
+    """Filtered exact cosine top-k (the vector member's oracle — with
+    an exhaustive-probe LSH the engine's gated ANN equals this)."""
+    from byzer_retrieval_spark.functions.similarity import cosine_sql_expr
+
+    c = cosine_sql_expr("v.embedding", _query_vec())
+    return f"""
+SELECT d.doc_id, round({c}, 6) AS score
+FROM documents d JOIN embeddings v ON v.vec_id = d.doc_id
+WHERE d.{doc_filter}
+ORDER BY {c} DESC, CAST(d.doc_id AS VARCHAR) ASC LIMIT {k}
 """
 
 
@@ -450,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- SearchQuery vector + hybrid dispatch (Q3/Q4/M2) -------------
         "vector_search_filtered": _q_vector_search,
         "hybrid_keyword_vector_rrf": _q_hybrid_rrf,
+        # round 5: filtered hybrid + filtered vector + plain hybrid in
+        # ONE batch (gated shared probe, keyed tagged fusion)
+        "hybrid_filtered_batch_rrf": _q_hybrid_filtered_batch,
         # --- multimodal binary plumbing (decode stubbed: no media libs
         #     in this container; the Arrow binary transfer, batch shape,
         #     and frame-sampling plan are the real production path) -----
@@ -864,6 +893,15 @@ WHERE h_top = 1 OR (h_must = 1 AND h_not = 0)
         f"ORDER BY {c2} DESC, CAST(d.doc_id AS VARCHAR) ASC LIMIT 10"
     )
     sqls["hybrid_keyword_vector_rrf"] = _hybrid_rrf_sql(["merge", "vector"], 10)
+    sqls["hybrid_filtered_batch_rrf"] = (
+        "SELECT 0 AS query_id, doc_id, score FROM ("
+        + _hybrid_rrf_sql(["merge", "vector"], 10, doc_filter="lang = 'en'")
+        + ") UNION ALL SELECT 1, doc_id, score FROM ("
+        + _vec_filtered_sql(10, "lang = 'en'")
+        + ") UNION ALL SELECT 2, doc_id, score FROM ("
+        + _hybrid_rrf_sql(["merge", "vector"], 10)
+        + ")"
+    )
     sqls["embedding_near_dup_pairs"] = """
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1510,6 +1548,44 @@ def _q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = eng.search(q, "db", "hybrid")
     return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("_score", 6).alias("score"),
+    )
+
+
+def _q_hybrid_filtered_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Round 5 batch-matrix closure under the driver gate: a FILTERED
+    hybrid, a FILTERED vector query and a plain hybrid in ONE
+    batch_search — exercises the gated shared probe (can-fill-k), the
+    filter-as-allow-set keyword side and the keyed tagged fusion. The
+    LSH index is exhaustive-probe (probe_hamming = num_planes ⇒ the
+    candidate set is the full replica), so the ANN path EQUALS the
+    exact scan and the DuckDB oracle stays deterministic."""
+    eng = _engine_hybrid_for(spark, sf)
+    store = eng.store("db", "hybrid")
+    if eng._current_ann(store, "embedding") is None:
+        eng.build_vector_ann(
+            "embedding", database="db", table="hybrid", kind="lsh",
+            num_planes=4, num_tables=1, probe={"probe_hamming": 4},
+        )
+    en = {"and": [{"field": "lang", "value": "en"}]}
+    qs = [
+        SearchQuery(
+            keyword="merge vector", fields=["text"], vector=_query_vec(),
+            vector_field="embedding", filters=en, limit=10,
+        ),
+        SearchQuery(
+            vector=_query_vec(), vector_field="embedding",
+            filters=en, limit=10,
+        ),
+        SearchQuery(
+            keyword="merge vector", fields=["text"], vector=_query_vec(),
+            vector_field="embedding", limit=10,
+        ),
+    ]
+    out = eng.batch_search(qs, "db", "hybrid")
+    return out.select(
+        "query_id",
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round("_score", 6).alias("score"),
     )
