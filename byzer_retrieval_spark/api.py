@@ -913,9 +913,11 @@ class RetrievalEngine:
         contract intact (a filtered hybrid's filters gate both recalls
         — the keyword side rides the batch as a tagged allow set).
         Every SearchQuery SHAPE batches; the only per-query fallbacks
-        left are data- or config-dependent: a stale/absent ANN index,
-        an underfilled gated probe (candidates < k — the exact-scan
-        recall guarantee), and falsy-limit members."""
+        left are data- or config-dependent: a stale/absent ANN index
+        under a HYBRID member (pure vector members then share one
+        EXACT scan per distinct filter tree instead), an underfilled
+        gated probe (candidates < k — the exact-scan recall
+        guarantee), and falsy-limit members."""
         from byzer_retrieval_spark.operators.batch import (
             batch_search_winners,
             is_batchable,
@@ -940,6 +942,7 @@ class RetrievalEngine:
         fhyb_items: Dict[str, list] = {}    # FILTERED hybrid members
         hyb_items: Dict[str, list] = {}
         hyb_ma_items: Dict[str, list] = {}  # match-all-keyword hybrids
+        exact_vec_items: List[tuple] = []   # stale/absent-ANN vectors
         ma_items: List[tuple] = []          # match-all keyword members
         fallback: List[tuple] = []
         ann_cache: Dict[str, Any] = {}
@@ -964,7 +967,12 @@ class RetrievalEngine:
                 ann is not None and "__docid" in ann[0]._extra_cols()
             )
             has_kw = q.keyword is not None and q.keyword.strip() != ""
-            if not usable or (q.filters and not q.limit):
+            if not usable and not has_kw and q.limit:
+                # stale/absent ANN (round 5): pure vector members share
+                # one EXACT scan per distinct (tree, field) instead of
+                # one full scan each (knn.batch_vector_winners_exact)
+                exact_vec_items.append((qid, q))
+            elif not usable or (q.filters and not q.limit):
                 fallback.append((qid, q))
             elif not has_kw:
                 if q.filters:
@@ -1040,6 +1048,14 @@ class RetrievalEngine:
             if fw is not None:
                 win_parts.append(fw.drop("_id"))
             fallback.extend(under)
+        if exact_vec_items:
+            from byzer_retrieval_spark.operators.knn import (
+                batch_vector_winners_exact,
+            )
+
+            win_parts.append(
+                batch_vector_winners_exact(ctx, exact_vec_items).drop("_id")
+            )
         fhyb_filled: Dict[str, list] = {}
         if fhyb_items:
             # filtered-hybrid vector sides: gated batched probe with the

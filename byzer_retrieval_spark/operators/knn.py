@@ -271,6 +271,87 @@ def batch_vector_winners_ann_filtered(ctx: IndexContext, items, index, **probe_k
     return winners, under
 
 
+def batch_vector_winners_exact(ctx: IndexContext, items) -> DataFrame:
+    """Batched EXACT vector recall — the stale/absent-ANN analog of
+    the batched probe (round 5). Previously each such member fell back
+    to its own full docs scan (O(batch) scans in one collect); now ONE
+    tombstone-excluded scan per DISTINCT (filter tree, vector field)
+    serves all its members: each row explodes into the member structs
+    (qid, qvec, qnorm, k — O(M·dim) plan literals), the cosine is the
+    same zip_with/aggregate arithmetic as the per-query literal path
+    (bit-identical scores), filters keep their pushdown because each
+    tree gets its own scan, and one window takes each member's top-k.
+
+    Total compute is the same M·N dot products the per-query scans do
+    — the win is I/O and scheduling: one pass over the vectors.
+    Returns (query_id, shard_id, __docid, _id, _score)."""
+    import json as _json
+
+    from pyspark.sql import Window
+
+    from byzer_retrieval_spark.functions.similarity import (
+        _cosine_expr_col,
+        _qnorm,
+    )
+    from byzer_retrieval_spark.operators.filtering import filtered_docs
+
+    groups: dict = {}
+    for qid, q in items:
+        key = (_json.dumps(q.filters or {}, sort_keys=True), q.vector_field)
+        groups.setdefault(key, []).append((qid, q))
+    parts = []
+    for (_tree_json, fld), members in groups.items():
+        tree = members[0][1].filters or {}
+        base = filtered_docs(ctx, tree) if tree else None
+        base = base if base is not None else ctx.docs()
+        base = ctx.exclude_tombstones(base)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(int(qid)).alias("q"),
+                    F.array(
+                        *[F.lit(float(x)) for x in qq.vector]
+                    ).cast("array<double>").alias("v"),
+                    F.lit(_qnorm([float(x) for x in qq.vector])).alias("n"),
+                    F.lit(int(qq.limit)).alias("k"),
+                )
+                for qid, qq in members
+            ]
+        )
+        tagged = (
+            base.select("shard_id", "__docid", "_id", F.col(fld).alias("__vec"))
+            .withColumn("__p", F.explode(pairs))
+            .select(
+                F.col("__p.q").alias("query_id"),
+                "shard_id",
+                "__docid",
+                "_id",
+                "__vec",
+                F.col("__p.v").alias("__qv"),
+                F.col("__p.n").alias("__qn"),
+                F.col("__p.k").alias("__klim"),
+            )
+        )
+        parts.append(
+            tagged.withColumn(
+                "_score", _cosine_expr_col("__vec", "__qv", "__qn")
+            ).select(
+                "query_id", "shard_id", "__docid", "_id", "_score", "__klim"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("_id").asc()
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__klim"))
+        .select("query_id", "shard_id", "__docid", "_id", "_score")
+    )
+
+
 def batch_vector_winners_ann(
     ctx: IndexContext, items, index, **probe_kw
 ) -> DataFrame:

@@ -617,3 +617,54 @@ def test_batch_filtered_match_all_hybrid_members(vec_engine):
         ]
         assert by_qid.get(qid, []) == single, (qid, q.filters)
     assert by_qid.get(0) and by_qid.get(2)
+
+
+def test_batch_exact_vector_members_without_ann(spark, tmp_path):
+    """Round 5: with NO ANN index, pure vector batch members share one
+    EXACT scan per distinct (filter tree, field) instead of one full
+    docs scan each — results identical to per-query search (which uses
+    the exact scan in this state)."""
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    src = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").cast("string").alias("_id"),
+        "doc_id", "text", "lang", "embedding",
+    )
+    eng = RetrievalEngine(spark, str(tmp_path / "noann"))
+    eng.build(
+        src,
+        cfg=IndexConfig(num_shards=4, analyzed_fields=("text",), id_columns=()),
+        resume=False,
+    )
+    assert eng._current_ann(eng.store(), "embedding") is None
+
+    def qv(seed):
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(64)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    en = {"and": [{"field": "lang", "value": "en"}]}
+    qs = [
+        SearchQuery(vector=qv(51), vector_field="embedding", limit=5),
+        SearchQuery(vector=qv(52), vector_field="embedding", limit=7, filters=en),
+        SearchQuery(vector=qv(53), vector_field="embedding", limit=4),
+        SearchQuery(
+            vector=qv(54), vector_field="embedding", limit=10,
+            filters={"field": "doc_id", "min": 0, "max": 3},
+        ),
+        SearchQuery(keyword="doc", fields=["text"], limit=5),
+    ]
+    by_qid = {}
+    for r in eng.batch_search(qs).collect():
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["_score"], 9))
+        )
+    for qid, q in enumerate(qs):
+        single = [
+            (r["doc_id"], round(r["_score"], 9))
+            for r in eng.search(q).collect()
+        ]
+        assert by_qid.get(qid, []) == single, (qid, q.filters)
+    assert len(by_qid.get(3, [])) == 4  # tight filter: all 4 matching docs
