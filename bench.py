@@ -151,6 +151,13 @@ def main() -> None:
     mixed_sec = time.time() - tb
     timings["batch100_mixed"] = round(mixed_sec, 3)
 
+    # BENCH_SKIP_VEC: build-scaling harnesses (BENCH/scaling_isoclock)
+    # need only the keyword build+query phases — the vector corpus +
+    # ANN build at 1-core 1.6M-file levels would multiply their
+    # wall-clock without informing the build-throughput metric
+    skip_vec = bool(os.environ.get("BENCH_SKIP_VEC"))
+    vec_mixed_sec = fvec_sec = None
+
     # ANN-mixed batch (round 5): 20 vector + 80 keyword queries share
     # ONE job — vector members probe a persisted IVF index via one
     # tagged partition-pruned scan (knn.batch_vector_winners_ann), the
@@ -160,62 +167,63 @@ def main() -> None:
     # at this scale). A SEPARATE engine (same corpus + deterministic
     # embeddings) keeps the headline build metric comparable
     # round-over-round.
-    import numpy as np
+    if not skip_vec:
+        import numpy as np
 
-    vec_idx = os.path.join(work, "idx_vec")
-    eng_vec = RetrievalEngine(spark, vec_idx)
-    src_vec = corpus_df(
-        spark, n_files, partitions=shuffle_parts * 2, embedding_dim=64
-    )
-    tb = time.time()
-    eng_vec.build(src_vec, cfg=cfg, resume=False)
-    eng_vec.build_vector_ann("embedding", kind="ivf")  # adaptive sqrt(N) clusters (r5)
-    vec_build_sec = time.time() - tb
-    timings["vec_build"] = round(vec_build_sec, 3)
-
-    def _qvec(seed: int):
-        rng = np.random.default_rng(seed)
-        v = rng.standard_normal(64)
-        return [float(x) for x in (v / np.linalg.norm(v))]
-
-    vec_qs = []
-    for i in range(100):
-        if i % 5 == 0:
-            vec_qs.append(
-                SearchQuery(
-                    vector=_qvec(i), vector_field="embedding", limit=10
-                )
-            )
-        else:
-            vec_qs.append(
-                SearchQuery(
-                    keyword=mixed_shapes[i % len(mixed_shapes)](i),
-                    fields=["content"],
-                    limit=10,
-                )
-            )
-    eng_vec.batch_search(vec_qs[:5]).collect()  # warm the probe path
-    tb = time.time()
-    eng_vec.batch_search(vec_qs).collect()
-    vec_mixed_sec = time.time() - tb
-    timings["batch100_vec_mixed"] = round(vec_mixed_sec, 3)
-
-    # FILTERED vector batch (round 5): the gated shared probe with the
-    # per-query can-fill-k contract (knn.batch_vector_winners_ann_
-    # filtered) — previously this shape always fell back per query
-    fvec_qs = [
-        SearchQuery(
-            vector=_qvec(1000 + i),
-            vector_field="embedding",
-            filters={"and": [{"field": "lang", "value": "python"}]},
-            limit=10,
+        vec_idx = os.path.join(work, "idx_vec")
+        eng_vec = RetrievalEngine(spark, vec_idx)
+        src_vec = corpus_df(
+            spark, n_files, partitions=shuffle_parts * 2, embedding_dim=64
         )
-        for i in range(100)
-    ]
-    tb = time.time()
-    eng_vec.batch_search(fvec_qs).collect()
-    fvec_sec = time.time() - tb
-    timings["batch100_vec_filtered"] = round(fvec_sec, 3)
+        tb = time.time()
+        eng_vec.build(src_vec, cfg=cfg, resume=False)
+        eng_vec.build_vector_ann("embedding", kind="ivf")  # adaptive sqrt(N) clusters (r5)
+        vec_build_sec = time.time() - tb
+        timings["vec_build"] = round(vec_build_sec, 3)
+
+        def _qvec(seed: int):
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(64)
+            return [float(x) for x in (v / np.linalg.norm(v))]
+
+        vec_qs = []
+        for i in range(100):
+            if i % 5 == 0:
+                vec_qs.append(
+                    SearchQuery(
+                        vector=_qvec(i), vector_field="embedding", limit=10
+                    )
+                )
+            else:
+                vec_qs.append(
+                    SearchQuery(
+                        keyword=mixed_shapes[i % len(mixed_shapes)](i),
+                        fields=["content"],
+                        limit=10,
+                    )
+                )
+        eng_vec.batch_search(vec_qs[:5]).collect()  # warm the probe path
+        tb = time.time()
+        eng_vec.batch_search(vec_qs).collect()
+        vec_mixed_sec = time.time() - tb
+        timings["batch100_vec_mixed"] = round(vec_mixed_sec, 3)
+
+        # FILTERED vector batch (round 5): the gated shared probe with the
+        # per-query can-fill-k contract (knn.batch_vector_winners_ann_
+        # filtered) — previously this shape always fell back per query
+        fvec_qs = [
+            SearchQuery(
+                vector=_qvec(1000 + i),
+                vector_field="embedding",
+                filters={"and": [{"field": "lang", "value": "python"}]},
+                limit=10,
+            )
+            for i in range(100)
+        ]
+        tb = time.time()
+        eng_vec.batch_search(fvec_qs).collect()
+        fvec_sec = time.time() - tb
+        timings["batch100_vec_filtered"] = round(fvec_sec, 3)
 
     total = build_sec + sum(q_times)
     out = {
@@ -229,12 +237,14 @@ def main() -> None:
         "query_p50_sec": round(statistics.median(q_times), 3),
         "batch_queries_per_sec": round(100.0 / batch_sec, 1),
         "batch_mixed_queries_per_sec": round(100.0 / mixed_sec, 1),
-        "batch_vec_mixed_queries_per_sec": round(100.0 / vec_mixed_sec, 1),
-        "batch_vec_filtered_queries_per_sec": round(100.0 / fvec_sec, 1),
         "cpus": cpus,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
     }
+    if vec_mixed_sec is not None:
+        out["batch_vec_mixed_queries_per_sec"] = round(100.0 / vec_mixed_sec, 1)
+    if fvec_sec is not None:
+        out["batch_vec_filtered_queries_per_sec"] = round(100.0 / fvec_sec, 1)
     print(json.dumps(out))
 
 
