@@ -356,6 +356,7 @@ class RetrievalEngine:
             idx = LshVectorIndex(path, **params)
             probe = probe or {"probe_hamming": 2}
         elif kind == "ivf":
+            n_vec = None
             if "num_clusters" not in params:
                 # classic IVF sizing: √N centroids (FAISS guidance),
                 # clamped to [16, 4096] — keeps a probe at ~√N vectors
@@ -368,9 +369,16 @@ class RetrievalEngine:
                 }
             idx = IvfVectorIndex(path, **params)
             probe = probe or {"nprobe": 4}
+            # the sizing count doubles as the build's sample-fit count
+            # (round 6) — one fewer full-scan job
+            idx.build(
+                docs, "_id", vector_field, dim=dim,
+                extra_cols=("__docid",), n_vec=n_vec,
+            )
         else:
             raise ValueError(f"unknown ANN kind {kind!r}")
-        idx.build(docs, "_id", vector_field, dim=dim, extra_cols=("__docid",))
+        if kind == "lsh":
+            idx.build(docs, "_id", vector_field, dim=dim, extra_cols=("__docid",))
         state = {
             "kind": kind,
             "field": vector_field,

@@ -472,11 +472,16 @@ class IvfVectorIndex:
     scores candidates with the exact Catalyst cosine. ``nprobe >=
     num_clusters`` degrades to an exact scan (the correctness oracle).
 
-    Scale shape: every k-means iteration is one narrow assignment pass
-    (Arrow-batched numpy matmul, no per-row Python) plus one
-    posexplode→groupBy(cluster, pos) partial-agg shuffle whose key
-    space is num_clusters × dim (thousands), independent of corpus
-    size; only num_clusters × dim floats ever reach the driver.
+    Scale shape (round 6): centroids are FIT on a bounded deterministic
+    sample (FAISS-style train-on-sample: ≤ max(64·k, 4096) vectors,
+    hash-selected so the sample is a pure function of the ids), with
+    the k-means iterations running in numpy on the driver — zero Spark
+    jobs per iteration — and the corpus then pays exactly ONE
+    distributed assignment pass (Arrow-batched numpy matmul) feeding
+    the partitioned write. Per build the driver holds sample_size × dim
+    floats (a few MB), independent of corpus size; the previous shape
+    (5 full-corpus passes + a posexplode shuffle of N × dim rows per
+    iteration) is gone.
 
     Reference capability matched: persisted per-shard ANN index
     (Lucene HNSW, XLucene95HnswVectorsFormat.java:119-149) — same
@@ -541,6 +546,7 @@ class IvfVectorIndex:
         vec_col: str,
         dim: int,
         extra_cols: Sequence[str] = (),
+        n_vec: Optional[int] = None,
     ) -> None:
         # NULL vectors are skipped (same contract as LshVectorIndex.build:
         # partial-embedding tables must build, not crash in _assign_udf)
@@ -549,51 +555,55 @@ class IvfVectorIndex:
             F.col(vec_col).cast("array<float>").alias("vec"),
             *[F.col(c) for c in extra_cols],
         )
-        # deterministic init: first num_clusters vectors in id order
-        # (id order, not data order, so re-builds are reproducible).
-        # Fewer rows than clusters → shrink k to the row count (every
-        # row its own centroid) instead of crashing in the update step.
-        init = base.orderBy("id").limit(self.num_clusters).collect()
-        if not init:
+        # ---- fit centroids on a bounded deterministic sample ------------
+        # The training set is hash-selected (pure function of the ids, so
+        # rebuilds reproduce) and bounded at max(64·k, 4096) vectors —
+        # ample per FAISS train-on-sample guidance — then the k-means
+        # loop runs entirely in numpy on the driver. Small tables (≤ the
+        # bound) train on every vector, exactly the old full-data fit.
+        if n_vec is None:
+            n_vec = base.count()
+        if n_vec == 0:
             raise ValueError(
                 "IvfVectorIndex.build: no rows with a non-null vector"
             )
-        self.num_clusters = min(self.num_clusters, len(init))
-        cent = np.asarray([r.vec for r in init], dtype=np.float64)
-        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-
-        norm = F.sqrt(
-            F.aggregate(
-                F.col("vec").cast("array<double>"),
-                F.lit(0.0),
-                lambda acc, x: acc + x * x,
+        self.num_clusters = min(self.num_clusters, n_vec)
+        target = max(64 * self.num_clusters, 4096)
+        modulus = max(1, n_vec // target)
+        samp = base.select("id", "vec")
+        if modulus > 1:
+            samp = samp.filter(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(modulus)) == 0
             )
+        sample_pd = samp.toPandas()
+        if len(sample_pd) < self.num_clusters:
+            # hash-sample underflow (pathological id distribution):
+            # train on everything rather than degrade k
+            sample_pd = base.select("id", "vec").toPandas()
+        sample_pd = sample_pd.sort_values("id", kind="mergesort")
+        vecs = np.stack(sample_pd["vec"].to_numpy()).astype(np.float64)
+        unit = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
         )
-        unit = base.withColumn(
-            "unit", F.transform("vec", lambda x: x / F.greatest(norm, F.lit(1e-12)))
-        )
+        self.num_clusters = min(self.num_clusters, unit.shape[0])
+        # deterministic init: first num_clusters sample vectors in id
+        # order (id order, not data order, so re-builds are reproducible)
+        cent = unit[: self.num_clusters].copy()
         for _ in range(self.max_iters):
-            assigned = unit.withColumn("cluster", self._assign_udf(cent)(F.col("vec")))
-            sums = (
-                assigned.select("cluster", F.posexplode("unit").alias("pos", "val"))
-                .groupBy("cluster", "pos")
-                .agg(F.sum("val").alias("s"))
-                .collect()
-            )
-            new_cent = cent.copy()
+            assign = np.argmax(unit @ cent.T, axis=1)
             acc = np.zeros((self.num_clusters, dim), dtype=np.float64)
-            seen = np.zeros(self.num_clusters, dtype=bool)
-            for r in sums:
-                acc[int(r.cluster), int(r.pos)] = float(r.s)
-                seen[int(r.cluster)] = True
+            np.add.at(acc, assign, unit)
+            seen = np.bincount(assign, minlength=self.num_clusters) > 0
             nz = np.linalg.norm(acc, axis=1)
             upd = seen & (nz > 1e-12)
+            new_cent = cent.copy()
             new_cent[upd] = acc[upd] / nz[upd, None]
             if np.allclose(new_cent, cent, atol=1e-9):
                 cent = new_cent
                 break
             cent = new_cent
 
+        # ---- ONE distributed pass: assign + partitioned write -----------
         final = base.withColumn("cluster", self._assign_udf(cent)(F.col("vec")))
         (
             final.repartition("cluster")
