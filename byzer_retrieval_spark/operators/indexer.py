@@ -489,6 +489,393 @@ def _partial_postings_builder(
     return gen
 
 
+# ---------------------------------------------------------------------------
+# Segment-shuffle postings build (round 6, guide §8: shuffle lightweight
+# proxies, not per-row payloads). Stage A packs each (shard, field, term,
+# split) run it sees in a batch into ONE segment row — docs/tfs/dls as
+# varbyte streams, positions as the concatenated per-posting runs plus a
+# per-posting length stream — so the build shuffle and the stage-B
+# JVM→Python Arrow boundary move ~20x fewer rows than the per-posting
+# layout (measured 22M posting rows → ~1M segment rows on the 500k-file
+# bench corpus; term strings ship once per segment, doc ids ship as
+# ~2-byte gaps instead of 8-byte longs). Stage B decodes, merge-sorts
+# each group's postings by doc id, and re-cuts the IDENTICAL 128-posting
+# blocks the per-posting pipeline produced. The per-posting builders
+# below stay for the incremental paths (mutate.upsert/compact operate on
+# small batches where row-count overhead doesn't matter).
+# ---------------------------------------------------------------------------
+
+POSTING_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("shard_id", IntegerType(), False),
+        StructField("field", StringType(), False),
+        StructField("term", StringType(), False),
+        StructField("split_id", IntegerType(), False),
+        StructField("n", IntegerType(), False),
+        StructField("doc_gaps", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+        StructField("dls", BinaryType(), False),
+        StructField("pos_lens", BinaryType(), False),
+        StructField("positions", BinaryType(), False),
+    ]
+)
+
+
+def _segment_postings_builder(
+    field_name: str,
+    hot_terms: List[str],
+    split_threshold: int,
+    quantize: bool,
+):
+    """Stage A (segment form): mapInArrow over (shard_id, __docid,
+    toks:array<string>) emitting one row per (shard, term, split) run in
+    the batch. Tokens are lexsorted by (term, doc id) — doc id, not
+    batch row, so each segment's doc stream is ascending and gap-encodes
+    — then collapsed to postings exactly like the per-posting stage A;
+    the per-segment binary columns are zero-copy slices of one flat
+    varbyte pass each."""
+    hot = frozenset(hot_terms)
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from byzer_retrieval_spark.functions.bm25 import quantize_dl
+        from byzer_retrieval_spark.functions.encoding import varbyte_runs_arrow
+
+        pa.set_cpu_count(1)
+        local_mask = np.int64((1 << DOC_BITS) - 1)
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb]).combine_chunks()
+            n_docs = tbl.num_rows
+            if n_docs == 0:
+                continue
+            toks = tbl.column("toks").chunk(0)
+            counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            flat = pc.list_flatten(toks)
+            dic = pc.dictionary_encode(flat)
+            codes = dic.indices.to_numpy().astype(np.int64)
+            uniq = dic.dictionary
+
+            docids = tbl.column("__docid").to_numpy().astype(np.int64)
+            shards = tbl.column("shard_id").to_numpy().astype(np.int64)
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+            # stable sort by (term, DOC ID): ascending docs per term make
+            # the segment gap-encodable; ties (same term+doc) keep batch
+            # order so positions stay ascending per posting
+            tok_docid = docids[doc_idx]
+            order = np.lexsort((tok_docid, codes))
+            s_code = codes[order]
+            s_docid = tok_docid[order]
+            s_doc = doc_idx[order]
+            s_pos = pos[order]
+
+            change = np.empty(total, dtype=bool)
+            change[0] = True
+            change[1:] = (s_code[1:] != s_code[:-1]) | (s_docid[1:] != s_docid[:-1])
+            p_start = np.nonzero(change)[0]
+            np_post = p_start.size
+            p_end = np.empty(np_post, dtype=np.int64)
+            p_end[:-1] = p_start[1:]
+            p_end[-1] = total
+            tf = (p_end - p_start).astype(np.int64)
+
+            # per-posting position deltas (first absolute, rest >= 1),
+            # one varbyte pass sliced per posting
+            pos_deltas = np.empty(total, dtype=np.int64)
+            pos_deltas[0] = s_pos[0]
+            np.subtract(s_pos[1:], s_pos[:-1], out=pos_deltas[1:])
+            pos_deltas[p_start] = s_pos[p_start]
+            pos_arr = varbyte_runs_arrow(pos_deltas, p_start)
+            pos_off = np.frombuffer(pos_arr.buffers()[1], dtype=np.int32).astype(
+                np.int64
+            )
+            pos_run_lens = pos_off[1:] - pos_off[:-1]
+
+            post_doc_idx = s_doc[p_start]
+            post_docid = s_docid[p_start]
+            dl_doc = counts if not quantize else quantize_dl(counts)
+            post_dls = dl_doc[post_doc_idx]
+            post_code = s_code[p_start]
+            post_shard = shards[post_doc_idx]
+
+            if hot:
+                u = uniq.to_pylist()
+                hot_mask = np.fromiter(
+                    (t in hot for t in u), dtype=bool, count=len(u)
+                )
+                is_hot = hot_mask[post_code]
+                split = np.where(
+                    is_hot, (post_docid & local_mask) // split_threshold, 0
+                ).astype(np.int64)
+            else:
+                split = np.zeros(np_post, dtype=np.int64)
+
+            # segment boundaries: term/split/shard change (docs ascending
+            # within a term means shard — the docid high bits — and the
+            # doc-range split are both monotone runs)
+            seg_change = np.empty(np_post, dtype=bool)
+            seg_change[0] = True
+            seg_change[1:] = (
+                (post_code[1:] != post_code[:-1])
+                | (split[1:] != split[:-1])
+                | (post_shard[1:] != post_shard[:-1])
+            )
+            seg_starts = np.nonzero(seg_change)[0]
+            n_seg = seg_starts.size
+            seg_ends = np.empty(n_seg, dtype=np.int64)
+            seg_ends[:-1] = seg_starts[1:]
+            seg_ends[-1] = np_post
+
+            # doc gaps: first posting of a segment absolute, rest deltas
+            gaps = np.empty(np_post, dtype=np.int64)
+            gaps[0] = post_docid[0]
+            np.subtract(post_docid[1:], post_docid[:-1], out=gaps[1:])
+            gaps[seg_starts] = post_docid[seg_starts]
+
+            # per-segment positions: one zero-copy slice of the flat
+            # encoded buffer at segment boundaries
+            seg_pos_off = pos_off[np.append(seg_starts, np_post)].astype(np.int32)
+            seg_positions = pa.BinaryArray.from_buffers(
+                pa.binary(),
+                n_seg,
+                [None, pa.py_buffer(seg_pos_off.tobytes()), pos_arr.buffers()[2]],
+            )
+
+            take_idx = pa.array(post_code[seg_starts], type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        post_shard[seg_starts].astype(np.int32), type=pa.int32()
+                    ),
+                    pa.DictionaryArray.from_arrays(
+                        pa.array(np.zeros(n_seg, dtype=np.int32)),
+                        pa.array([field_name]),
+                    ).cast(pa.string()),
+                    uniq.take(take_idx),
+                    pa.array(split[seg_starts].astype(np.int32), type=pa.int32()),
+                    pa.array(
+                        (seg_ends - seg_starts).astype(np.int32), type=pa.int32()
+                    ),
+                    varbyte_runs_arrow(gaps, seg_starts),
+                    varbyte_runs_arrow(tf, seg_starts),
+                    varbyte_runs_arrow(post_dls.astype(np.int64), seg_starts),
+                    varbyte_runs_arrow(pos_run_lens, seg_starts),
+                    seg_positions,
+                ],
+                names=[f.name for f in POSTING_SEGMENT_SCHEMA.fields],
+            )
+
+    return gen
+
+
+def _decode_binary_stream(arr) -> np.ndarray:
+    """varbyte-decode the concatenation of every value in a BinaryArray
+    (segment streams are self-delimiting, so the concatenated buffer
+    decodes as the concatenated values)."""
+    from byzer_retrieval_spark.functions.encoding import varbyte_decode
+
+    off, val = _binary_region(arr)
+    return varbyte_decode(val[off[0] : off[-1]].tobytes())
+
+
+def _segment_merge_builder(block_size: int):
+    """Stage B (segment form): mapInArrow over the shuffled segment
+    stream, sorted by (shard, field, term, split). Decodes each batch's
+    segments in four flat varbyte passes, merge-sorts every group's
+    postings by doc id (segments from different map tasks interleave
+    arbitrarily), gathers the per-posting position runs into sorted
+    order with one vectorized byte gather, and re-cuts 128-posting
+    blocks — identical bytes to the per-posting pipeline. Carries the
+    trailing (possibly incomplete) group's segment rows across Arrow
+    batches."""
+
+    def keys(tbl, pc):
+        shard = tbl.column("shard_id").to_numpy().astype(np.int64)
+        split = tbl.column("split_id").to_numpy().astype(np.int64)
+        term_arr = tbl.column("term").chunk(0)
+        field_arr = tbl.column("field").chunk(0)
+        term_codes = pc.dictionary_encode(term_arr).indices.to_numpy()
+        field_codes = pc.dictionary_encode(field_arr).indices.to_numpy()
+        return shard, split, term_arr, field_arr, term_codes, field_codes
+
+    def emit(tbl, pc):
+        import pyarrow as pa
+
+        from byzer_retrieval_spark.functions.encoding import (
+            varbyte_encode_segments,
+        )
+
+        shard, split, term_arr, field_arr, term_codes, field_codes = keys(tbl, pc)
+        n_seg = tbl.num_rows
+        counts = tbl.column("n").to_numpy().astype(np.int64)
+        p_total = int(counts.sum())
+        if p_total == 0:
+            return None
+
+        seg_change = np.empty(n_seg, dtype=bool)
+        seg_change[0] = True
+        seg_change[1:] = (
+            (term_codes[1:] != term_codes[:-1])
+            | (field_codes[1:] != field_codes[:-1])
+            | (shard[1:] != shard[:-1])
+            | (split[1:] != split[:-1])
+        )
+        seg_first = np.nonzero(seg_change)[0]
+        group_of_seg = np.cumsum(seg_change) - 1
+        seg_starts = np.zeros(n_seg, dtype=np.int64)
+        np.cumsum(counts[:-1], out=seg_starts[1:])
+
+        # ---- decode the four flat streams -----------------------------
+        gaps = _decode_binary_stream(tbl.column("doc_gaps").chunk(0)).astype(
+            np.int64
+        )
+        tfs = _decode_binary_stream(tbl.column("tfs").chunk(0)).astype(np.int64)
+        dls = _decode_binary_stream(tbl.column("dls").chunk(0)).astype(np.int64)
+        pos_lens = _decode_binary_stream(
+            tbl.column("pos_lens").chunk(0)
+        ).astype(np.int64)
+
+        # absolute doc ids: per-segment cumsum (first value absolute)
+        c = np.cumsum(gaps)
+        docs = c - np.repeat((c - gaps)[seg_starts], counts)
+
+        # per-posting byte offsets into the batch's positions buffer
+        pos_arr = tbl.column("positions").chunk(0)
+        p_off, p_val = _binary_region(pos_arr)
+        cl = np.cumsum(pos_lens)
+        within = (cl - pos_lens) - np.repeat((cl - pos_lens)[seg_starts], counts)
+        orig_start = np.repeat(p_off[:-1], counts) + within
+
+        # ---- merge-sort each group's postings by doc id ---------------
+        group_of_post = np.repeat(group_of_seg, counts)
+        order = np.lexsort((docs, group_of_post))
+        docs_s = docs[order]
+        tfs_s = tfs[order]
+        dls_s = dls[order]
+        g_s = group_of_post[order]
+        lens_s = pos_lens[order]
+        starts_s = orig_start[order]
+
+        # gather position runs into sorted order (one vectorized pass)
+        out_off = np.zeros(p_total + 1, dtype=np.int64)
+        np.cumsum(lens_s, out=out_off[1:])
+        total_b = int(out_off[-1])
+        ranges = (
+            np.arange(total_b, dtype=np.int64)
+            - np.repeat(out_off[:-1], lens_s)
+            + np.repeat(starts_s, lens_s)
+        )
+        pos_buf = np.ascontiguousarray(p_val[ranges])
+
+        # ---- re-cut 128-posting blocks --------------------------------
+        key_change = np.empty(p_total, dtype=bool)
+        key_change[0] = True
+        key_change[1:] = g_s[1:] != g_s[:-1]
+        group_start = np.nonzero(key_change)[0]
+        group_id = np.cumsum(key_change) - 1
+        offset_in_group = np.arange(p_total, dtype=np.int64) - group_start[group_id]
+        new_block = (offset_in_group % block_size) == 0
+        block_start = np.nonzero(new_block)[0]
+        nblk = block_start.size
+        block_end = np.empty(nblk, dtype=np.int64)
+        block_end[:-1] = block_start[1:]
+        block_end[-1] = p_total
+
+        bgaps = np.empty(p_total, dtype=np.int64)
+        bgaps[0] = 0
+        np.subtract(docs_s[1:], docs_s[:-1], out=bgaps[1:])
+        bgaps[block_start] = 0
+
+        blk_off = out_off[np.append(block_start, p_total)].astype(np.int32)
+        positions = pa.BinaryArray.from_buffers(
+            pa.binary(),
+            nblk,
+            [None, pa.py_buffer(blk_off.tobytes()), pa.py_buffer(pos_buf)],
+        )
+
+        take_idx = pa.array(seg_first[g_s[block_start]], type=pa.int64())
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    shard[seg_first[g_s[block_start]]].astype(np.int32),
+                    type=pa.int32(),
+                ),
+                field_arr.take(take_idx),
+                term_arr.take(take_idx),
+                pa.array(docs_s[block_start], type=pa.int64()),
+                pa.array(docs_s[block_end - 1], type=pa.int64()),
+                pa.array(
+                    (block_end - block_start).astype(np.int32), type=pa.int32()
+                ),
+                pa.array(
+                    np.maximum.reduceat(tfs_s, block_start).astype(np.int32),
+                    type=pa.int32(),
+                ),
+                pa.array(
+                    np.minimum.reduceat(dls_s, block_start).astype(np.int32),
+                    type=pa.int32(),
+                ),
+                pa.array(np.add.reduceat(tfs_s, block_start), type=pa.int64()),
+                pa.array(
+                    varbyte_encode_segments(bgaps, block_start), type=pa.binary()
+                ),
+                pa.array(
+                    varbyte_encode_segments(tfs_s, block_start), type=pa.binary()
+                ),
+                pa.array(
+                    varbyte_encode_segments(dls_s, block_start), type=pa.binary()
+                ),
+                positions,
+            ],
+            names=[f.name for f in POSTING_BLOCK_SCHEMA.fields],
+        )
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pa.set_cpu_count(1)
+        carry = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl])
+            tbl = tbl.combine_chunks()
+            if tbl.num_rows == 0:
+                carry = None
+                continue
+            shard, split, term_arr, field_arr, term_codes, field_codes = keys(
+                tbl, pc
+            )
+            neq = (
+                (term_codes != term_codes[-1])
+                | (field_codes != field_codes[-1])
+                | (shard != shard[-1])
+                | (split != split[-1])
+            )
+            tail_start = int(np.nonzero(neq)[0][-1]) + 1 if neq.any() else 0
+            carry = tbl.slice(tail_start)
+            if tail_start == 0:
+                continue
+            out = emit(tbl.slice(0, tail_start).combine_chunks(), pc)
+            if out is not None:
+                yield out
+        if carry is not None and carry.num_rows:
+            out = emit(carry.combine_chunks(), pc)
+            if out is not None:
+                yield out
+
+    return gen
+
+
 def _blocks_from_postings(
     shard: np.ndarray,
     field_codes: np.ndarray,
@@ -872,14 +1259,17 @@ def build_index(
                 # ---- pass 3: two-stage postings build (north_star shape)
                 # Stage A (NARROW): tokenize JVM-side, ship token ARRAYS
                 # (flat string buffer + offsets, not exploded rows) into a
-                # mapInArrow that collapses them to per-(term, doc) posting
-                # rows with positions pre-encoded — the shuffle then moves
-                # postings (5.3x fewer rows than tokens on the code
-                # corpus), not occurrences.
+                # mapInArrow that packs them into per-(term, split)
+                # SEGMENT rows (round 6, guide §8) — docs/tfs/dls as
+                # varbyte streams, positions pre-encoded — so the shuffle
+                # moves ~20x fewer rows than per-posting layout (term
+                # strings once per segment, doc ids as gaps, ~100x fewer
+                # rows than token occurrences).
                 # Stage B: cluster-by (shard, field, term, split) +
-                # in-partition sort, then a streaming merge re-cuts
-                # 128-posting blocks by concatenating per-posting position
-                # byte runs (O(1)/block).
+                # in-partition sort over the segment rows, then a
+                # streaming merge decodes, doc-sorts and re-cuts
+                # 128-posting blocks (identical bytes to the per-posting
+                # pipeline).
                 partial_frames = []
                 for f_name in cfg.analyzed_fields:
                     toks_col = (
@@ -891,7 +1281,7 @@ def build_index(
                         staged.select(
                             "shard_id", "__docid", toks_col.alias("toks")
                         ).mapInArrow(
-                            _partial_postings_builder(
+                            _segment_postings_builder(
                                 f_name,
                                 hot_terms,
                                 cfg.hot_term_split_threshold,
@@ -901,7 +1291,7 @@ def build_index(
                                 # (SURVEY §1.3)
                                 cfg.lucene_dl_quantization,
                             ),
-                            schema=PARTIAL_POSTING_SCHEMA,
+                            schema=POSTING_SEGMENT_SCHEMA,
                         )
                     )
                 posting_rows = partial_frames[0]
@@ -910,10 +1300,11 @@ def build_index(
                 blocks = (
                     posting_rows.repartition("shard_id", "field", "term", "split_id")
                     .sortWithinPartitions(
-                        "shard_id", "field", "term", "split_id", "__docid"
+                        "shard_id", "field", "term", "split_id"
                     )
                     .mapInArrow(
-                        _merge_block_builder(cfg.block_size), schema=POSTING_BLOCK_SCHEMA
+                        _segment_merge_builder(cfg.block_size),
+                        schema=POSTING_BLOCK_SCHEMA,
                     )
                 )
                 _pt = time.time()
