@@ -784,17 +784,28 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
         # (column pruning keeps the varbyte column off phrase-free scans)
         block_cols.append("positions")
     base = ctx.postings().filter(F.col("field").isin(fields) & term_pred)
+    # Same shape choice as wand.search_wand (round 6): window-df from
+    # the scan unless prefix stems make the term set unbounded.
+    stats_by_window = not prefix_stems
     if ctx.per_shard_stats:
         # per-shard-stats mode (round 5 — reference numNodes>1 parity in
         # the one-job batch): per-(field, term, shard) df from the same
         # scan, per-shard N/avgdl from the snapshot — same treatment as
         # wand.search_wand
-        stats = base.groupBy("field", "term", "shard_id").agg(
-            F.sum("df_block").alias("df")
-        )
-        blocks = base.select(*block_cols).join(
-            F.broadcast(stats), ["field", "term", "shard_id"]
-        )
+        if stats_by_window:
+            blocks = base.select(*block_cols, "df_block").withColumn(
+                "df",
+                F.sum("df_block").over(
+                    Window.partitionBy("field", "term", "shard_id")
+                ),
+            ).drop("df_block")
+        else:
+            stats = base.groupBy("field", "term", "shard_id").agg(
+                F.sum("df_block").alias("df")
+            )
+            blocks = base.select(*block_cols).join(
+                F.broadcast(stats), ["field", "term", "shard_id"]
+            )
         field_stats = {
             f: {
                 int(s): (float(st["n_docs"]), float(st["avgdl"]))
@@ -803,14 +814,24 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
             for f in fields
         }
     else:
-        stats = (
-            ctx.stats()
-            .filter(F.col("field").isin(fields) & term_pred)
-            .select("field", "term", "df")
-        )
-        blocks = base.select(*block_cols).join(
-            F.broadcast(stats), ["field", "term"]
-        )
+        # df from the same term-pruned scan (round 6, same argument as
+        # wand.search_wand): the scan holds every block of a candidate
+        # term, so the window sum IS the stats-table df — no stats scan,
+        # no broadcast-build job
+        if stats_by_window:
+            blocks = base.select(*block_cols, "df_block").withColumn(
+                "df",
+                F.sum("df_block").over(Window.partitionBy("field", "term")),
+            ).drop("df_block")
+        else:
+            stats = (
+                ctx.stats()
+                .filter(F.col("field").isin(fields) & term_pred)
+                .select("field", "term", "df")
+            )
+            blocks = base.select(*block_cols).join(
+                F.broadcast(stats), ["field", "term"]
+            )
         field_stats = {
             f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
         }

@@ -43,7 +43,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from byzer_retrieval_spark.operators.context import IndexContext
@@ -1335,10 +1335,15 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     for _, stem, _ in prefix_specs:
         term_pred = term_pred | F.col("term").startswith(stem)
 
-    # term stats ride along via a broadcast join of the (pruned) stats
-    # scan — no eager driver collect, so the whole search stays ONE job.
-    # A MUST term absent from the corpus simply never satisfies the
-    # must-count gate (no postings → no rows), matching Lucene.
+    # term stats come from the SAME term-pruned blocks scan (round 6):
+    # the term predicate prunes by term, never by shard, so the scan
+    # always holds every block of a candidate term and
+    # sum(df_block) over (field, term) IS the stats-table df — a window
+    # over the scanned blocks replaces the stats parquet scan and its
+    # broadcast-build job (one fewer sequential job per query; the
+    # window's exchange pipelines inside the main job). A MUST term
+    # absent from the corpus simply never satisfies the must-count gate
+    # (no postings → no rows), matching Lucene.
     block_cols = [
         "shard_id", "field", "term", "first_doc", "last_doc",
         "max_tf", "min_dl", "doc_gaps", "tfs", "dls",
@@ -1348,18 +1353,31 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         # the extra varbyte column off every non-phrase scan)
         block_cols.append("positions")
     base = ctx.postings().filter(F.col("field").isin(fields) & term_pred)
+    # Prefix clauses make the scanned term set unbounded (startswith) —
+    # there the window's exchange+sort of the whole scan costs more
+    # than the broadcast job it saves (measured q_prefix 0.5s → 0.86s),
+    # so prefix queries keep the broadcast-stats shape.
+    stats_by_window = not prefix_specs
     if ctx.per_shard_stats:
         # per-shard-stats mode (round 5 — reference numNodes>1 parity
-        # on the FAST path): df per (field, term, SHARD) aggregated
-        # from the same term-pruned scan, N/avgdl per shard from the
-        # snapshot — every WAND bound is already shard-local, so the
-        # block-max proof holds shard by shard with these inputs
-        stats = base.groupBy("field", "term", "shard_id").agg(
-            F.sum("df_block").alias("df")
-        )
-        blocks = base.select(*block_cols).join(
-            F.broadcast(stats), ["field", "term", "shard_id"]
-        )
+        # on the FAST path): df per (field, term, SHARD) from the same
+        # scan, N/avgdl per shard from the snapshot — every WAND bound
+        # is already shard-local, so the block-max proof holds shard by
+        # shard with these inputs
+        if stats_by_window:
+            blocks = base.select(*block_cols, "df_block").withColumn(
+                "df",
+                F.sum("df_block").over(
+                    Window.partitionBy("field", "term", "shard_id")
+                ),
+            ).drop("df_block")
+        else:
+            stats = base.groupBy("field", "term", "shard_id").agg(
+                F.sum("df_block").alias("df")
+            )
+            blocks = base.select(*block_cols).join(
+                F.broadcast(stats), ["field", "term", "shard_id"]
+            )
         field_stats = {
             f: {
                 int(s): (float(st["n_docs"]), float(st["avgdl"]))
@@ -1368,12 +1386,18 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
             for f in fields
         }
     else:
-        stats = ctx.stats().filter(
-            F.col("field").isin(fields) & term_pred
-        ).select("field", "term", "df")
-        blocks = base.select(*block_cols).join(
-            F.broadcast(stats), ["field", "term"]
-        )
+        if stats_by_window:
+            blocks = base.select(*block_cols, "df_block").withColumn(
+                "df",
+                F.sum("df_block").over(Window.partitionBy("field", "term")),
+            ).drop("df_block")
+        else:
+            stats = ctx.stats().filter(
+                F.col("field").isin(fields) & term_pred
+            ).select("field", "term", "df")
+            blocks = base.select(*block_cols).join(
+                F.broadcast(stats), ["field", "term"]
+            )
         field_stats = {
             f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
         }
