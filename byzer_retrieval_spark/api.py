@@ -69,6 +69,16 @@ class RetrievalEngine:
         if hit is not None and hit[0] == sid:
             return hit[1]
         ctx = IndexContext.open(self.query_spark, store)
+        # shuffle partitions sized to the index, not the session default
+        # (round 6): every query-path exchange keys on shard_id (scorer
+        # cogroups, gate frames), whose cardinality IS num_shards —
+        # partitions beyond that are empty tasks that still pay Python
+        # worker round trips. Scale-adaptive by construction: a 100 TB
+        # table has thousands of shards and gets thousands of partitions.
+        self.query_spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, int(ctx.meta.get("num_shards", 8)))),
+        )
         self._ctx_cache[key] = (sid, ctx)
         return ctx
 
