@@ -1304,11 +1304,16 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     prefix_specs = tuple(prefix_list)
     # fuzzy clauses expand against the term dictionary first (tiny
     # stats-table scan ≙ Lucene's FuzzyQuery automaton walk), then ride
-    # as constant-score term-set clauses
-    from byzer_retrieval_spark.operators.filtering import expand_fuzzy
+    # as constant-score term-set clauses. All distinct specs expand in
+    # ONE job via expand_fuzzy_many (round 6 — a single query with
+    # several fuzzies paid one small driver job per spec before).
+    from byzer_retrieval_spark.operators.filtering import expand_fuzzy_many
 
+    fuzzy_expansions = expand_fuzzy_many(
+        ctx, [(tuple(fields), w, int(n)) for _, (w, n), _ in fuzzy_items]
+    )
     termset_specs = tuple(
-        (key, expand_fuzzy(ctx, fields, w, n), kind)
+        (key, fuzzy_expansions[(tuple(fields), w, int(n))], kind)
         for key, (w, n), kind in fuzzy_items
     )
 
