@@ -93,6 +93,28 @@ def _remove_docids(
     )
 
 
+class _AnnReaderMemo:
+    """Shared by both index classes: memoize the partitioned-data
+    DataFrame reader per SparkSession. Constructing it costs a
+    driver-side listing + partition discovery over every bucket/cluster
+    directory (measured 1.6-3.4 s on a 707-cluster index) and was paid
+    on EVERY probe; the file set only changes when THIS instance writes
+    (build/append/compact/remove), which drops the memo. Engine-level
+    callers key cached instances by the ANN state, so a foreign writer
+    (new snapshot) always lands on a fresh instance."""
+
+    def _data(self, spark: SparkSession) -> DataFrame:
+        cache = self.__dict__.setdefault("_data_memo", {})
+        hit = cache.get(id(spark))
+        if hit is None:
+            hit = spark.read.parquet(self.data_path)
+            cache[id(spark)] = hit
+        return hit
+
+    def _drop_data_memo(self) -> None:
+        self.__dict__.pop("_data_memo", None)
+
+
 def _qnorm(q: Sequence[float]) -> float:
     # sequential left-to-right accumulation — the SQL oracle embeds this
     # exact literal so both engines share it bit-for-bit
@@ -202,7 +224,7 @@ def probe_buckets(qb: int, num_planes: int, probe_hamming: int) -> List[int]:
     return out
 
 
-class LshVectorIndex:
+class LshVectorIndex(_AnnReaderMemo):
     """Persisted random-hyperplane LSH index (the build-time ANN path).
 
     Layout: ``path/data/tbl=<t>/bucket=<b>/*.parquet`` storing
@@ -293,6 +315,7 @@ class LshVectorIndex:
                 },
                 f,
             )
+        self._drop_data_memo()
 
     def _extra_cols(self) -> List[str]:
         try:
@@ -332,15 +355,18 @@ class LshVectorIndex:
             .mode("append")
             .parquet(self.data_path)
         )
+        self._drop_data_memo()
 
     def compact(self, spark: SparkSession) -> None:
         """Fold append-generated small files back to one file set per
         (tbl, bucket) partition — see _rewrite_data_dir."""
         _rewrite_data_dir(spark, self.data_path, ["tbl", "bucket"])
+        self._drop_data_memo()
 
     def remove_docids(self, spark: SparkSession, dead_ids: DataFrame) -> None:
         """Physically drop dead rows (post-compact maintenance)."""
         _remove_docids(spark, self.data_path, ["tbl", "bucket"], dead_ids)
+        self._drop_data_memo()
 
     def probe_condition(self, query: Sequence[float], probe_hamming: int):
         """This query's probe set as a predicate on the index PARTITION
@@ -395,7 +421,7 @@ class LshVectorIndex:
         dead version)."""
         cols = ["id", "vec"] + self._extra_cols()
         dedup_cols = ["id"] + self._extra_cols()
-        data = spark.read.parquet(self.data_path)
+        data = self._data(spark)
         cond = self.probe_condition(query, probe_hamming)
         if probe_hamming >= self.num_planes:
             return data.filter(cond).select(*cols)
@@ -421,7 +447,7 @@ class LshVectorIndex:
         bucket in ANY table (one shuffle join on the (tbl, bucket) key —
         never all-pairs), then verified with the exact cosine. The
         scalable replacement for dedup.embedding_dup_pairs' self-join."""
-        data = spark.read.parquet(self.data_path).select("tbl", "bucket", "id", "vec")
+        data = self._data(spark).select("tbl", "bucket", "id", "vec")
         a, b_ = data.alias("a"), data.alias("b")
         cand = (
             a.join(
@@ -459,7 +485,7 @@ class LshVectorIndex:
         )
 
 
-class IvfVectorIndex:
+class IvfVectorIndex(_AnnReaderMemo):
     """Persisted IVF (inverted-file) ANN index: spherical k-means.
 
     The second classic build-time ANN structure next to LSH bucketing
@@ -624,6 +650,7 @@ class IvfVectorIndex:
                 f,
             )
         self._cent_cache = cent.astype(np.float64)
+        self._drop_data_memo()
 
     def _extra_cols(self) -> List[str]:
         try:
@@ -653,15 +680,18 @@ class IvfVectorIndex:
             .mode("append")
             .parquet(self.data_path)
         )
+        self._drop_data_memo()
 
     def compact(self, spark: SparkSession) -> None:
         """Fold append-generated small files back to one file set per
         cluster partition — see _rewrite_data_dir."""
         _rewrite_data_dir(spark, self.data_path, ["cluster"])
+        self._drop_data_memo()
 
     def remove_docids(self, spark: SparkSession, dead_ids: DataFrame) -> None:
         """Physically drop dead rows (post-compact maintenance)."""
         _remove_docids(spark, self.data_path, ["cluster"], dead_ids)
+        self._drop_data_memo()
 
     def probe_condition(self, query: Sequence[float], nprobe: int):
         """The nprobe nearest clusters as a predicate on the index
@@ -689,7 +719,7 @@ class IvfVectorIndex:
         """(id, vec, extras) of the nprobe nearest clusters — partition
         filters only; nprobe >= num_clusters scans the whole index."""
         cols = ["id", "vec"] + self._extra_cols()
-        data = spark.read.parquet(self.data_path)
+        data = self._data(spark)
         return data.filter(self.probe_condition(query, nprobe)).select(*cols)
 
     def probe_clusters(self, query: Sequence[float], nprobe: int) -> List[int]:

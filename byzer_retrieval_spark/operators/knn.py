@@ -141,7 +141,7 @@ def _batch_tagged_candidates(ctx: IndexContext, items, index, **probe_kw):
                 key_rows = None  # someone needs a full scan → fallback
             else:
                 key_rows.extend((int(qid), *k) for k in pk)
-    data = spark.read.parquet(index.data_path)
+    data = index._data(spark)
     if key_rows is not None:
         kdf = spark.createDataFrame(
             key_rows,
