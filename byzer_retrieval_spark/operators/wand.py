@@ -268,6 +268,47 @@ def _phrase_match(
     dr0, adj0 = _adjusted(0, terms[0])
     a_keys = (dr0 << np.int64(32)) | (adj0 + OFF)
     rep = len(set(terms)) < len(terms)
+
+    if len(terms) == 2 and not rep:
+        # two distinct terms (the common NEAR shape, round 6): the
+        # window condition ∃w∈[a-L,a]: w ≤ m' ≤ w+L collapses to
+        # |a - m'| ≤ L, so each anchor's minimal matchLength is just
+        # the distance to its nearest same-doc member position — one
+        # searchsorted over the packed (doc_rank << 32 | adjusted+OFF)
+        # keys instead of the per-L window/unique/intersect loop
+        # (identical weights by the equivalence above; pinned by the
+        # sloppy-parity tests). Keys are ascending (docs sorted,
+        # positions ascending per doc) — sort defensively anyway.
+        dr_m, adj_m = members[0]
+        m_keys = np.sort((dr_m << np.int64(32)) | (adj_m + OFF))
+        if m_keys.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ins = np.searchsorted(m_keys, a_keys)
+        big = np.int64(1) << np.int64(40)  # > any position distance
+        left = np.maximum(ins - 1, 0)
+        right = np.minimum(ins, m_keys.size - 1)
+        dl_ = np.where(
+            (ins > 0) & ((m_keys[left] >> np.int64(32)) == dr0),
+            a_keys - m_keys[left],
+            big,
+        )
+        dr_ = np.where(
+            (ins < m_keys.size) & ((m_keys[right] >> np.int64(32)) == dr0),
+            m_keys[right] - a_keys,
+            big,
+        )
+        lmin = np.minimum(dl_, dr_)
+        matched = lmin <= slop
+        if not matched.any():
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        didx = (a_keys[matched] >> np.int64(32)).astype(np.int64)
+        ptf = np.bincount(
+            didx,
+            weights=1.0 / (lmin[matched].astype(np.float64) + 1.0),
+            minlength=cand.size,
+        )
+        hit = ptf > 0
+        return cand[hit], ptf[hit]
     weights = np.zeros(a_keys.size)
     pending = np.ones(a_keys.size, dtype=bool)
     posmap: Optional[Dict[str, dict]] = None
