@@ -1078,7 +1078,14 @@ class RetrievalEngine:
             )
             if fw is not None:
                 win_parts.append(fw.drop("_id"))
-            fallback.extend(under)
+            # underfilled PURE-vector members (round 6): share the exact
+            # scan per distinct filter tree (the stale-ANN machinery)
+            # instead of one per-query fallback each — an adversarial
+            # batch where no probe fills k stays O(distinct trees) jobs.
+            # Scores are the same zip_with/aggregate arithmetic as the
+            # per-query exact scan (bit-identical, r5-pinned).
+            exact_vec_items.extend(qq for qq in under if qq[1].limit)
+            fallback.extend(qq for qq in under if not qq[1].limit)
         if exact_vec_items:
             from byzer_retrieval_spark.operators.knn import (
                 batch_vector_winners_exact,

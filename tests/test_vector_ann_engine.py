@@ -668,3 +668,60 @@ def test_batch_exact_vector_members_without_ann(spark, tmp_path):
         ]
         assert by_qid.get(qid, []) == single, (qid, q.filters)
     assert len(by_qid.get(3, [])) == 4  # tight filter: all 4 matching docs
+
+
+def test_batch_underfilled_probes_share_exact_scan(vec_engine, monkeypatch):
+    """Round 6: underfilled gated vector probes (can't fill k) no longer
+    fall back one query at a time — they ride the shared exact scan per
+    distinct filter tree (the stale-ANN machinery). An adversarial
+    batch where NO probe fills k must (a) never call the per-query
+    search fallback and (b) still match per-query results exactly."""
+    import numpy as np
+
+    from byzer_retrieval_spark.operators import knn as knn_mod
+
+    def qv(seed):
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(64)
+        return [float(x) for x in (v / np.linalg.norm(v))]
+
+    tight_a = {"field": "doc_id", "min": 0, "max": 3}   # <= 4 docs
+    tight_b = {"field": "doc_id", "min": 5, "max": 7}   # <= 3 docs
+    qs = [
+        SearchQuery(
+            vector=qv(80 + i), vector_field="embedding", limit=10,
+            filters=(tight_a if i % 2 == 0 else tight_b),
+        )
+        for i in range(6)
+    ]
+    exact_calls = []
+    real_exact = knn_mod.batch_vector_winners_exact
+
+    def counting_exact(ctx, items):
+        exact_calls.append(sorted(int(qid) for qid, _ in items))
+        return real_exact(ctx, items)
+
+    monkeypatch.setattr(
+        knn_mod, "batch_vector_winners_exact", counting_exact
+    )
+    monkeypatch.setattr(
+        type(vec_engine), "search",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("per-query fallback used for underfilled probe")
+        ),
+    )
+    by_qid = {}
+    for r in vec_engine.batch_search(qs).collect():
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["_score"], 9))
+        )
+    monkeypatch.undo()
+    # every underfilled member answered through the ONE shared exact pass
+    assert exact_calls == [sorted(range(6))]
+    for qid, q in enumerate(qs):
+        single = [
+            (r["doc_id"], round(r["_score"], 9))
+            for r in vec_engine.search(q).collect()
+        ]
+        assert by_qid.get(qid, []) == single, (qid, q.filters)
+        assert 0 < len(by_qid[qid]) <= 4
