@@ -91,8 +91,9 @@ def main() -> None:
         eng_vec = RetrievalEngine(spark, os.path.join(vwork, "idx_vec"))
         spark.sparkContext.setJobDescription("vec: keyword build")
         t0 = time.time()
-        eng_vec.build(src_vec, cfg=cfg, resume=False)
+        m2 = eng_vec.build(src_vec, cfg=cfg, resume=False)
         out["vec_kw_build_sec"] = round(time.time() - t0, 3)
+        out["vec_kw_build_phases"] = m2.get("phase_timings", {})
         spark.sparkContext.setJobDescription("vec: ann build")
         t0 = time.time()
         eng_vec.build_vector_ann("embedding", kind="ivf")

@@ -26,30 +26,36 @@ _THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
 BLOCK_SIZE = 128  # postings per block, mirrors Lucene's 128-doc blocks
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a 1-D array of non-negative ints to varbyte bytes."""
+def varbyte_encode(values: np.ndarray, nb: np.ndarray | None = None) -> bytes:
+    """Encode a 1-D array of non-negative ints to varbyte bytes.
+
+    ``nb`` (optional): precomputed ``varbyte_nbytes(values)`` — callers
+    that also need the per-value byte widths for slicing pass it in so
+    the threshold pass runs once (round 6).
+
+    Round 6: the per-byte-position scatter (``out[starts[mask]+j]``)
+    was the hottest kernel of the whole index build (~1 s per 3.4M
+    position deltas); the (N, maxb) byte matrix + one boolean compress
+    emits identical bytes 12x faster. Peak memory is ~2·maxb bytes per
+    value — bounded by the Arrow batch size upstream.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: 1 + number of thresholds passed
-    # (looped over the <=9 thresholds, not materialized as an NxK matrix,
-    # to keep peak memory ~1 byte/value for multi-million-posting groups)
-    nb = np.ones(v.size, dtype=np.int64)
-    for t in _THRESHOLDS:
-        m = v >= t
-        if not m.any():
-            break
-        nb += m
-    ends = np.cumsum(nb)
-    starts = ends - nb
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    if nb is None:
+        nb = varbyte_nbytes(v)
     maxb = int(nb.max())
+    if maxb == 1:
+        # common case for gaps/tfs/position deltas: every value < 128
+        return v.astype(np.uint8).tobytes()
+    mat = np.empty((v.size, maxb), dtype=np.uint8)
+    keep = np.empty((v.size, maxb), dtype=bool)
     for j in range(maxb):
-        mask = nb > j
-        byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
-        cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
-        out[starts[mask] + j] = byte | cont
-    return out.tobytes()
+        mat[:, j] = ((v >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        np.greater(nb, j, out=keep[:, j])
+        mat[:, j] |= ((nb - 1 > j).astype(np.uint8)) << 7
+    # row-major boolean compress = per-value bytes stay consecutive
+    return mat[keep].tobytes()
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:
@@ -91,10 +97,10 @@ def varbyte_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list:
     no per-block Python encoding loop.
     ``seg_starts``: sorted start indices (first must be 0).
     """
-    buf = varbyte_encode(values)
+    nb = varbyte_nbytes(values)
+    buf = varbyte_encode(values, nb)
     if len(seg_starts) == 0:
         return []
-    nb = varbyte_nbytes(values)
     ends = np.cumsum(nb)
     byte_starts = np.zeros(len(seg_starts), dtype=np.int64)
     byte_starts[1:] = ends[np.asarray(seg_starts[1:], dtype=np.int64) - 1]
@@ -141,8 +147,8 @@ def varbyte_runs_arrow(deltas: np.ndarray, run_starts: np.ndarray):
     import pyarrow as pa
 
     n_runs = len(run_starts)
-    enc = varbyte_encode(deltas)
     nb = varbyte_nbytes(deltas)
+    enc = varbyte_encode(deltas, nb)
     byte_ends = np.cumsum(nb)
     off = np.zeros(n_runs + 1, dtype=np.int32)
     if n_runs > 1:

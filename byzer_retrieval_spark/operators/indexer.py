@@ -1142,9 +1142,21 @@ def build_index(
     ]
 
     def _collect_fps(df) -> Dict[int, Dict[str, int]]:
+        # staged frames carry the per-row hash (__rowhash = the SAME
+        # xxhash64 expression, materialized in the staging scan) — the
+        # agg then reads two slim columns instead of re-hashing every
+        # source column (round 6; content is the fat one)
+        aggs = (
+            [
+                F.count("*").alias("cnt"),
+                F.expr("bit_xor(__rowhash)").alias("xor_hash"),
+            ]
+            if "__rowhash" in df.columns
+            else fp_agg
+        )
         return {
             int(r.shard_id): {"count": int(r.cnt), "xor_hash": int(r.xor_hash)}
-            for r in df.groupBy("shard_id").agg(*fp_agg).collect()
+            for r in df.groupBy("shard_id").agg(*aggs).collect()
         }
 
     phase_t = {}
@@ -1204,8 +1216,33 @@ def build_index(
         try:
             _fut_hot = _hot_ex.submit(_detect_hot_terms, pend, cfg, phase_t)
 
+            # dl + per-row fingerprint hash materialize IN the staging
+            # scan (round 6, guide §2.3 "don't compute things twice"):
+            # the docs pass previously re-tokenized every content cell
+            # (a second full regex pass over the corpus) and the fresh-
+            # build fingerprint agg re-hashed every column including
+            # content (a third full content scan) — both now read tiny
+            # staged columns instead, freeing cores while the postings
+            # chain (the critical path) runs concurrently.
+            to_stage = _assign_doc_ids(pend)
+            for f_name in cfg.analyzed_fields:
+                to_stage = to_stage.withColumn(
+                    f"dl_{f_name}",
+                    F.size(
+                        tokenize_udf(cfg.analyzer)(
+                            F.coalesce(F.col(f_name), F.lit(""))
+                        )
+                        if cfg.use_arrow_udf_tokenizer
+                        else tokenize_expr(
+                            F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer
+                        )
+                    ),
+                )
+            to_stage = to_stage.withColumn(
+                "__rowhash", F.expr("xxhash64(" + ", ".join(fp_cols) + ")")
+            )
             _pt = time.time()
-            _assign_doc_ids(pend).write.mode("overwrite").parquet(staged_path)
+            to_stage.write.mode("overwrite").parquet(staged_path)
             phase_t["stage_docids"] = round(time.time() - _pt, 2)
 
             # resolve the hot-term job BEFORE lowering the split-size
@@ -1248,17 +1285,11 @@ def build_index(
 
                 def _docs_pass() -> None:
                     _pt = time.time()
-                    # sha256 columns are already materialized in the staged
-                    # parquet (computed once at staging); only dl needs the
-                    # tokenizer here
+                    # sha256, dl and __rowhash are all materialized in the
+                    # staged parquet (computed once in the staging scan) —
+                    # this pass is now a pure column-pruned read that never
+                    # touches the analyzed content (round 6)
                     docs_out = staged
-                    for f_name in cfg.analyzed_fields:
-                        docs_out = docs_out.withColumn(
-                            f"dl_{f_name}",
-                            F.size(tokenize_expr(F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer))
-                            if not cfg.use_arrow_udf_tokenizer
-                            else F.size(tokenize_udf(cfg.analyzer)(F.coalesce(F.col(f_name), F.lit("")))),
-                        )
                     doc_cols = (
                         ["__docid", "_id", "shard_id"]
                         + stored
