@@ -286,6 +286,35 @@ def _make_batch_scorer(
                 )
             return hit
 
+        # (fld, terms, slop) → (pdocs, part): the phrase SCORE part
+        # array is also query-independent (idf_sum, dl gather, tfnorm
+        # depend only on field/shard stats) — round 6: 100 queries
+        # sharing one hot phrase re-ran the searchsorted dl gather +
+        # tfnorm arithmetic per query on ~10^4-row arrays
+        pm_parts: Dict[tuple, tuple] = {}
+
+        def _pm_part(fld: str, terms: tuple, slop: int):
+            hit = pm_parts.get((fld, terms, slop))
+            if hit is None:
+                pdocs, ptf = _pm(fld, terms, slop)
+                if pdocs.size == 0:
+                    part = np.empty(0, dtype=np.float64)
+                else:
+                    n_docs, avgdl = fs(fld)
+                    dfs = dfs_of[fld]
+                    idf_sum = sum(
+                        math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                        for t in terms
+                    )
+                    d0 = pdata[fld][terms[0]]
+                    dl = d0[2][np.searchsorted(d0[0], pdocs)].astype(np.float64)
+                    ptff = ptf.astype(np.float64)
+                    part = idf_sum * (
+                        ptff / (ptff + k1 * (1.0 - b + b * dl / avgdl))
+                    )
+                hit = pm_parts[(fld, terms, slop)] = (pdocs, part)
+            return hit
+
         # ---- group-member evaluation (round 5): +(...) gates and
         # nested-boolean groups accept ANY member kind — term members
         # read the shared decode, prefix/set members the vectorized
@@ -330,25 +359,9 @@ def _make_batch_scorer(
                 d = pdata.get(fld)
                 if d is None or any(t not in d for t in m[1]):
                     continue
-                pdocs, ptf = _pm(fld, m[1], m[2])
-                if pdocs.size == 0:
-                    continue
-                n_docs, avgdl = fs(fld)
-                dfs = dfs_of[fld]
-                idf_sum = sum(
-                    math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
-                    for t in m[1]
-                )
-                d0 = d[m[1][0]]
-                dl = d0[2][np.searchsorted(d0[0], pdocs)].astype(np.float64)
-                ptff = ptf.astype(np.float64)
-                out.append(
-                    (
-                        pdocs,
-                        idf_sum
-                        * (ptff / (ptff + k1 * (1.0 - b + b * dl / avgdl))),
-                    )
-                )
+                pdocs, part = _pm_part(fld, m[1], m[2])
+                if pdocs.size:
+                    out.append((pdocs, part))
             return out
 
         out_q, out_d, out_s = [], [], []
@@ -397,35 +410,13 @@ def _make_batch_scorer(
                     d = pdata.get(fld)
                     if d is None or any(t not in d for t in terms):
                         continue
-                    pm_key = (fld, terms, slop)
-                    pm_hit = pm_cache.get(pm_key)
-                    if pm_hit is None:
-                        pm_hit = pm_cache[pm_key] = _phrase_match(
-                            d, terms, slop
-                        )
-                    pdocs, ptf = pm_hit
+                    pdocs, part = _pm_part(fld, terms, slop)
                     if pdocs.size == 0:
                         continue
                     p_field_docs.append(pdocs)
                     if kind in ("should", "must"):
-                        n_docs, avgdl = fs(fld)
-                        dfs = dfs_of[fld]
-                        idf_sum = sum(
-                            math.log(
-                                1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)
-                            )
-                            for t in terms
-                        )
-                        d0 = d[terms[0]]
-                        dl = d0[2][np.searchsorted(d0[0], pdocs)].astype(
-                            np.float64
-                        )
-                        ptff = ptf.astype(np.float64)
                         doc_arrs.append(pdocs)
-                        part_arrs.append(
-                            idf_sum
-                            * (ptff / (ptff + k1 * (1.0 - b + b * dl / avgdl)))
-                        )
+                        part_arrs.append(part)
                 if kind == "not":
                     excl_arrs.extend(p_field_docs)
                 elif kind == "must":
