@@ -79,6 +79,35 @@ class RetrievalEngine:
             "spark.sql.shuffle.partitions",
             str(max(8, int(ctx.meta.get("num_shards", 8)))),
         )
+        # pin the split size just above the largest postings file
+        # (round 6): the zero-exchange WAND stream path
+        # (wand._shard_stream_runner) requires that no parquet file is
+        # ever SPLIT across scan tasks — a split would separate a doc's
+        # postings from its gate evidence. One listing per snapshot
+        # (cached with the context); the +1 MB headroom matches
+        # openCostInBytes so same-size sibling files don't pack two to
+        # a task (keeps scan parallelism at one-file-per-task, the
+        # shard-granular layout queries want at every scale).
+        try:
+            jvm = self.query_spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(store.postings_path)
+            fs = jpath.getFileSystem(
+                self.query_spark._jsc.hadoopConfiguration()
+            )
+            it = fs.listFiles(jpath, True)
+            mx = 0
+            while it.hasNext():
+                mx = max(mx, int(it.next().getLen()))
+            self.query_spark.conf.set(
+                "spark.sql.files.maxPartitionBytes",
+                str(max(4 << 20, mx + (1 << 20) + 1)),
+            )
+            ctx.__dict__["_stream_safe"] = True
+        except Exception:
+            # listing failed → the no-file-split guarantee is NOT
+            # established; the flag stays unset and wand falls back to
+            # the exchange-based scorer (correct at any split size)
+            ctx.__dict__["_stream_safe"] = False
         self._ctx_cache[key] = (sid, ctx)
         return ctx
 

@@ -1254,6 +1254,68 @@ def _make_shard_scorer(
     return cogrouped
 
 
+def _shard_stream_runner(score_shard):
+    """mapInArrow wrapper running the per-shard scorer straight off the
+    partition-pruned postings scan — ZERO exchanges (round 6, guide
+    §2.4). The scan's rows arrive file-by-file; each contiguous run of
+    one shard_id value is scored as its own group (the trailing run
+    carries across Arrow batches).
+
+    Correctness without the shard exchange: every doc's complete
+    evidence (all its postings for every candidate term, including
+    positions) lives in ONE parquet file — builds write one file set
+    per shard and mutations append whole-doc deltas — and the caller
+    pins ``spark.sql.files.maxPartitionBytes`` above the largest
+    postings file so no file ever splits across tasks. A shard split
+    across several groups (multi-file shards after upserts, or packing
+    order) only partitions its DOCS across groups; per-group exact
+    scoring + per-group top-k then emits a SUPERSET of the shard's
+    possible global winners (global top-k ⊆ union of per-group top-k
+    for any doc partition), and the global (score desc, _id asc)
+    orderBy + limit downstream settles the final ranking exactly as it
+    already must for boundary ties. df/idf are global (broadcast-joined
+    onto the scanned rows), so partial groups score identically."""
+
+    def gen(batches):
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        carry = None
+
+        def run(tbl):
+            pdf = tbl.to_pandas()
+            out = score_shard((int(pdf["shard_id"].iloc[0]),), pdf)
+            if len(out):
+                yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl])
+            tbl = tbl.combine_chunks()
+            if tbl.num_rows == 0:
+                carry = None
+                continue
+            shard = tbl.column("shard_id").to_numpy()
+            neq = shard != shard[-1]
+            tail_start = int(np.nonzero(neq)[0][-1]) + 1 if neq.any() else 0
+            carry = tbl.slice(tail_start)
+            if tail_start == 0:
+                continue
+            head = shard[:tail_start]
+            change = np.nonzero(head[1:] != head[:-1])[0] + 1
+            bounds = np.concatenate(([0], change, [tail_start]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                yield from run(tbl.slice(int(s), int(e - s)))
+        if carry is not None and carry.num_rows:
+            yield from run(carry)
+
+    return gen
+
+
+_EMPTY_G = np.empty(0, dtype=np.int64)
+
+
 def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     """Fast keyword top-k, filtered or not. Returns None when this path
     doesn't apply (match-all or empty queries → DataFrame path).
@@ -1399,6 +1461,63 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         # the extra varbyte column off every non-phrase scan)
         block_cols.append("positions")
     base = ctx.postings().filter(F.col("field").isin(fields) & term_pred)
+
+    gate_df, gate_mode = gate_frame(ctx, query.filters, ctx.doc_bits)
+
+    # ---- zero-exchange stream path (round 6, guide §2.4) -------------
+    # Ungated global-stats queries (no filters, no tombstones, not
+    # per_shard_stats) score straight off the partition-pruned scan via
+    # mapInArrow: no window-df exchange, no shard cogroup exchange. df
+    # comes from a broadcast of the stats table pruned to the exact
+    # candidate terms (len_bucket partition filters); rows reached only
+    # through a prefix stem keep a null df (their clauses score the
+    # constant 1.0 and never read it). Correct for partial shard groups
+    # — see _shard_stream_runner. api.query_ctx pins
+    # spark.sql.files.maxPartitionBytes above the largest postings file
+    # so no file splits across tasks.
+    if (
+        gate_mode == "none"
+        and not ctx.per_shard_stats
+        and getattr(ctx, "_stream_safe", False)
+    ):
+        stats = ctx.stats()
+        spred = F.col("field").isin(fields)
+        if in_terms:
+            spred = spred & F.col("term").isin(in_terms)
+            if "len_bucket" in stats.columns:
+                spred = spred & F.col("len_bucket").isin(
+                    sorted({len(t) for t in in_terms})
+                )
+        else:
+            spred = F.lit(False)
+        stats_sel = stats.filter(spred).select("field", "term", "df")
+        blocks = base.select(*block_cols).join(
+            F.broadcast(stats_sel), ["field", "term"], "left"
+        )
+        field_stats = {
+            f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
+        }
+        scorer = _make_shard_scorer(
+            field_stats,
+            tuple(parsed.scoring_terms),
+            tuple(parsed.must),
+            tuple(parsed.must_not),
+            k,
+            ctx.k1,
+            ctx.b,
+            "none",
+            phrase_specs,
+            prefix_specs,
+            termset_specs,
+            scorer_groups,
+            docid_id_order=ctx.docid_id_order,
+            bool_group_specs=tuple(bg_specs),
+            per_shard_stats=False,
+        )
+        return blocks.mapInArrow(
+            _shard_stream_runner(scorer), schema=_OUT_SCHEMA
+        )
+
     # Prefix clauses make the scanned term set unbounded (startswith) —
     # there the window's exchange+sort of the whole scan costs more
     # than the broadcast job it saves (measured q_prefix 0.5s → 0.86s),
@@ -1447,7 +1566,6 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         field_stats = {
             f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
         }
-    gate_df, gate_mode = gate_frame(ctx, query.filters, ctx.doc_bits)
     scorer = _make_shard_scorer(
         field_stats,
         tuple(parsed.scoring_terms),
