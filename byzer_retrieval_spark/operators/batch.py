@@ -775,6 +775,50 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
         # (column pruning keeps the varbyte column off phrase-free scans)
         block_cols.append("positions")
     base = ctx.postings().filter(F.col("field").isin(fields) & term_pred)
+
+    # ---- zero-exchange stream path (round 6, same shape as
+    # wand.search_wand): a batch with NO gated member and NO tombstones
+    # scores straight off the partition-pruned scan via mapInArrow — no
+    # window-df exchange, no shard cogroup exchange. df broadcasts from
+    # the stats table pruned to the batch's exact terms; prefix-reached
+    # rows keep a null df (constant-score membership never reads it).
+    # Partial shard groups are a superset of each query's possible
+    # winners (see wand._shard_stream_runner) and the per-query global
+    # rank downstream settles them exactly.
+    tomb = ctx.tombstones_df()
+    if (
+        not gate_groups
+        and tomb is None
+        and not ctx.per_shard_stats
+        and getattr(ctx, "_stream_safe", False)
+    ):
+        from byzer_retrieval_spark.operators.wand import _shard_stream_runner
+
+        stats = ctx.stats()
+        spred = F.col("field").isin(fields)
+        if all_terms:
+            spred = spred & F.col("term").isin(all_terms)
+            if "len_bucket" in stats.columns:
+                spred = spred & F.col("len_bucket").isin(
+                    sorted({len(t) for t in all_terms})
+                )
+        else:
+            spred = F.lit(False)
+        stats_sel = stats.filter(spred).select("field", "term", "df")
+        blocks = base.select(*block_cols).join(
+            F.broadcast(stats_sel), ["field", "term"], "left"
+        )
+        field_stats = {
+            f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
+        }
+        grouped, _ = _make_batch_scorer(
+            field_stats, specs, ctx.k1, ctx.b, phrase_terms,
+            ctx.docid_id_order, per_shard_stats=False,
+        )
+        per_shard = blocks.mapInArrow(
+            _shard_stream_runner(grouped), schema=_OUT_SCHEMA
+        )
+        return per_shard, specs
     # Same shape choice as wand.search_wand (round 6): window-df from
     # the scan unless prefix stems make the term set unbounded.
     stats_by_window = not prefix_stems
