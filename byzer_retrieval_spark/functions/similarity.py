@@ -391,6 +391,9 @@ class LshVectorIndex(_AnnReaderMemo):
     # partition-key enumeration for the batched multi-query probe: the
     # O(1)-per-row broadcast-join tagging path (round 5)
     probe_key_cols = ("tbl", "bucket")
+    # a row is stored once PER TABLE -> multi-table probes can return
+    # the same id twice; batched probes must dedup (knn round 6)
+    replicated = True
 
     def probe_keys(
         self, query: Sequence[float], probe_hamming: int
@@ -703,6 +706,9 @@ class IvfVectorIndex(_AnnReaderMemo):
 
     # partition-key enumeration for the batched multi-query probe
     probe_key_cols = ("cluster",)
+    # every row lives in exactly one cluster partition -> batched
+    # probes need no per-query dedup (knn round 6)
+    replicated = False
 
     def probe_keys(
         self, query: Sequence[float], nprobe: int

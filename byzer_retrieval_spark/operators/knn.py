@@ -142,6 +142,12 @@ def _batch_tagged_candidates(ctx: IndexContext, items, index, **probe_kw):
             else:
                 key_rows.extend((int(qid), *k) for k in pk)
     data = index._data(spark)
+    # per-query dedup is only needed across LSH table REPLICAS (a row
+    # exists once per table, so two probed tables can both return it);
+    # an IVF row exists exactly once and every (query, partition-key)
+    # pair is distinct — the dropDuplicates exchange there shuffled the
+    # full fat candidate set for nothing (round 6)
+    replicated = getattr(index, "replicated", True)
     if key_rows is not None:
         kdf = spark.createDataFrame(
             key_rows,
@@ -159,8 +165,9 @@ def _batch_tagged_candidates(ctx: IndexContext, items, index, **probe_kw):
             data.filter(prune)
             .join(F.broadcast(kdf), key_cols)
             .select("query_id", "id", "vec", *extras)
-            .dropDuplicates(dedup_cols)
         )
+        if replicated:
+            tagged = tagged.dropDuplicates(dedup_cols)
     else:
         conds = [
             (int(qid), index.probe_condition([float(x) for x in q.vector], **probe_kw))
@@ -171,11 +178,12 @@ def _batch_tagged_candidates(ctx: IndexContext, items, index, **probe_kw):
             data.withColumn("query_id", F.explode(tag))
             .filter(F.col("query_id").isNotNull())
             .select("query_id", "id", "vec", *extras)
-            # per-query dedup across LSH table replicas; keys include the
-            # extras so old+new versions of an upserted id both survive to
-            # the tombstone anti-join (same discipline as candidates())
-            .dropDuplicates(dedup_cols)
         )
+        if replicated:
+            # dedup across LSH table replicas; keys include the extras
+            # so old+new versions of an upserted id both survive to the
+            # tombstone anti-join (same discipline as candidates())
+            tagged = tagged.dropDuplicates(dedup_cols)
     return ctx.exclude_tombstones(tagged), qrows
 
 
@@ -253,6 +261,9 @@ def batch_vector_winners_ann_filtered(ctx: IndexContext, items, index, **probe_k
         gated.filter(keep)
         .join(F.broadcast(qdf), "query_id")
         .withColumn("_score", _cosine_expr_col("vec", "__qvec", "__qnorm"))
+        # slim projection before the rank window (guide §2.3) — drops
+        # the candidate + query vectors from the shuffle
+        .select("query_id", "shard_id", "__docid", "id", "_score", "__klim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_score").desc(), F.col("id").asc()
@@ -387,8 +398,14 @@ def batch_vector_winners_ann(
     qdf = spark.createDataFrame(
         qrows, "query_id int, __qvec array<double>, __qnorm double, __klim int"
     )
-    scored = tagged.join(F.broadcast(qdf), "query_id").withColumn(
-        "_score", _cosine_expr_col("vec", "__qvec", "__qnorm")
+    scored = (
+        tagged.join(F.broadcast(qdf), "query_id")
+        .withColumn("_score", _cosine_expr_col("vec", "__qvec", "__qnorm"))
+        # project to the slim rank columns BEFORE the window exchange
+        # (guide §2.3): the candidate vec + query vec are dead after the
+        # cosine, and shipping them through the rank shuffle multiplied
+        # its bytes ~20x
+        .select("query_id", "__docid", "id", "_score", "__klim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_score").desc(), F.col("id").asc()
