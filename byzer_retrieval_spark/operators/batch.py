@@ -759,150 +759,215 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
                 "__docid",
             )
         )
-    all_terms = list(dict.fromkeys(all_terms))
-    fields = list(dict.fromkeys(fields_used))
-    prefix_stems = list(dict.fromkeys(prefix_stems))
 
-    term_pred = F.col("term").isin(all_terms) if all_terms else F.lit(False)
-    for stem in prefix_stems:
-        term_pred = term_pred | F.col("term").startswith(stem)
-    phrase_terms = frozenset(phrase_member_terms)
-    block_cols = [
-        "shard_id", "field", "term", "first_doc", "doc_gaps", "tfs", "dls",
-    ]
-    if phrase_terms:
-        # positions read ONLY when the batch contains a phrase clause
-        # (column pruning keeps the varbyte column off phrase-free scans)
-        block_cols.append("positions")
-    base = ctx.postings().filter(F.col("field").isin(fields) & term_pred)
+    def _scan_inputs(sub_specs):
+        """(fields, exact terms, prefix stems, phrase member terms) a
+        spec subset needs from the postings scan — derived from the
+        specs themselves so gated and ungated sub-batches each scan
+        only their own terms."""
+        flds: List[str] = []
+        terms: List[str] = []
+        stems: List[str] = []
+        ph: List[str] = []
 
-    # ---- zero-exchange stream path (round 6, same shape as
-    # wand.search_wand): a batch with NO gated member and NO tombstones
-    # scores straight off the partition-pruned scan via mapInArrow — no
-    # window-df exchange, no shard cogroup exchange. df broadcasts from
-    # the stats table pruned to the batch's exact terms; prefix-reached
-    # rows keep a null df (constant-score membership never reads it).
-    # Partial shard groups are a superset of each query's possible
-    # winners (see wand._shard_stream_runner) and the per-query global
-    # rank downstream settles them exactly.
+        def conv(m):
+            if m[0] == "term":
+                terms.append(m[1])
+            elif m[0] == "phrase":
+                ph.extend(m[1])
+                terms.extend(m[1])
+            elif m[0] == "prefix":
+                stems.append(m[1])
+            else:
+                terms.extend(sorted(m[1]))
+
+        for spec in sub_specs:
+            flds.extend(sorted(spec["fields"]))
+            terms.extend(spec["scoring"])
+            terms.extend(spec["must"])
+            terms.extend(spec["must_not"])
+            for _kind, mtype, matcher in spec["const_specs"]:
+                if mtype == "prefix":
+                    stems.append(matcher)
+                else:
+                    terms.extend(sorted(matcher))
+            for _kind, p_terms, _slop in spec["phrases"]:
+                ph.extend(p_terms)
+                terms.extend(p_terms)
+            for grp in spec["groups"]:
+                for m in grp:
+                    conv(m)
+            for _gkind, g_sh, g_mu, g_no in spec["bool_groups"]:
+                for m in g_sh + g_mu + g_no:
+                    conv(m)
+        return (
+            list(dict.fromkeys(flds)),
+            list(dict.fromkeys(terms)),
+            list(dict.fromkeys(stems)),
+            frozenset(ph),
+        )
+
     tomb = ctx.tombstones_df()
-    if (
-        not gate_groups
-        and tomb is None
-        and not ctx.per_shard_stats
-        and getattr(ctx, "_stream_safe", False)
-    ):
-        from byzer_retrieval_spark.operators.wand import _shard_stream_runner
 
-        stats = ctx.stats()
-        spred = F.col("field").isin(fields)
-        if all_terms:
-            spred = spred & F.col("term").isin(all_terms)
-            if "len_bucket" in stats.columns:
-                spred = spred & F.col("len_bucket").isin(
-                    sorted({len(t) for t in all_terms})
-                )
-        else:
-            spred = F.lit(False)
-        stats_sel = stats.filter(spred).select("field", "term", "df")
-        blocks = base.select(*block_cols).join(
-            F.broadcast(stats_sel), ["field", "term"], "left"
+    def _frame(sub_specs, sub_gate_parts, stream):
+        """One per-shard winners frame for a spec subset: the
+        zero-exchange mapInArrow stream (round 6, see
+        wand._shard_stream_runner for the correctness argument) or the
+        exchange-based groupBy/cogroup shape for gated /
+        per-shard-stats / tombstoned runs."""
+        fields, all_terms, prefix_stems, phrase_terms = _scan_inputs(
+            sub_specs
         )
-        field_stats = {
-            f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
-        }
-        grouped, _ = _make_batch_scorer(
-            field_stats, specs, ctx.k1, ctx.b, phrase_terms,
-            ctx.docid_id_order, per_shard_stats=False,
+        term_pred = (
+            F.col("term").isin(all_terms) if all_terms else F.lit(False)
         )
-        per_shard = blocks.mapInArrow(
-            _shard_stream_runner(grouped), schema=_OUT_SCHEMA
+        for stem in prefix_stems:
+            term_pred = term_pred | F.col("term").startswith(stem)
+        block_cols = [
+            "shard_id", "field", "term", "first_doc", "doc_gaps", "tfs",
+            "dls",
+        ]
+        if phrase_terms:
+            # positions read ONLY when the sub-batch has a phrase clause
+            block_cols.append("positions")
+        base = ctx.postings().filter(
+            F.col("field").isin(fields) & term_pred
         )
-        return per_shard, specs
-    # Same shape choice as wand.search_wand (round 6): window-df from
-    # the scan unless prefix stems make the term set unbounded.
-    stats_by_window = not prefix_stems
-    if ctx.per_shard_stats:
-        # per-shard-stats mode (round 5 — reference numNodes>1 parity in
-        # the one-job batch): per-(field, term, shard) df from the same
-        # scan, per-shard N/avgdl from the snapshot — same treatment as
-        # wand.search_wand
-        if stats_by_window:
-            blocks = base.select(*block_cols, "df_block").withColumn(
-                "df",
-                F.sum("df_block").over(
-                    Window.partitionBy("field", "term", "shard_id")
-                ),
-            ).drop("df_block")
-        else:
-            stats = base.groupBy("field", "term", "shard_id").agg(
-                F.sum("df_block").alias("df")
+        if stream:
+            from byzer_retrieval_spark.operators.wand import (
+                _shard_stream_runner,
             )
+
+            stats = ctx.stats()
+            spred = F.col("field").isin(fields)
+            if all_terms:
+                spred = spred & F.col("term").isin(all_terms)
+                if "len_bucket" in stats.columns:
+                    spred = spred & F.col("len_bucket").isin(
+                        sorted({len(t) for t in all_terms})
+                    )
+            else:
+                spred = F.lit(False)
+            stats_sel = stats.filter(spred).select("field", "term", "df")
             blocks = base.select(*block_cols).join(
-                F.broadcast(stats), ["field", "term", "shard_id"]
+                F.broadcast(stats_sel), ["field", "term"], "left"
             )
-        field_stats = {
-            f: {
-                int(s): (float(st["n_docs"]), float(st["avgdl"]))
-                for s, st in ctx.shard_field_stats(f).items()
+            field_stats = {
+                f: (float(ctx.n_docs(f)), float(ctx.avgdl(f)))
+                for f in fields
             }
-            for f in fields
-        }
-    else:
-        # df from the same term-pruned scan (round 6, same argument as
-        # wand.search_wand): the scan holds every block of a candidate
-        # term, so the window sum IS the stats-table df — no stats scan,
-        # no broadcast-build job
-        if stats_by_window:
-            blocks = base.select(*block_cols, "df_block").withColumn(
-                "df",
-                F.sum("df_block").over(Window.partitionBy("field", "term")),
-            ).drop("df_block")
+            grouped, _ = _make_batch_scorer(
+                field_stats, sub_specs, ctx.k1, ctx.b, phrase_terms,
+                ctx.docid_id_order, per_shard_stats=False,
+            )
+            return blocks.mapInArrow(
+                _shard_stream_runner(grouped), schema=_OUT_SCHEMA
+            )
+        # Same shape choice as wand.search_wand (round 6): window-df
+        # from the scan unless prefix stems make the term set unbounded.
+        stats_by_window = not prefix_stems
+        if ctx.per_shard_stats:
+            # per-shard-stats mode (round 5 — reference numNodes>1
+            # parity in the one-job batch): per-(field, term, shard) df
+            # from the same scan, per-shard N/avgdl from the snapshot
+            if stats_by_window:
+                blocks = base.select(*block_cols, "df_block").withColumn(
+                    "df",
+                    F.sum("df_block").over(
+                        Window.partitionBy("field", "term", "shard_id")
+                    ),
+                ).drop("df_block")
+            else:
+                stats = base.groupBy("field", "term", "shard_id").agg(
+                    F.sum("df_block").alias("df")
+                )
+                blocks = base.select(*block_cols).join(
+                    F.broadcast(stats), ["field", "term", "shard_id"]
+                )
+            field_stats = {
+                f: {
+                    int(s): (float(st["n_docs"]), float(st["avgdl"]))
+                    for s, st in ctx.shard_field_stats(f).items()
+                }
+                for f in fields
+            }
         else:
-            stats = (
-                ctx.stats()
-                .filter(F.col("field").isin(fields) & term_pred)
-                .select("field", "term", "df")
-            )
-            blocks = base.select(*block_cols).join(
-                F.broadcast(stats), ["field", "term"]
-            )
-        field_stats = {
-            f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
-        }
-    grouped, cogrouped = _make_batch_scorer(
-        field_stats, specs, ctx.k1, ctx.b, phrase_terms, ctx.docid_id_order,
-        per_shard_stats=ctx.per_shard_stats,
-    )
+            # df from the same term-pruned scan (round 6): the scan
+            # holds every block of a candidate term, so the window sum
+            # IS the stats-table df — no stats scan
+            if stats_by_window:
+                blocks = base.select(*block_cols, "df_block").withColumn(
+                    "df",
+                    F.sum("df_block").over(
+                        Window.partitionBy("field", "term")
+                    ),
+                ).drop("df_block")
+            else:
+                stats = (
+                    ctx.stats()
+                    .filter(F.col("field").isin(fields) & term_pred)
+                    .select("field", "term", "df")
+                )
+                blocks = base.select(*block_cols).join(
+                    F.broadcast(stats), ["field", "term"]
+                )
+            field_stats = {
+                f: (float(ctx.n_docs(f)), float(ctx.avgdl(f)))
+                for f in fields
+            }
+        grouped, cogrouped = _make_batch_scorer(
+            field_stats, sub_specs, ctx.k1, ctx.b, phrase_terms,
+            ctx.docid_id_order, per_shard_stats=ctx.per_shard_stats,
+        )
 
-    # gate side: per-query allow sets (tagged query_id) + the shared
-    # tombstone deny set for ungated queries — ONE cogroup on shard_id,
-    # same discipline as wand.search_wand
-    tomb = ctx.tombstones_df()
-    if tomb is not None and any_ungated:
-        gate_parts.append(
-            tomb.select("__docid")
-            .distinct()
-            .select(
-                F.lit(_DENY_QID).alias("query_id"),
-                F.shiftright("__docid", ctx.doc_bits).cast("int").alias("shard_id"),
-                "__docid",
+        # gate side: per-query allow sets (tagged query_id) + the shared
+        # tombstone deny set for ungated queries — ONE cogroup on
+        # shard_id, same discipline as wand.search_wand
+        g_parts = list(sub_gate_parts)
+        if tomb is not None and any(not s["gated"] for s in sub_specs):
+            g_parts.append(
+                tomb.select("__docid")
+                .distinct()
+                .select(
+                    F.lit(_DENY_QID).alias("query_id"),
+                    F.shiftright("__docid", ctx.doc_bits)
+                    .cast("int")
+                    .alias("shard_id"),
+                    "__docid",
+                )
             )
-        )
-    if gate_parts:
-        gate_df = gate_parts[0]
-        for g in gate_parts[1:]:
-            gate_df = gate_df.unionByName(g)
-        per_shard = (
-            blocks.groupby("shard_id")
-            .cogroup(gate_df.groupby("shard_id"))
-            .applyInPandas(cogrouped, schema=_OUT_SCHEMA)
-        )
-    else:
-        per_shard = blocks.groupBy("shard_id").applyInPandas(
+        if g_parts:
+            gate_df = g_parts[0]
+            for g in g_parts[1:]:
+                gate_df = gate_df.unionByName(g)
+            return (
+                blocks.groupby("shard_id")
+                .cogroup(gate_df.groupby("shard_id"))
+                .applyInPandas(cogrouped, schema=_OUT_SCHEMA)
+            )
+        return blocks.groupBy("shard_id").applyInPandas(
             grouped, schema=_OUT_SCHEMA
         )
-    return per_shard, specs
+
+    # A handful of filtered members no longer drags the whole batch
+    # through the gate cogroup (round 6): ungated specs ride the
+    # zero-exchange stream frame, gated specs keep their cogroup —
+    # the two frames union into the same downstream rank/join.
+    can_stream = (
+        tomb is None
+        and not ctx.per_shard_stats
+        and getattr(ctx, "_stream_safe", False)
+    )
+    gated_specs = [s for s in specs if s["gated"]]
+    ungated_specs = [s for s in specs if not s["gated"]]
+    if can_stream and not gated_specs:
+        return _frame(specs, [], stream=True), specs
+    if can_stream and gated_specs and ungated_specs:
+        per_shard = _frame(ungated_specs, [], stream=True).unionByName(
+            _frame(gated_specs, gate_parts, stream=False)
+        )
+        return per_shard, specs
+    return _frame(specs, gate_parts, stream=False), specs
 
 
 def _limits_df(ctx: IndexContext, specs) -> DataFrame:
