@@ -368,15 +368,21 @@ class RetrievalEngine:
         store = self.store(database, table)
         ctx = self.ctx(database, table)
         docs = ctx.exclude_tombstones(ctx.docs())
-        first = docs.select(vector_field).filter(
-            F.col(vector_field).isNotNull()
-        ).first()
-        if first is None:
+        # ONE column-pruned scan yields both the vector count (the
+        # structure-sizing input) and the dimensionality — previously a
+        # first() job plus a separate count() job each scanned the
+        # embedding column (round 6)
+        row = docs.select(
+            F.count(vector_field).alias("n"),
+            F.first(F.size(F.col(vector_field)), ignorenulls=True).alias("d"),
+        ).collect()[0]
+        n_vec_all = int(row["n"])
+        if n_vec_all == 0:
             raise ValueError(
                 f"build_vector_ann: no non-null {vector_field!r} vectors in "
                 f"{database}.{table} (empty or fully tombstoned table)"
             )
-        dim = len(first[0])
+        dim = int(row["d"])
         path = _os.path.join(store.base, "ann", vector_field, kind)
         if kind == "lsh":
             if "num_planes" not in params:
@@ -385,23 +391,25 @@ class RetrievalEngine:
                 # scale-adaptive instead of one fixed default
                 import math as _math
 
-                n_vec = docs.filter(F.col(vector_field).isNotNull()).count()
                 params = {
                     **params,
                     "num_planes": max(
-                        8, min(20, int(_math.log2(max(n_vec, 1) / 128.0 + 1)) + 1)
+                        8,
+                        min(
+                            20,
+                            int(_math.log2(max(n_vec_all, 1) / 128.0 + 1)) + 1,
+                        ),
                     ),
                 }
             idx = LshVectorIndex(path, **params)
             probe = probe or {"probe_hamming": 2}
         elif kind == "ivf":
-            n_vec = None
+            # classic IVF sizing: √N centroids (FAISS guidance), clamped
+            # to [16, 4096] — keeps a probe at ~√N vectors whether the
+            # corpus is 10^4 or 10^9; the count comes from the same scan
+            # that yielded dim
+            n_vec = n_vec_all
             if "num_clusters" not in params:
-                # classic IVF sizing: √N centroids (FAISS guidance),
-                # clamped to [16, 4096] — keeps a probe at ~√N vectors
-                # whether the corpus is 10^4 or 10^9, instead of a fixed
-                # default that degrades to giant probe sets at scale
-                n_vec = docs.filter(F.col(vector_field).isNotNull()).count()
                 params = {
                     **params,
                     "num_clusters": max(16, min(4096, int(n_vec**0.5))),

@@ -78,6 +78,33 @@ def main() -> None:
                          limit=10) for i in range(8)]
         )
     )
+    # mixed gated/ungated batch (r6: split stream + cogroup frames)
+    plans["batch_search_mixed_gated"] = cap(
+        eng.batch_search(
+            [SearchQuery(keyword=f"sym_{i}_0 import", fields=["content"],
+                         filters=(
+                             {"and": [{"field": "lang", "value": "python"}]}
+                             if i % 4 == 3 else {}
+                         ),
+                         limit=10) for i in range(8)]
+        )
+    )
+    # batched unfiltered + filtered vector probes (r6: slim rank
+    # windows, no dedup exchange on the unreplicated IVF index)
+    plans["batch_vector_ann"] = cap(
+        eng.batch_search(
+            [SearchQuery(vector=qvec(10 + i), vector_field="embedding",
+                         limit=10) for i in range(6)]
+        )
+    )
+    plans["batch_vector_ann_filtered"] = cap(
+        eng.batch_search(
+            [SearchQuery(vector=qvec(30 + i), vector_field="embedding",
+                         filters={"and": [{"field": "lang",
+                                           "value": "python"}]},
+                         limit=10) for i in range(6)]
+        )
+    )
     # single vector query over the persisted IVF index
     plans["vector_topk_ann"] = cap(
         eng.search(SearchQuery(vector=qvec(1), vector_field="embedding",
