@@ -59,7 +59,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from byzer_retrieval_spark.functions.analyzer import WHITESPACE, tokenize_expr, tokenize_udf
+from byzer_retrieval_spark.functions.analyzer import (
+    WHITESPACE,
+    token_count_expr,
+    tokenize_expr,
+    tokenize_udf,
+)
 from byzer_retrieval_spark.functions.encoding import varbyte_encode
 from byzer_retrieval_spark.sources.storage import IndexStore
 
@@ -549,7 +554,6 @@ def _segment_postings_builder(
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from byzer_retrieval_spark.functions.analyzer import _WS_CLASS
         from byzer_retrieval_spark.functions.bm25 import quantize_dl
         from byzer_retrieval_spark.functions.encoding import varbyte_runs_arrow
 
@@ -561,8 +565,14 @@ def _segment_postings_builder(
             if n_docs == 0:
                 continue
             if split_in_arrow:
-                toks = pc.split_pattern_regex(
-                    tbl.column("content").chunk(0), pattern=_WS_CLASS + "+"
+                # ascii_split_whitespace splits on C isspace = exactly
+                # the analyzer's explicit [ \t\n\x0b\f\r] class, and
+                # runs ~5x faster than the RE2 pattern (round 6;
+                # token-identity with tokenize_expr pinned by tests —
+                # empties from consecutive separators drop below either
+                # way)
+                toks = pc.ascii_split_whitespace(
+                    tbl.column("content").chunk(0)
                 )
             else:
                 toks = tbl.column("toks").chunk(0)
@@ -1232,10 +1242,12 @@ def build_index(
                         tokenize_udf(cfg.analyzer)(
                             F.coalesce(F.col(f_name), F.lit(""))
                         )
-                        if cfg.use_arrow_udf_tokenizer
-                        else tokenize_expr(
-                            F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer
-                        )
+                    )
+                    if cfg.use_arrow_udf_tokenizer
+                    # count-only regex: no token-array materialization
+                    # (functions/analyzer.token_count_expr, round 6)
+                    else token_count_expr(
+                        F.coalesce(F.col(f_name), F.lit("")), cfg.analyzer
                     ),
                 )
             to_stage = to_stage.withColumn(
