@@ -1170,6 +1170,17 @@ def build_index(
         }
 
     phase_t = {}
+    # per-shard docs aggregates (N / sum_dl per field — the snapshot's
+    # stats inputs); computed on the docs-pass thread right after its
+    # write so the job overlaps the postings tail (round 6). The stats
+    # section falls back to running it itself on resume-skip builds.
+    doc_aggs = [F.count("*").alias("__n_total")]
+    for f_name in cfg.analyzed_fields:
+        doc_aggs.append(
+            F.count_if(F.col(f"dl_{f_name}") > 0).alias(f"__n_{f_name}")
+        )
+        doc_aggs.append(F.sum(f"dl_{f_name}").alias(f"__sum_{f_name}"))
+    pre_doc_rows = None
     existing = store.read_shard_manifests() if resume else {}
     fingerprints: Optional[Dict[int, Dict[str, int]]] = None
     if existing:
@@ -1295,7 +1306,7 @@ def build_index(
                     ]
                 )
 
-                def _docs_pass() -> None:
+                def _docs_pass():
                     _pt = time.time()
                     # sha256, dl and __rowhash are all materialized in the
                     # staged parquet (computed once in the staging scan) —
@@ -1316,7 +1327,16 @@ def build_index(
                         .mode("overwrite")
                         .parquet(store.docs_path)
                     )
+                    # chain the per-shard docs aggregate (N/sum_dl per
+                    # field — the snapshot's stats inputs) right here so
+                    # it overlaps the postings tail instead of queueing
+                    # into the stats phase (round 6)
+                    rows = (
+                        store.docs(spark).groupBy("shard_id").agg(*doc_aggs)
+                        .collect()
+                    )
                     phase_t["docs_write"] = round(time.time() - _pt, 2)
+                    return rows
 
                 # The docs write, the fresh-build fingerprint agg, and the
                 # postings pipeline are INDEPENDENT jobs over the staged
@@ -1408,7 +1428,7 @@ def build_index(
                     .parquet(store.postings_path)
                 )
                 phase_t["postings_write"] = round(time.time() - _pt, 2)
-                _fut_docs.result()
+                pre_doc_rows = _fut_docs.result()
                 if _fut_fp is not None:
                     fingerprints = _fut_fp.result()
                     pending = sorted(fingerprints)
@@ -1444,13 +1464,6 @@ def build_index(
     def _write_stats() -> None:
         store.write_stats(stats_df)
 
-    aggs = [F.count("*").alias("__n_total")]
-    for f_name in cfg.analyzed_fields:
-        aggs.append(
-            F.count_if(F.col(f"dl_{f_name}") > 0).alias(f"__n_{f_name}")
-        )
-        aggs.append(F.sum(f"dl_{f_name}").alias(f"__sum_{f_name}"))
-
     with ThreadPoolExecutor(max_workers=2) as _sx:
         _fut_stats = _sx.submit(_write_stats)
         _fut_blocks = _sx.submit(
@@ -1458,7 +1471,11 @@ def build_index(
             .agg(F.count("*").alias("blocks"), F.sum("df_block").alias("postings"))
             .collect()
         )
-        doc_rows = docs_full.groupBy("shard_id").agg(*aggs).collect()
+        doc_rows = (
+            pre_doc_rows
+            if pre_doc_rows is not None
+            else docs_full.groupBy("shard_id").agg(*doc_aggs).collect()
+        )
         blocks_rows = _fut_blocks.result()
         _fut_stats.result()
 
