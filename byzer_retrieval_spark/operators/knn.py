@@ -219,7 +219,11 @@ def batch_vector_winners_ann_filtered(ctx: IndexContext, items, index, **probe_k
     tagged, qrows = _batch_tagged_candidates(ctx, items, index, **probe_kw)
     tagged = tagged.withColumn(
         "shard_id", F.shiftright("__docid", ctx.doc_bits).cast("int")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialized ONCE (round 6): the gate below references the
+    # tagged frame twice (slim keys feeding the allow scan, fat rows
+    # receiving the surviving keys) and without the checkpoint the
+    # partition-pruned index scan executed twice inside the gated job
     # one allow scan per DISTINCT filter tree, tagged by tree id
     tree_gid: dict = {}
     qid_gid = []
