@@ -96,6 +96,7 @@ def _make_batch_scorer(
     phrase_terms: frozenset = frozenset(),
     docid_id_order: bool = False,
     per_shard_stats: bool = False,
+    df_map: Optional[Dict[Tuple[str, str], float]] = None,
 ):
     """specs per query: {qid, fields, scoring, must, must_not, k,
     const_specs: ((kind, matcher_type, matcher), ...),
@@ -210,7 +211,13 @@ def _make_batch_scorer(
         for (fld, term), g in pdf.groupby(["field", "term"], sort=False):
             g = g.sort_values("first_doc")
             n_docs, avgdl = fs(fld)
-            df = float(g["df"].iloc[0])
+            # df_map (round 6): driver-resolved term dictionary — the
+            # zero-exchange stream frame carries no df column
+            df = (
+                df_map[(fld, term)]
+                if df_map is not None
+                else float(g["df"].iloc[0])
+            )
             idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             docs, tfs, dls, _ = decode_rows(
                 g["doc_gaps"], g["tfs"], g["dls"], g["first_doc"]
@@ -838,20 +845,30 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
                 _shard_stream_runner,
             )
 
-            stats = ctx.stats()
-            spred = F.col("field").isin(fields)
-            if all_terms:
-                spred = spred & F.col("term").isin(all_terms)
-                if "len_bucket" in stats.columns:
-                    spred = spred & F.col("len_bucket").isin(
-                        sorted({len(t) for t in all_terms})
-                    )
+            # df resolution, cheapest first (round 6): driver-side
+            # pyarrow read of the exact candidate terms' dictionary
+            # entries, captured into the scorer closure — no df column,
+            # no broadcast job; broadcast fallback otherwise
+            df_map = ctx.term_dfs(fields, all_terms)
+            if df_map is not None:
+                blocks = base.select(*block_cols)
             else:
-                spred = F.lit(False)
-            stats_sel = stats.filter(spred).select("field", "term", "df")
-            blocks = base.select(*block_cols).join(
-                F.broadcast(stats_sel), ["field", "term"], "left"
-            )
+                stats = ctx.stats()
+                spred = F.col("field").isin(fields)
+                if all_terms:
+                    spred = spred & F.col("term").isin(all_terms)
+                    if "len_bucket" in stats.columns:
+                        spred = spred & F.col("len_bucket").isin(
+                            sorted({len(t) for t in all_terms})
+                        )
+                else:
+                    spred = F.lit(False)
+                stats_sel = stats.filter(spred).select(
+                    "field", "term", "df"
+                )
+                blocks = base.select(*block_cols).join(
+                    F.broadcast(stats_sel), ["field", "term"], "left"
+                )
             field_stats = {
                 f: (float(ctx.n_docs(f)), float(ctx.avgdl(f)))
                 for f in fields
@@ -859,6 +876,7 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
             grouped, _ = _make_batch_scorer(
                 field_stats, sub_specs, ctx.k1, ctx.b, phrase_terms,
                 ctx.docid_id_order, per_shard_stats=False,
+                df_map=df_map,
             )
             return blocks.mapInArrow(
                 _shard_stream_runner(grouped), schema=_OUT_SCHEMA

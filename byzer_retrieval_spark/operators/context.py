@@ -132,3 +132,56 @@ class IndexContext:
     def stored_columns(self) -> List[str]:
         drop = {"__docid", "shard_id"}
         return [c for c in self.docs().columns if c not in drop]
+
+    def term_dfs(self, fields, terms):
+        """{(field, term): df} for an EXACT term list, read driver-side
+        via pyarrow with (field, len_bucket) partition pruning + term
+        row-group pruning (round 6). The stats table is the term
+        dictionary — metadata-scale — and a query touches a handful of
+        terms, so this is a 2-10 ms driver read that replaces a whole
+        broadcast-build job on the zero-exchange paths (exactly like
+        Lucene reading its term dictionary on the searcher). Returns
+        None when the read is not possible (non-local store, pre-r4
+        layout without len_bucket) — callers fall back to the broadcast
+        stats join."""
+        terms = list(dict.fromkeys(terms))
+        if not terms:
+            return {}
+        cache = self.__dict__.setdefault("_dfs_ds", {})
+        d = cache.get("ds", _MISS)
+        if d is _MISS:
+            try:
+                import pyarrow.dataset as _ds
+
+                d = _ds.dataset(
+                    self.store.stats_path, format="parquet",
+                    partitioning="hive",
+                )
+                if "len_bucket" not in d.schema.names:
+                    d = None
+            except Exception:
+                d = None
+            cache["ds"] = d
+        if d is None:
+            return None
+        import pyarrow.dataset as _ds
+
+        try:
+            tbl = d.to_table(
+                filter=_ds.field("field").isin(list(fields))
+                & _ds.field("len_bucket").isin(
+                    sorted({len(t) for t in terms})
+                )
+                & _ds.field("term").isin(terms),
+                columns=["field", "term", "df"],
+            )
+        except Exception:
+            return None
+        return {
+            (f, t): float(v)
+            for f, t, v in zip(
+                tbl.column("field").to_pylist(),
+                tbl.column("term").to_pylist(),
+                tbl.column("df").to_pylist(),
+            )
+        }

@@ -410,6 +410,7 @@ def _make_shard_scorer(
     docid_id_order: bool = False,
     bool_group_specs: Tuple[Tuple[str, Tuple, Tuple, Tuple], ...] = (),
     per_shard_stats: bool = False,
+    df_map: Optional[Dict[Tuple[str, str], float]] = None,
 ):
     """idf is derived in-task from the broadcast-joined ``df`` column —
     no eager stats collect on the driver, so a whole search is ONE job.
@@ -539,7 +540,13 @@ def _make_shard_scorer(
         for (fld, term), g in sc_pdf.groupby(["field", "term"], sort=False):
             g = g.sort_values("first_doc")
             n_docs, avgdl = fs(fld)
-            df = float(g["df"].iloc[0])
+            # df_map (round 6): driver-resolved term dictionary entries
+            # — the zero-exchange path carries no df column at all
+            df = (
+                df_map[(fld, term)]
+                if df_map is not None
+                else float(g["df"].iloc[0])
+            )
             idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             max_tf = g["max_tf"].to_numpy(np.float64)
             min_dl = g["min_dl"].to_numpy(np.float64)
@@ -711,7 +718,11 @@ def _make_shard_scorer(
                         g["doc_gaps"], g["tfs"], g["dls"], g["first_doc"]
                     )
                     doc_data[t] = (g, docs, tfs, dls)
-                    dfs[t] = float(g["df"].iloc[0])
+                    dfs[t] = (
+                        df_map[(fld, t)]
+                        if df_map is not None
+                        else float(g["df"].iloc[0])
+                    )
 
                 def phrase_datas(terms: Tuple[str, ...]):
                     """Per-member (docs, tfs, dls, pos). When the
@@ -1068,7 +1079,11 @@ def _make_shard_scorer(
                         tg = fp[fp["term"] == t]
                         if not len(tg):
                             break
-                        dfs[t] = float(tg["df"].iloc[0])
+                        dfs[t] = (
+                            df_map[(fld, t)]
+                            if df_map is not None
+                            else float(tg["df"].iloc[0])
+                        )
                     else:
                         idf_sum = sum(
                             math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
@@ -1480,20 +1495,30 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         and not ctx.per_shard_stats
         and getattr(ctx, "_stream_safe", False)
     ):
-        stats = ctx.stats()
-        spred = F.col("field").isin(fields)
-        if in_terms:
-            spred = spred & F.col("term").isin(in_terms)
-            if "len_bucket" in stats.columns:
-                spred = spred & F.col("len_bucket").isin(
-                    sorted({len(t) for t in in_terms})
-                )
+        # df resolution, cheapest first (round 6): the exact candidate
+        # terms' dictionary entries read DRIVER-side via pyarrow
+        # (2-10 ms, partition + row-group pruned) and captured into the
+        # scorer closure — no df column, no broadcast job at all. Falls
+        # back to a broadcast of the pruned stats table when the
+        # driver-side read is unavailable.
+        df_map = ctx.term_dfs(fields, in_terms)
+        if df_map is not None:
+            blocks = base.select(*block_cols)
         else:
-            spred = F.lit(False)
-        stats_sel = stats.filter(spred).select("field", "term", "df")
-        blocks = base.select(*block_cols).join(
-            F.broadcast(stats_sel), ["field", "term"], "left"
-        )
+            stats = ctx.stats()
+            spred = F.col("field").isin(fields)
+            if in_terms:
+                spred = spred & F.col("term").isin(in_terms)
+                if "len_bucket" in stats.columns:
+                    spred = spred & F.col("len_bucket").isin(
+                        sorted({len(t) for t in in_terms})
+                    )
+            else:
+                spred = F.lit(False)
+            stats_sel = stats.filter(spred).select("field", "term", "df")
+            blocks = base.select(*block_cols).join(
+                F.broadcast(stats_sel), ["field", "term"], "left"
+            )
         field_stats = {
             f: (float(ctx.n_docs(f)), float(ctx.avgdl(f))) for f in fields
         }
@@ -1513,6 +1538,7 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
             docid_id_order=ctx.docid_id_order,
             bool_group_specs=tuple(bg_specs),
             per_shard_stats=False,
+            df_map=df_map,
         )
         return blocks.mapInArrow(
             _shard_stream_runner(scorer), schema=_OUT_SCHEMA
