@@ -884,6 +884,7 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
         # Same shape choice as wand.search_wand (round 6): window-df
         # from the scan unless prefix stems make the term set unbounded.
         stats_by_window = not prefix_stems
+        sub_df_map = None
         if ctx.per_shard_stats:
             # per-shard-stats mode (round 5 — reference numNodes>1
             # parity in the one-job batch): per-(field, term, shard) df
@@ -910,10 +911,13 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
                 for f in fields
             }
         else:
-            # df from the same term-pruned scan (round 6): the scan
-            # holds every block of a candidate term, so the window sum
-            # IS the stats-table df — no stats scan
-            if stats_by_window:
+            # gated global-stats sub-batches also take the driver-
+            # resolved df map when available (round 6) — the window-df
+            # exchange (or broadcast job) drops out of the gated frame
+            sub_df_map = ctx.term_dfs(fields, all_terms)
+            if sub_df_map is not None:
+                blocks = base.select(*block_cols)
+            elif stats_by_window:
                 blocks = base.select(*block_cols, "df_block").withColumn(
                     "df",
                     F.sum("df_block").over(
@@ -936,6 +940,7 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
         grouped, cogrouped = _make_batch_scorer(
             field_stats, sub_specs, ctx.k1, ctx.b, phrase_terms,
             ctx.docid_id_order, per_shard_stats=ctx.per_shard_stats,
+            df_map=sub_df_map,
         )
 
         # gate side: per-query allow sets (tagged query_id) + the shared

@@ -1549,6 +1549,7 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
     # than the broadcast job it saves (measured q_prefix 0.5s → 0.86s),
     # so prefix queries keep the broadcast-stats shape.
     stats_by_window = not prefix_specs
+    df_map = None
     if ctx.per_shard_stats:
         # per-shard-stats mode (round 5 — reference numNodes>1 parity
         # on the FAST path): df per (field, term, SHARD) from the same
@@ -1577,7 +1578,14 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
             for f in fields
         }
     else:
-        if stats_by_window:
+        # gated global-stats queries also take the driver-resolved df
+        # map when available (round 6): the window-df exchange (or the
+        # broadcast job) drops out of the filtered path too; only
+        # per_shard_stats mode genuinely needs the shard-keyed window
+        df_map = ctx.term_dfs(fields, in_terms)
+        if df_map is not None:
+            blocks = base.select(*block_cols)
+        elif stats_by_window:
             blocks = base.select(*block_cols, "df_block").withColumn(
                 "df",
                 F.sum("df_block").over(Window.partitionBy("field", "term")),
@@ -1608,6 +1616,7 @@ def search_wand(ctx: IndexContext, query: SearchQuery) -> Optional[DataFrame]:
         docid_id_order=ctx.docid_id_order,
         bool_group_specs=tuple(bg_specs),
         per_shard_stats=ctx.per_shard_stats,
+        df_map=df_map,
     )
     if gate_mode == "none":
         return blocks.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
