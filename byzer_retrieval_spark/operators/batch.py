@@ -646,14 +646,8 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
 
     specs = []
     gate_groups: Dict[str, tuple] = {}  # canonical filter json → (tree, qids)
-    all_terms: List[str] = []
-    fields_used: List[str] = []
-    prefix_stems: List[str] = []
-    phrase_member_terms: List[str] = []
     gate_parts: List[DataFrame] = []
-    any_ungated = False
     for qid, (q, parsed, flds) in enumerate(parsed_list):
-        fields_used.extend(flds)
         # constant-score clauses: prefixes stay lazy (matched against
         # the scanned dictionary in-task, like the WAND path); fuzzies
         # expand against the term dictionary up front (Lucene's
@@ -666,7 +660,6 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
         ):
             for stem in dict.fromkeys(stems):
                 const_specs.append((kind, "prefix", stem))
-                prefix_stems.append(stem)
         for kind, fz in (
             ("must", parsed.must_fuzzies),
             ("should", parsed.dedup_should_fuzzies),
@@ -681,7 +674,6 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
                     fuzzy_memo[ek] = frozenset(expand_fuzzy(ctx, flds, w, n))
                 terms = fuzzy_memo[ek]
                 const_specs.append((kind, "set", terms))
-                all_terms.extend(sorted(terms))
         # phrase clauses (exact slop=0 + sloppy NEAR), deduped the same
         # way wand.search_wand builds its phrase_specs
         phrase_specs: List[Tuple[str, Tuple[str, ...], int]] = (
@@ -692,29 +684,21 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
             + [("should", p, s) for p, s in parsed.dedup_should_nears]
             + [("not", p, s) for p, s in dict.fromkeys(parsed.not_near_phrases)]
         )
-        phrase_member_terms.extend(parsed.phrase_terms)
-        all_terms.extend(parsed.phrase_terms)
 
         # group members (any kind) → scorer descriptors: terms stay
         # ("term", t); phrases register their member terms for the
         # positions scan; fuzzies pre-expand through the batch memo
         def _conv_member(m):
             if m[0] == "term":
-                all_terms.append(m[1])
                 return ("term", m[1])
             if m[0] == "phrase":
-                phrase_member_terms.extend(m[1])
-                all_terms.extend(m[1])
                 return ("phrase", tuple(m[1]), int(m[2]))
             if m[0] == "prefix":
-                prefix_stems.append(m[1])
                 return ("prefix", m[1])
             ek = (tuple(flds), m[1], int(m[2]))
             if ek not in fuzzy_memo:
                 fuzzy_memo[ek] = frozenset(expand_fuzzy(ctx, flds, m[1], m[2]))
-            terms = fuzzy_memo[ek]
-            all_terms.extend(sorted(terms))
-            return ("set", terms)
+            return ("set", fuzzy_memo[ek])
 
         groups_m = tuple(
             tuple(_conv_member(m) for m in g) for g in parsed.any_groups_ext
@@ -737,8 +721,6 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
             # time scaled with the batch, not the distinct trees
             gk = _json.dumps(q.filters, sort_keys=True)
             gate_groups.setdefault(gk, (q.filters, []))[1].append(qid)
-        else:
-            any_ungated = True
         specs.append(
             {
                 "qid": qid,
@@ -754,7 +736,6 @@ def _batch_per_shard(ctx: IndexContext, queries: List[SearchQuery]):
                 "gated": gated,
             }
         )
-        all_terms.extend(parsed.scoring_terms + parsed.must_not)
     for _gk, (ftree, qids) in gate_groups.items():
         allowed = ctx.exclude_tombstones(filtered_docs(ctx, ftree))
         gate_parts.append(
